@@ -1,0 +1,77 @@
+"""Golden tests for BIO/BIOES chunking (saber/tests/test_preprocessor.py:82-100)
+and P/R/F1 evaluation math (saber/utils/model_utils.py:186-206,
+saber/metrics.py:124-201)."""
+
+import pytest
+
+from saber_ray.functions.chunking import chunk_entities, chunks_to_spans
+from saber_ray.functions.metrics import evaluate_chunks, precision_recall_f1_support
+
+
+def test_chunk_simple():
+    assert chunk_entities(["B-PRGE", "I-PRGE", "O", "B-PRGE"]) == [
+        ("PRGE", 0, 2), ("PRGE", 3, 4)]
+
+
+def test_chunk_two_types():
+    assert chunk_entities(["B-LIVB", "I-LIVB", "O", "B-PRGE"]) == [
+        ("LIVB", 0, 2), ("PRGE", 3, 4)]
+
+
+def test_chunk_invalid_dropped():
+    assert chunk_entities(["O", "I-CHED", "I-CHED", "O"]) == []
+
+
+def test_chunk_blank():
+    assert chunk_entities([]) == []
+
+
+def test_chunk_bioes_quirk():
+    # E- tags neither start nor extend chunks (fixture dummy_dataset_1 has
+    # E-DISO; the reference's chunker excludes it — SURVEY.md §7 quirk #4).
+    assert chunk_entities(["B-DISO", "I-DISO", "I-DISO", "E-DISO"]) == [("DISO", 0, 3)]
+    assert chunk_entities(["S-DISO", "O"]) == []
+
+
+def test_chunk_type_switch_breaks():
+    assert chunk_entities(["B-PRGE", "I-DISO"]) == [("PRGE", 0, 1)]
+
+
+def test_chunks_to_spans():
+    text = "p53 causes cancer."
+    offsets = [(0, 3), (4, 10), (11, 17), (17, 18)]
+    chunks = [("PRGE", 0, 1), ("DISO", 2, 3)]
+    assert chunks_to_spans(chunks, offsets, text) == [
+        (0, 3, "p53", "PRGE"), (11, 17, "cancer", "DISO")]
+
+
+def test_prf_zero_guards():
+    assert precision_recall_f1_support(0, 0, 0) == (0.0, 0.0, 0.0, 0)
+    assert precision_recall_f1_support(0, 5, 3) == (0.0, 0.0, 0.0, 3)
+    p, r, f1, support = precision_recall_f1_support(2, 1, 1)
+    assert (p, r, support) == (2 / 3, 2 / 3, 3)
+    assert f1 == pytest.approx(2 / 3)
+
+
+def test_evaluate_chunks_exact():
+    gold = [("PRGE", 0, 2), ("DISO", 3, 4), ("PRGE", 7, 9)]
+    pred = [("PRGE", 0, 2), ("DISO", 3, 5), ("PRGE", 7, 9)]
+    scores = evaluate_chunks(gold, pred, criteria="exact")
+    assert scores["PRGE"] == (1.0, 1.0, 1.0, 2)
+    assert scores["DISO"][:2] == (0.0, 0.0)
+    micro_p, micro_r, _, micro_support = scores["MICRO_AVG"]
+    assert micro_p == pytest.approx(2 / 3)
+    assert micro_r == pytest.approx(2 / 3)
+    assert micro_support == 3
+
+
+def test_evaluate_chunks_left_right():
+    gold = [("DISO", 3, 4)]
+    pred = [("DISO", 3, 5)]
+    assert evaluate_chunks(gold, pred, criteria="left")["DISO"][2] == 1.0
+    assert evaluate_chunks(gold, pred, criteria="right")["DISO"][2] == 0.0
+
+
+def test_evaluate_chunks_invalid_criteria():
+    with pytest.raises(ValueError):
+        evaluate_chunks([], [], criteria="bogus")

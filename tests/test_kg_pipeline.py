@@ -1,0 +1,230 @@
+"""Stage-level and end-to-end tests of the KG pipeline: tagger goldens,
+linker grounding goldens (saber/tests/test_grounding_utils.py:20-152),
+the per-row span-sequence invariant, and the triple P/R >= 0.95 gate on
+the synthetic gold-by-construction corpus (FIXTURES.md F1/F8)."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from saber_ray.constants import NAMESPACES
+from saber_ray.functions.hashing import span_sequence_hash
+from saber_ray.functions.metrics import evaluate_chunks
+from saber_ray.gazetteer import SABER_GROUNDING, build_linker_dict
+from saber_ray.pipelines.kg import KGConfig, annotate, build_graph
+from saber_ray.schemas import DOCUMENTS
+from saber_ray.sources.synthetic import generate_documents
+from saber_ray.stages.linker import EntityLinker, normalize_surface
+from saber_ray.stages.tagger import DictionaryTagger
+from saber_ray.stages.triples import emit_triples, explode_mentions
+
+
+def _doc(doc_id, texts, media=()):
+    spans, offset = [], 0
+    for i, t in enumerate(texts):
+        if i in media:
+            spans.append({"kind": "image", "text": "", "media_ref": f"media://{doc_id}/{i}",
+                          "offset": offset})
+        spans.append({"kind": "text", "text": t, "media_ref": "", "offset": offset})
+        offset += len(t) + 1
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def _table(docs):
+    return pa.Table.from_pylist(docs, schema=DOCUMENTS)
+
+
+def test_tagger_finds_gazetteer_mentions():
+    tagger = DictionaryTagger()
+    batch = _table([_doc("d1", ["Glucose and fructose with p53.", "No entities here."])])
+    out = tagger(batch)
+    ents = out["ents"].to_pylist()[0]
+    got = [(e["text"], e["label"], e["start"], e["end"]) for e in ents]
+    assert got == [("Glucose", "CHED", 0, 7), ("fructose", "CHED", 12, 20),
+                   ("p53", "PRGE", 26, 29)]
+
+
+def test_tagger_multiword_longest_match():
+    tagger = DictionaryTagger()
+    batch = _table([_doc("d1", ["cystic fibrosis and cancer in human subjects."])])
+    ents = tagger(batch)["ents"].to_pylist()[0]
+    got = [(e["text"], e["label"]) for e in ents]
+    assert got == [("cystic fibrosis", "DISO"), ("cancer", "DISO"), ("human", "LIVB")]
+
+
+def test_tagger_token_boundaries():
+    # "humanoid" must not match "human"; "p53" inside "p533" must not match
+    tagger = DictionaryTagger()
+    batch = _table([_doc("d1", ["humanoid p533 glucoses"])])
+    assert tagger(batch)["ents"].to_pylist()[0] == []
+
+
+def test_tagger_sent_idx_and_media_passthrough():
+    tagger = DictionaryTagger()
+    batch = _table([_doc("d1", ["p53 binds MK2. Cancer follows."], media=(0,))])
+    out = tagger(batch)
+    ents = out["ents"].to_pylist()[0]
+    # media span at idx 0 → text span is idx 1
+    assert all(e["span_idx"] == 1 for e in ents)
+    assert [e["sent_idx"] for e in ents] == [0, 0, 1]
+    # spans column byte-identical
+    assert out["spans"].to_pylist() == batch["spans"].to_pylist()
+
+
+def test_span_invariant_hash_stable():
+    doc = _doc("d1", ["p53 and cancer."], media=(0,))
+    kinds = [s["kind"] for s in doc["spans"]]
+    texts = [s["text"] for s in doc["spans"]]
+    refs = [s["media_ref"] for s in doc["spans"]]
+    h1 = span_sequence_hash(kinds, texts, refs)
+    h2 = span_sequence_hash(list(kinds), list(texts), list(refs))
+    assert h1 == h2
+    # order matters
+    assert span_sequence_hash(kinds[::-1], texts[::-1], refs[::-1]) != h1
+
+
+def test_linker_grounding_goldens():
+    """Exact xref parity with saber/tests/test_grounding_utils.py."""
+    tagger = DictionaryTagger()
+    linker = EntityLinker(build_linker_dict(SABER_GROUNDING))
+    batch = _table([
+        _doc("ched", ["glucose and fructose"]),
+        _doc("diso", ["cancer and cystic fibrosis"]),
+        _doc("livb", ["mouse and human"]),
+        _doc("prge", ["p53 and MK2"]),
+    ])
+    out = linker(tagger(batch))
+    by_doc = {d: e for d, e in zip(out["doc_id"].to_pylist(), out["ents"].to_pylist())}
+
+    def xrefs(doc, i):
+        return [(x["namespace"], x["id"], x["organism_id"]) for x in by_doc[doc][i]["xrefs"]]
+
+    assert xrefs("ched", 0) == [(NAMESPACES["CHED"], "CIDs00005793", ""),
+                                (NAMESPACES["CHED"], "CIDs10954115", ""),
+                                (NAMESPACES["CHED"], "CIDs53782692", "")]
+    assert xrefs("ched", 1) == [(NAMESPACES["CHED"], "CIDs00439709", "")]
+    assert xrefs("diso", 0) == [(NAMESPACES["DISO"], "DOID:162", "")]
+    assert xrefs("diso", 1) == [(NAMESPACES["DISO"], "DOID:1485", "")]
+    assert xrefs("livb", 0) == [(NAMESPACES["LIVB"], "10090", ""),
+                                (NAMESPACES["LIVB"], "10088", "")]
+    assert xrefs("livb", 1) == [(NAMESPACES["LIVB"], "9606", "")]
+    assert xrefs("prge", 0) == [(NAMESPACES["PRGE"], "ENSP00000269305", "9606")]
+    assert xrefs("prge", 1) == [(NAMESPACES["PRGE"], "ENSP00000356070", "9606"),
+                                (NAMESPACES["PRGE"], "ENSP00000433109", "9606")]
+
+
+def test_linker_left_outer():
+    # ungrounded surfaces keep xrefs=[] (saber/utils/grounding_utils.py:63-66)
+    tagger = DictionaryTagger()
+    linker = EntityLinker(build_linker_dict(SABER_GROUNDING))
+    out = linker(tagger(_table([_doc("d", ["Rats develop erosive cystitis."])])))
+    ents = out["ents"].to_pylist()[0]
+    assert [e["text"] for e in ents] == ["Rats", "erosive cystitis"]
+    assert all(e["xrefs"] == [] for e in ents)
+    assert ents[0]["entity_id"] == "LIVB:surface:rats"
+
+
+def test_emit_triples_same_sentence():
+    tagger = DictionaryTagger()
+    linker = EntityLinker(build_linker_dict(SABER_GROUNDING))
+    annotated = linker(tagger(_table([
+        _doc("d1", ["p53 causes cancer. Glucose is sweet."]),
+    ])))
+    triples = emit_triples(annotated).to_pylist()
+    assert len(triples) == 1
+    t = triples[0]
+    assert (t["subj_label"], t["pred"], t["obj_label"]) == ("PRGE", "associated_with", "DISO")
+    assert t["subj"].startswith("PRGE:STRING:")
+    assert t["obj"] == "DISO:Disease Ontology:DOID:162"
+    # cross-sentence pairing when same_sentence=False
+    assert len(emit_triples(annotated, same_sentence=False).to_pylist()) == 3
+
+
+def test_explode_mentions_schema():
+    tagger = DictionaryTagger()
+    linker = EntityLinker(build_linker_dict(SABER_GROUNDING))
+    out = explode_mentions(linker(tagger(_table([_doc("d1", ["p53 and MK2"])]))))
+    assert out.num_rows == 2
+    assert out["entity_id"].to_pylist() == [
+        "PRGE:STRING:ENSP00000269305", "PRGE:STRING:ENSP00000356070"]
+
+
+@pytest.fixture(scope="module")
+def synthetic():
+    return generate_documents(200, seed=42)
+
+
+def test_e2e_mention_recall_and_invariant(synthetic):
+    table, gold_mentions, gold_pairs = synthetic
+    ds = rd.from_arrow(table)
+    out = build_graph(ds, KGConfig(batch_size=64))
+
+    annotated = out["annotated"].take_all()
+    # per-row span-sequence invariant vs the generator's input
+    orig = {r["doc_id"]: r["spans"] for r in table.to_pylist()}
+    for row in annotated:
+        spans = row["spans"]
+        assert [
+            (s["kind"], s["text"], s["media_ref"]) for s in spans
+        ] == [(s["kind"], s["text"], s["media_ref"]) for s in orig[row["doc_id"]]]
+
+    # mention-level P/R vs gold-by-construction (chunk := (label|doc|span, start, end))
+    mentions = out["mentions"].take_all()
+    pred = [(f"{m['label']}|{m['doc_id']}|{m['span_idx']}", m["start"], m["end"])
+            for m in mentions]
+    gold = [(f"{m['label']}|{m['doc_id']}|{m['span_idx']}", m["start"], m["end"])
+            for m in gold_mentions]
+    scores = evaluate_chunks(gold, pred, criteria="exact")
+    _, recall, _, _ = scores["MICRO_AVG"]
+    precision = scores["MICRO_AVG"][0]
+    assert recall >= 0.95
+    assert precision >= 0.95
+
+
+def test_e2e_triple_pr_gate(synthetic):
+    """Triple-level P/R >= 0.95 vs reference-derived gold pairs."""
+    table, _, gold_pairs = synthetic
+    from saber_ray.gazetteer import SABER_GROUNDING, SABER_SURFACES
+    from saber_ray.stages.linker import entity_id_for
+    from saber_ray.stages.triples import predicate_for
+    from saber_ray.constants import NAMESPACES as NS
+
+    def eid(surface, label):
+        refs = SABER_GROUNDING.get((surface, label), [])
+        xrefs = [{"namespace": NS[label], "id": r[0], "organism_id": r[1]} for r in refs]
+        return entity_id_for(label, surface, xrefs)
+
+    gold = set()
+    for doc_id, s_surf, s_lab, o_surf, o_lab, _ in gold_pairs:
+        subj, obj = eid(s_surf, s_lab), eid(o_surf, o_lab)
+        if subj == obj:
+            continue
+        gold.add((doc_id, subj, predicate_for(s_lab, o_lab), obj))
+
+    out = build_graph(rd.from_arrow(table), KGConfig(batch_size=64))
+    pred = {(t["doc_id"], t["subj"], t["pred"], t["obj"])
+            for t in out["triples"].take_all()}
+
+    tp = len(gold & pred)
+    precision = tp / len(pred) if pred else 0.0
+    recall = tp / len(gold) if gold else 0.0
+    assert precision >= 0.95, f"triple precision {precision:.3f}"
+    assert recall >= 0.95, f"triple recall {recall:.3f}"
+
+
+def test_e2e_nodes_edges(synthetic):
+    table, gold_mentions, _ = synthetic
+    out = build_graph(rd.from_arrow(table), KGConfig(batch_size=64, num_salts=4))
+    nodes = {n["node_id"]: n for n in out["nodes"].take_all()}
+    # support totals must equal total mention count (canonicalization loses nothing)
+    assert sum(n["support"] for n in nodes.values()) == out["mentions"].count()
+    # hot key p53 canonicalizes to a single grounded node
+    p53 = nodes["PRGE:STRING:ENSP00000269305"]
+    assert p53["canonical_name"] == "p53"
+    assert p53["xref_id"] == "ENSP00000269305"
+    assert "p53" in p53["surface_forms"]
+    # edges aggregate triples with support
+    edges = out["edges"].take_all()
+    assert sum(e["support"] for e in edges) == int(
+        sum(t["score"] for t in out["triples"].take_all()))
+    assert all(len(e["doc_ids"]) <= 10 for e in edges)

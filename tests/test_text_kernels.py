@@ -1,0 +1,82 @@
+"""Golden tests for the pure text kernels, mirroring the reference's
+deterministic fixtures (saber/tests/test_text_utils.py,
+saber/tests/test_preprocessor.py)."""
+
+from saber_ray.functions.text import (
+    split_sentences,
+    sterilize,
+    tokenize,
+    tokenize_with_offsets,
+)
+
+
+def test_tokenizer_blank():
+    assert tokenize("") == []
+
+
+def test_tokenizer_simple():
+    assert tokenize("This is an easy test.") == ["This", "is", "an", "easy", "test", "."]
+
+
+def test_tokenizer_complicated():
+    # saber/tests/test_text_utils.py:27-31
+    text = "This test's tokenizers handeling of very-tricky situations, 3X, more/or/less."
+    expected = ["This", "test", "'", "s", "tokenizers", "handeling", "of",
+                "very", "-", "tricky", "situations", ",", "3X", ",", "more", "/", "or",
+                "/", "less", "."]
+    assert tokenize(text) == expected
+
+
+def test_tokenizer_training_data_sentences():
+    # saber/tests/test_text_utils.py:34-62 — real training-data sentences
+    cases = {
+        ("The results have shown that the degradation product p-choloroaniline is not "
+         "a significant factor in chlorhexidine-digluconate associated erosive "
+         "cystitis."): [
+            'The', 'results', 'have', 'shown', 'that', 'the', 'degradation',
+            'product', 'p', '-', 'choloroaniline', 'is', 'not', 'a', 'significant',
+            'factor', 'in', 'chlorhexidine', '-', 'digluconate', 'associated',
+            'erosive', 'cystitis', '.'],
+        ("Rats were treated with seven day intravenous infusion of fucoidan "
+         "(30 micrograms h-1) or vehicle."): [
+            'Rats', 'were', 'treated', 'with', 'seven', 'day', 'intravenous',
+            'infusion', 'of', 'fucoidan', '(', '30', 'micrograms', 'h', '-', '1',
+            ')', 'or', 'vehicle', '.'],
+        ("Methanoregula formicica sp. nov., a methane-producing archaeon isolated from "
+         "methanogenic sludge."): [
+            'Methanoregula', 'formicica', 'sp', '.', 'nov', '.', ',', 'a',
+            'methane', '-', 'producing', 'archaeon', 'isolated', 'from',
+            'methanogenic', 'sludge', '.'],
+        ("Here we report the cloning, expression, and biochemical characterization of "
+         "the 32-kDa subunit of human (h) TFIID, termed hTAFII32."): [
+            'Here', 'we', 'report', 'the', 'cloning', ',', 'expression', ',',
+            'and', 'biochemical', 'characterization', 'of', 'the', '32', '-',
+            'kDa', 'subunit', 'of', 'human', '(', 'h', ')', 'TFIID', ',', 'termed',
+            'hTAFII32', '.'],
+    }
+    for text, expected in cases.items():
+        assert tokenize(text) == expected
+
+
+def test_sentence_split_offsets():
+    # saber/tests/test_preprocessor.py:23-36
+    toks = tokenize_with_offsets("Simple example. With two sentences!")
+    sents, offsets = split_sentences(toks)
+    assert sents == [["Simple", "example", "."], ["With", "two", "sentences", "!"]]
+    assert offsets == [
+        [(0, 6), (7, 14), (14, 15)],
+        [(16, 20), (21, 24), (25, 34), (34, 35)],
+    ]
+
+
+def test_sentence_split_blank():
+    assert split_sentences(tokenize_with_offsets("")) == ([], [])
+
+
+def test_sterilize():
+    # saber/tests/test_preprocessor.py:102-117
+    assert sterilize(" This is an easy test. ") == "This is an easy test."
+    assert sterilize("This  is a test   with improper  spacing. ") == \
+        "This is a test with improper spacing."
+    assert sterilize("") == ""
+    assert sterilize(" MiXeD Case ", lower=True) == "mixed case"
