@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in saber_ray) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator family
+(SURVEY.md §2 + the training-data extensions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one. Column names match
+between both sides (the driver hash-compares values after sorting columns
+by name).
 """
 
 from __future__ import annotations
@@ -18,27 +15,422 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+TOKENS_SQL = "regexp_extract_all(lower(text), '[0-9a-z]+')"
+
+
+# --------------------------------------------------------------- entry ---
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline on sf0.001: documents → tagger → linker →
+    triples → salted canonicalization → edges."""
+    from saber_ray.pipelines.demo import demo_edges
+
+    return demo_edges("/root/testdata/sf0.001")
+
+
+# ------------------------------------------------------------- queries ---
+
+
+def _q_sterilize(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import sterilize_batch
+
+    ds = read_documents_flat(sf_dir)
+    return ds.map_batches(
+        lambda b: sterilize_batch(b).select(["doc_id", "clean"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_token_count(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import token_count_batch
+
+    ds = read_documents_flat(sf_dir)
+    return ds.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_token_frequency(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import token_frequency
+
+    return token_frequency(read_documents_flat(sf_dir))
+
+
+def _q_vocab(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import build_vocab
+
+    vocab = build_vocab(read_documents_flat(sf_dir))
+    return pa.table(
+        {
+            "token": list(vocab.keys()),
+            "id": pa.array(list(vocab.values()), type=pa.int64()),
+        }
+    )
+
+
+def _q_doc_stats(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import doc_stats_batch
+
+    ds = read_documents_flat(sf_dir)
+    cols = ["doc_id", "n_chars", "n_tokens", "n_distinct", "n_stopwords",
+            "stopword_ratio", "mean_token_len"]
+    return ds.map_batches(
+        lambda b: doc_stats_batch(b).select(cols), batch_format="pyarrow"
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import fingerprint_batch
+
+    ds = read_documents_flat(sf_dir)
+    return ds.map_batches(
+        lambda b: fingerprint_batch(b).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_lang_id(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import lang_id_batch
+
+    ds = read_documents_flat(sf_dir)
+    return ds.map_batches(
+        lambda b: lang_id_batch(b).select(["doc_id", "lang_pred"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_dedup_exact(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.dedup import dedup_exact
+
+    return dedup_exact(read_documents_flat(sf_dir))
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(read_documents_flat(sf_dir))
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(read_documents_flat(sf_dir))
+
+
+def _q_embedding_dups(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(read_table(sf_dir, "embeddings"), threshold=0.5)
+
+
+def _q_knn(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.similarity import knn_topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in ds.filter(expr="vec_id < 5").take_all()),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    return knn_topk(ds, queries, [r["vec_id"] for r in qrows], k=10)
+
+
+def _q_events_window(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import tumbling_window_agg
+
+    return tumbling_window_agg(read_table(sf_dir, "events"))
+
+
+def _q_tpch_q1(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import lineitem_pricing_summary
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
+    return lineitem_pricing_summary(read_table(sf_dir, "lineitem", columns=cols))
+
+
+def _q_tpch_q3(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import top_revenue_orders
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    lineitem = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    return top_revenue_orders(orders, lineitem, customer, segment="BUILDING", k=10)
+
+
+def _q_kg_mentions(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_mentions
+
+    return demo_mentions(sf_dir)
+
+
+def _q_kg_mention_counts(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_mention_counts
+
+    return demo_mention_counts(sf_dir)
+
+
+def _q_kg_triples(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_triples
+
+    return demo_triples(sf_dir)
+
+
+def _q_kg_nodes(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_nodes
+
+    return demo_nodes(sf_dir)
+
+
+def _q_kg_edges(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_edges
+
+    return demo_edges(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "sterilize": _q_sterilize,
+        "token_count": _q_token_count,
+        "token_frequency": _q_token_frequency,
+        "vocab": _q_vocab,
+        "doc_stats": _q_doc_stats,
+        "fingerprint": _q_fingerprint,
+        "lang_id": _q_lang_id,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "embedding_dup_pairs": _q_embedding_dups,
+        "knn_search": _q_knn,
+        "events_window": _q_events_window,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "kg_mentions": _q_kg_mentions,
+        "kg_mention_counts": _q_kg_mention_counts,
+        "kg_triples": _q_kg_triples,
+        "kg_nodes": _q_kg_nodes,
+        "kg_edges": _q_kg_edges,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------- oracle SQL ---
+
+
+def _gaz_cte() -> str:
+    from saber_ray.gazetteer import DEMO_GAZETTEER
+
+    rows = ", ".join(f"('{s}', '{l}')" for s, l in sorted(DEMO_GAZETTEER.items()))
+    return f"gaz(tok, label) AS (SELECT * FROM (VALUES {rows}) v(tok, label))"
+
+
+def _ns_cte() -> str:
+    from saber_ray.constants import NAMESPACES
+
+    rows = ", ".join(f"('{l}', '{n}')" for l, n in sorted(NAMESPACES.items()))
+    return f"ns(label, namespace) AS (SELECT * FROM (VALUES {rows}) v(label, namespace))"
+
+
+def _pred_case(a: str = "a.label", b: str = "b.label") -> str:
+    from saber_ray.constants import COOCCURS, RELATION_PREDICATES
+
+    whens = "\n        ".join(
+        f"WHEN {a} = '{sl}' AND {b} = '{ol}' THEN '{p}'"
+        for (sl, ol), p in sorted(RELATION_PREDICATES.items())
+    )
+    return f"CASE {whens} ELSE '{COOCCURS}' END"
+
+
+_MENT_CTE = f"""
+    occ AS (
+        SELECT doc_id,
+               unnest({TOKENS_SQL}) AS tok,
+               generate_subscripts({TOKENS_SQL}, 1) AS ord
+        FROM documents
+    ),
+    ment AS (
+        SELECT o.doc_id, o.ord, g.label, g.tok,
+               g.label || ':' || n.namespace || ':DEMO:' || upper(g.tok) AS eid
+        FROM occ o
+        JOIN gaz g ON o.tok = g.tok
+        JOIN ns n ON g.label = n.label
+    )
+"""
+
+_TRIPLES_CTE = f"""
+    WITH {{gaz}}, {{ns}}, {_MENT_CTE.strip()},
+    trip AS (
+        SELECT a.doc_id, a.eid AS subj, {{pred}} AS pred, b.eid AS obj,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ment a
+        JOIN ment b ON a.doc_id = b.doc_id AND a.ord < b.ord AND a.eid <> b.eid
+        GROUP BY 1, 2, 3, 4
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from saber_ray.stages.textstats import EN_STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))
+    gaz, ns, pred = _gaz_cte(), _ns_cte(), _pred_case()
+    triples_cte = _TRIPLES_CTE.format(gaz=gaz, ns=ns, pred=pred)
+
+    return {
+        "sterilize": """
+            SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS clean
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[0-9a-zA-Z]+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "token_frequency": f"""
+            SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest({TOKENS_SQL}) AS tok FROM documents)
+            GROUP BY tok
+        """,
+        "vocab": f"""
+            SELECT '<PAD>' AS token, CAST(0 AS BIGINT) AS id
+            UNION ALL
+            SELECT '<UNK>', 1
+            UNION ALL
+            SELECT token, row_number() OVER (ORDER BY token) + 1 AS id
+            FROM (SELECT DISTINCT unnest({TOKENS_SQL}) AS token FROM documents)
+        """,
+        "doc_stats": f"""
+            WITH t AS (SELECT doc_id, text, {TOKENS_SQL} AS toks FROM documents)
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                   CAST(len(list_filter(toks, x -> list_contains([{stop_list}], x))) AS BIGINT)
+                       AS n_stopwords,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(len(list_filter(toks, x -> list_contains([{stop_list}], x))) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE)
+                        ELSE 0.0 END AS stopword_ratio,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE)
+                        ELSE 0.0 END AS mean_token_len
+            FROM t
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, md5(array_to_string({TOKENS_SQL}, ' ')) AS fingerprint
+            FROM documents
+        """,
+        "dedup_exact": f"""
+            SELECT md5(array_to_string({TOKENS_SQL}, ' ')) AS fingerprint,
+                   min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY 1
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
+        """,
+        "knn_search": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < 5),
+            sims AS (
+                SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.e::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+                FROM q, embeddings c
+                WHERE c.vec_id <> q.qid
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "events_window": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n, max(value) AS max_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            GROUP BY 1, 2
+        """,
+        "tpch_q3": """
+            WITH rev AS (
+                SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+                FROM lineitem GROUP BY 1
+            )
+            SELECT o.o_orderkey, o.o_orderdate, round(r.revenue, 2) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+            JOIN rev r ON r.l_orderkey = o.o_orderkey
+            ORDER BY round(r.revenue, 2) DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "kg_mentions": f"""
+            WITH {gaz},
+            toks AS (SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents)
+            SELECT t.doc_id, t.tok AS mention, g.label
+            FROM toks t JOIN gaz g ON t.tok = g.tok
+        """,
+        "kg_mention_counts": f"""
+            WITH {gaz},
+            toks AS (SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents)
+            SELECT g.label, t.tok AS mention, CAST(count(*) AS BIGINT) AS n
+            FROM toks t JOIN gaz g ON t.tok = g.tok
+            GROUP BY 1, 2
+        """,
+        "kg_triples": f"""
+            {triples_cte}
+            SELECT doc_id, subj, pred, obj, n FROM trip
+        """,
+        "kg_nodes": f"""
+            WITH {gaz}, {ns}, {_MENT_CTE.strip()}
+            SELECT eid AS node_id, label, tok AS canonical_name,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM ment
+            GROUP BY 1, 2, 3
+        """,
+        "kg_edges": f"""
+            {triples_cte}
+            SELECT subj AS src, pred, obj AS dst, CAST(sum(n) AS BIGINT) AS support
+            FROM trip
+            GROUP BY 1, 2, 3
+        """,
+    }

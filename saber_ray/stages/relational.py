@@ -1,0 +1,155 @@
+"""General relational operators the engine exposes beyond the KG path:
+grouped aggregates, windowed event aggregation, hash joins and top-k.
+
+These exist to prove the engine's Dataset surface covers the standard
+wide operations (groupby/aggregate/sort/limit/join) with the same
+scale discipline as the KG stages: aggregate partials are combined
+per-batch before any shuffle; small join sides are broadcast via
+``ray.put`` instead of shuffled.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+def tumbling_window_agg(
+    events: rd.Dataset,
+    window: str = "hour",
+    key: str = "event_type",
+    ts_column: str = "ts",
+    value_column: str = "value",
+) -> rd.Dataset:
+    """Tumbling-window aggregate over an event stream:
+    (key, window_start) → n events, max value.
+
+    Window assignment is a vectorized Arrow ``floor_temporal`` inside
+    ``map_batches`` — the shuffle key is (key, window_start), so windows
+    never require event-time ordering (no watermarks needed: tumbling
+    windows over a bounded Dataset are a pure groupby).
+    """
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ws = pc.floor_temporal(batch[ts_column], unit=window)
+        return batch.select([key, value_column]).append_column("window_start", ws)
+
+    assigned = events.map_batches(assign, batch_format="pyarrow")
+    agg = assigned.groupby([key, "window_start"]).aggregate(
+        rd.aggregate.Count(alias_name="n"),
+        rd.aggregate.Max(value_column, alias_name="max_value"),
+    )
+    return agg
+
+
+def lineitem_pricing_summary(lineitem: rd.Dataset) -> rd.Dataset:
+    """TPC-H Q1-shaped pricing summary over lineitem.
+
+    Partial per-batch aggregation (vectorized Arrow groupby inside
+    map_batches) → tiny final groupby over (#batches × #flag-status)
+    partial rows. Sums are rounded to 2 decimals at the end.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = batch.select(["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+        t = t.append_column("disc_price", disc_price)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+
+    partials = lineitem.map_batches(partial, batch_format="pyarrow")
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        rd.aggregate.Sum("l_quantity_sum", alias_name="sum_qty"),
+        rd.aggregate.Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+        rd.aggregate.Sum("disc_price_sum", alias_name="sum_disc_price"),
+        rd.aggregate.Sum("l_quantity_count", alias_name="count_order"),
+    )
+
+    def round2(batch: pa.Table) -> pa.Table:
+        for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            idx = batch.column_names.index(col)
+            batch = batch.set_column(idx, col, pc.round(batch[col], 2))
+        return batch
+
+    return final.map_batches(round2, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+def broadcast_join(
+    large: rd.Dataset,
+    small_table: pa.Table,
+    left_on: str,
+    right_on: str,
+    select_small: list[str] | None = None,
+) -> rd.Dataset:
+    """Broadcast-small-side hash join: the small table is ``ray.put``
+    once and joined against inside every map task (never shuffled).
+    """
+    if select_small:
+        small_table = small_table.select(list(dict.fromkeys([right_on] + select_small)))
+    small_ref = ray.put(small_table)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        small = ray.get(small_ref)
+        left_df = batch.to_pandas()
+        right_df = small.to_pandas()
+        out = left_df.merge(right_df, left_on=left_on, right_on=right_on, how="inner")
+        if right_on != left_on and right_on in out.columns:
+            out = out.drop(columns=[right_on])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return large.map_batches(join_batch, batch_format="pyarrow")
+
+
+def top_revenue_orders(
+    orders: rd.Dataset, lineitem: rd.Dataset, customer_small: pa.Table,
+    segment: str = "BUILDING", k: int = 10,
+) -> rd.Dataset:
+    """TPC-H Q3-shaped: revenue per order for one customer segment, top-k.
+
+    customer (small) is broadcast; lineitem revenue is pre-aggregated
+    per order BEFORE joining (shrinks the shuffle); orders⨝revenue uses
+    the hash ``Dataset.join``; final top-k = sort + limit on the small
+    aggregate.
+    """
+    cust = customer_small.filter(
+        pc.equal(customer_small["c_mktsegment"], segment)
+    ).select(["c_custkey"])
+    seg_orders = broadcast_join(orders, cust, "o_custkey", "c_custkey")
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")])
+
+    revenue = (
+        lineitem.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .sum("rev_sum")
+        .rename_columns({"sum(rev_sum)": "revenue"})
+    )
+    joined = seg_orders.select_columns(["o_orderkey", "o_orderdate"]).join(
+        revenue, join_type="inner", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def round2(batch: pa.Table) -> pa.Table:
+        idx = batch.column_names.index("revenue")
+        return batch.set_column(idx, "revenue", pc.round(batch["revenue"], 2))
+
+    return (
+        joined.map_batches(round2, batch_format="pyarrow")
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )

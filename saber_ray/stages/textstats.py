@@ -1,0 +1,161 @@
+"""Text-analysis operators over flat document tables: token counting,
+global token frequency, vocabulary build, document statistics / quality
+scoring, md5 fingerprinting and language identification.
+
+These are the training-data-pipeline extensions the engine adds on top of
+the reference's NER capabilities (the reference's closest analogues are
+its token ``Counter`` — saber/preprocessor.py:246-249 — and vocab build —
+saber/preprocessor.py:101-137 — which ``token_frequency`` / ``vocab``
+generalize into distributed aggregates).
+
+Scale notes:
+* token counting is a vectorized Arrow kernel (``count_substring_regex``)
+  — no Python row loop;
+* global frequency pre-aggregates per batch (one partial row per distinct
+  token per batch) before the ``groupby().sum()`` shuffle, so hot tokens
+  ship one row per batch, not one per occurrence;
+* everything streams — nothing materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..constants import PAD, UNK
+
+TOKEN_PATTERN = r"[0-9a-zA-Z]+"
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+# Tiny multilingual stopword profiles for the language-ID heuristic.
+STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "por"},
+    "de": {"der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "une", "que"},
+}
+_CJK = re.compile(r"[一-鿿]")
+EN_STOPWORDS = STOPWORDS["en"]
+
+
+# ------------------------------------------------------------- kernels ---
+
+
+def sterilize_batch(batch: pa.Table, column: str = "text", out: str = "clean") -> pa.Table:
+    """Vectorized sterilize (M1): trim + collapse whitespace runs."""
+    clean = pc.replace_substring_regex(
+        pc.utf8_trim_whitespace(batch[column]), r"\s+", " "
+    )
+    return batch.append_column(out, clean)
+
+
+def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append ``n_tokens`` — vectorized regex count, no row loop."""
+    n = pc.count_substring_regex(batch[column], TOKEN_PATTERN)
+    return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+
+def token_frequency_partial(batch: pa.Table, column: str = "text") -> pa.Table:
+    """One (token, n) partial row per distinct token in the batch."""
+    counter: Counter[str] = Counter()
+    for text in batch[column].to_pylist():
+        if text:
+            counter.update(_TOKEN_RE.findall(text.lower()))
+    toks = sorted(counter)
+    return pa.table(
+        {
+            "token": pa.array(toks, type=pa.string()),
+            "n": pa.array([counter[t] for t in toks], type=pa.int64()),
+        }
+    )
+
+
+def doc_stats_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Per-doc quality statistics: chars, tokens, distinct tokens,
+    stopword count + ratio, mean token length."""
+    texts = batch[column].to_pylist()
+    n_tokens, n_distinct, n_stop, tok_chars = [], [], [], []
+    for text in texts:
+        toks = _TOKEN_RE.findall(text.lower()) if text else []
+        n_tokens.append(len(toks))
+        n_distinct.append(len(set(toks)))
+        n_stop.append(sum(1 for t in toks if t in EN_STOPWORDS))
+        tok_chars.append(sum(len(t) for t in toks))
+    out = batch.append_column("n_chars", pc.cast(pc.utf8_length(batch[column]), pa.int64()))
+    out = out.append_column("n_tokens", pa.array(n_tokens, type=pa.int64()))
+    out = out.append_column("n_distinct", pa.array(n_distinct, type=pa.int64()))
+    out = out.append_column("n_stopwords", pa.array(n_stop, type=pa.int64()))
+    ratio = [s / n if n else 0.0 for s, n in zip(n_stop, n_tokens)]
+    mean_len = [c / n if n else 0.0 for c, n in zip(tok_chars, n_tokens)]
+    out = out.append_column("stopword_ratio", pa.array(ratio, type=pa.float64()))
+    out = out.append_column("mean_token_len", pa.array(mean_len, type=pa.float64()))
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append ``fingerprint`` — md5 hex of the normalized token sequence.
+
+    md5 (not blake2b) so a DuckDB oracle can reproduce it exactly:
+    ``md5(array_to_string(regexp_extract_all(lower(text),'[0-9a-z]+'),' '))``.
+    """
+    fps = []
+    for text in batch[column].to_pylist():
+        toks = _TOKEN_RE.findall(text.lower()) if text else []
+        fps.append(hashlib.md5(" ".join(toks).encode("utf-8")).hexdigest())
+    return batch.append_column("fingerprint", pa.array(fps, type=pa.string()))
+
+
+def lang_id_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append ``lang_pred`` — stopword-profile + CJK heuristic language ID."""
+    preds = []
+    for text in batch[column].to_pylist():
+        if not text:
+            preds.append("und")
+            continue
+        if _CJK.search(text):
+            preds.append("zh")
+            continue
+        toks = _TOKEN_RE.findall(text.lower())
+        best, best_score = "und", 0
+        for lang, stops in STOPWORDS.items():
+            score = sum(1 for t in toks if t in stops)
+            if score > best_score:
+                best, best_score = lang, score
+        preds.append(best)
+    return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+
+
+# ---------------------------------------------------------- aggregates ---
+
+
+def token_frequency(ds: rd.Dataset, column: str = "text") -> rd.Dataset:
+    """Global token frequency (A1): partial per-batch counts → one shuffle."""
+    partials = ds.map_batches(
+        lambda b: token_frequency_partial(b, column), batch_format="pyarrow"
+    )
+    agg = partials.groupby("token").sum("n")
+    return agg.rename_columns({"sum(n)": "n"})
+
+
+def rare_tokens(ds: rd.Dataset, column: str = "text", max_count: int = 1) -> rd.Dataset:
+    """Tokens occurring <= max_count times (M6: rare-token replacement set)."""
+    freq = token_frequency(ds, column)
+    return freq.filter(expr=f"n <= {max_count}")
+
+
+def build_vocab(ds: rd.Dataset, column: str = "text") -> dict[str, int]:
+    """Distinct-token vocabulary with consecutive ids, reserved specials
+    first (M11: reference saber/preprocessor.py:101-137 semantics —
+    <PAD>=0, <UNK>=1, then tokens). Driver-side dict, intended for
+    ``ray.put`` broadcast into tagger actors."""
+    tokens = sorted(t["token"] for t in token_frequency(ds, column).take_all())
+    vocab = {PAD: 0, UNK: 1}
+    for tok in tokens:
+        vocab[tok] = len(vocab)
+    return vocab
