@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Benchmark harness for the saber_ray engine.
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) plus the synthetic interleaved KG corpus,
+and prints ONE JSON line::
+
+    {"metric": "suite_seconds", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "synthetic_docs": N, "triples_per_sec": N, ...}
+
+``--scaling``: runs the synthetic KG pipeline in two FRESH processes at
+num_cpus=8 and num_cpus=32 on identical input and reports throughput at
+both plus scaling efficiency (the sandbox evidence for the north rule's
+N→4N two-cluster criterion); also refreshes the marked block in
+BASELINE.md.
+
+Owns its Ray session (scripts do; the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SYNTH_DOCS = int(os.environ.get("GRAFT_SYNTH_DOCS", "60000"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def run_synthetic_kg(num_docs: int) -> dict:
+    """Headline pipeline: synthetic interleaved docs → tagger → linker →
+    triples → salted canonicalization → edges. Returns counts + wall."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from saber_ray.pipelines.kg import KGConfig, build_graph
+    from saber_ray.sources.synthetic import synthetic_dataset
+    from saber_ray.stages.canonicalize import canonicalize_edges
+
+    t0 = time.perf_counter()
+    docs = synthetic_dataset(num_docs, seed=42)
+    out = build_graph(docs, KGConfig(batch_size=512))
+    # stage triples to storage (one streaming pass through tagger/linker),
+    # then aggregate edges from the staged table — the resumable layout;
+    # nothing upstream executes twice.
+    tmp = tempfile.mkdtemp(prefix="bench_triples_")
+    try:
+        out["triples"].write_parquet(tmp)
+        staged = rd.read_parquet(tmp)
+        n_triples = staged.count()
+        n_edges = canonicalize_edges(staged).count()
+        wall = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "docs": num_docs,
+        "triples": n_triples,
+        "edges": n_edges,
+        "sec": wall,
+        "triples_per_sec": n_triples / wall if wall else 0.0,
+        "docs_per_sec": num_docs / wall if wall else 0.0,
+    }
+
+
+def _consume(ds) -> int:
+    import ray.data as rd
+
+    if isinstance(ds, rd.Dataset):
+        return ds.count()
+    return len(ds)
+
+
+def run_suite(sf_dir: str) -> dict[str, float]:
+    """Per-query wall seconds over the driver testdata."""
+    import __ray_entry__ as entrymod
+
+    picks = [
+        "kg_edges", "kg_triples", "token_frequency", "doc_stats",
+        "dedup_exact", "dedup_minhash_pairs", "knn_search",
+        "events_window", "tpch_q1", "tpch_q3",
+    ]
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        _consume(qs[name](sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_bench() -> None:
+    _init_ray(NUM_CPUS)
+    t0 = time.perf_counter()
+    queries = run_suite(SF_DIR)
+    kg = run_synthetic_kg(SYNTH_DOCS)
+    queries["synthetic_kg"] = round(kg["sec"], 3)
+    total = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "synthetic_docs": kg["docs"],
+                "synthetic_triples": kg["triples"],
+                "triples_per_sec": round(kg["triples_per_sec"], 1),
+                "docs_per_sec": round(kg["docs_per_sec"], 1),
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+def scaling_worker(num_cpus: int, num_docs: int) -> None:
+    _init_ray(num_cpus)
+    kg = run_synthetic_kg(num_docs)
+    print("SCALING_RESULT " + json.dumps(kg))
+    import ray
+
+    ray.shutdown()
+
+
+def main_scaling(num_docs: int, low: int = 8, high: int = 32) -> None:
+    """Same job, same input, fresh processes at two parallelism levels."""
+    results = {}
+    for cpus in (low, high):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker",
+             str(cpus), str(num_docs)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("SCALING_RESULT ")]
+        if not line:
+            print(proc.stdout[-2000:], proc.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"scaling worker at {cpus} cpus produced no result")
+        results[cpus] = json.loads(line[-1][len("SCALING_RESULT "):])
+    tp_low = results[low]["triples_per_sec"]
+    tp_high = results[high]["triples_per_sec"]
+    efficiency = (tp_high / tp_low) / (high / low) if tp_low else 0.0
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "num_docs": num_docs,
+        "low_cpus": low,
+        "high_cpus": high,
+        "low_triples_per_sec": round(tp_low, 1),
+        "high_triples_per_sec": round(tp_high, 1),
+        "low_sec": round(results[low]["sec"], 3),
+        "high_sec": round(results[high]["sec"], 3),
+        "triples": results[high]["triples"],
+    }
+    print(json.dumps(summary))
+    _record_baseline(summary)
+
+
+def _record_baseline(summary: dict) -> None:
+    """Refresh the marked measured-scaling block in BASELINE.md."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    begin, end = "<!-- BENCH:scaling:begin -->", "<!-- BENCH:scaling:end -->"
+    block = f"""{begin}
+## Measured engine scaling (this sandbox)
+
+Same synthetic KG job ({summary['num_docs']} interleaved docs, seed 42,
+tagger → linker → triples → salted canonicalization → edges), fresh
+processes:
+
+| num_cpus | wall (s) | triples/s |
+|---|---|---|
+| {summary['low_cpus']} | {summary['low_sec']} | {summary['low_triples_per_sec']} |
+| {summary['high_cpus']} | {summary['high_sec']} | {summary['high_triples_per_sec']} |
+
+Scaling efficiency ({summary['low_cpus']}→{summary['high_cpus']} cpus):
+**{summary['value']}** (target ≥ 0.8). Triples emitted: {summary['triples']}.
+{end}"""
+    with open(path) as f:
+        text = f.read()
+    if begin in text:
+        text = re.sub(re.escape(begin) + ".*?" + re.escape(end), block, text, flags=re.S)
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scaling", action="store_true")
+    parser.add_argument("--scaling-worker", nargs=2, metavar=("CPUS", "DOCS"))
+    parser.add_argument("--docs", type=int, default=None)
+    args = parser.parse_args()
+    if args.scaling_worker:
+        scaling_worker(int(args.scaling_worker[0]), int(args.scaling_worker[1]))
+    elif args.scaling:
+        # scaling needs a corpus large enough that per-stage fixed
+        # overheads (actor spin-up, shuffle setup) are <10% of wall
+        main_scaling(args.docs or int(os.environ.get("GRAFT_SCALING_DOCS", "2000000")))
+    else:
+        main_bench()

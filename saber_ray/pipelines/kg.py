@@ -22,9 +22,8 @@ import ray
 import ray.data as rd
 
 from ..gazetteer import SABER_GROUNDING, SABER_SURFACES, build_linker_dict
+from ..stages.annotate import Annotator
 from ..stages.canonicalize import canonicalize_edges, canonicalize_nodes
-from ..stages.linker import EntityLinker
-from ..stages.tagger import DictionaryTagger
 from ..stages.triples import emit_triples, explode_mentions
 
 
@@ -36,32 +35,48 @@ class KGConfig:
     )
     same_sentence: bool = True     # triple co-occurrence scope
     num_salts: int = 16            # canonicalization salt fan-out
-    tagger_concurrency: Any = None  # None → stateless-task semantics via pool of 1..N
+    tagger_concurrency: Any = None  # None → autoscale pool sized to cluster CPUs
     linker_concurrency: Any = None
     batch_size: int | None = 256   # mirrors the reference's PRED_BATCH_SIZE
+
+
+def _default_pool() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster, so the same
+    pipeline saturates 8 or 256 CPUs without config changes.
+
+    Capped at 3/4 of cluster CPUs — the annotate pool must leave slots
+    for the downstream stateless task operators (triple emission,
+    writes) or the streaming pipeline stalls; min is half the cap so the
+    pool is warm before the first blocks land instead of ramping from 1.
+    """
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    hi = max(2, (cpus * 3) // 4)
+    return (max(1, hi // 2), hi)
 
 
 def annotate(documents: rd.Dataset, config: KGConfig | None = None) -> rd.Dataset:
     """documents → annotated documents (adds ``ents`` + ``span_hash``).
 
-    Tagger and linker run as actor pools so gazetteer compilation and the
-    broadcast grounding dictionary load once per actor, not per batch.
+    One fused actor-pool stage (``Annotator`` = tagger + linker in a
+    single pass over the batch, columnar output) — gazetteer compilation
+    and the broadcast grounding dictionary load once per actor, not per
+    batch. ``DictionaryTagger`` / ``EntityLinker`` remain available as
+    separate stages; unit tests assert the fusion is semantics-preserving.
     """
     config = config or KGConfig()
     linker_ref = ray.put(build_linker_dict(config.grounding))
-    tagged = documents.map_batches(
-        DictionaryTagger,
-        fn_constructor_kwargs={"surfaces": config.surfaces},
+    return documents.map_batches(
+        Annotator,
+        fn_constructor_kwargs={
+            "surfaces": config.surfaces,
+            "linker_ref": linker_ref,
+        },
         batch_format="pyarrow",
         batch_size=config.batch_size,
-        concurrency=config.tagger_concurrency or (1, 8),
-    )
-    return tagged.map_batches(
-        EntityLinker,
-        fn_constructor_kwargs={"linker_ref": linker_ref},
-        batch_format="pyarrow",
-        batch_size=config.batch_size,
-        concurrency=config.linker_concurrency or (1, 4),
+        concurrency=config.tagger_concurrency or _default_pool(),
     )
 
 

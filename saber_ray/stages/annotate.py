@@ -1,0 +1,165 @@
+"""Fused annotation stage: dictionary tagging + entity linking in ONE
+actor-pool ``map_batches`` pass with columnar (flat-array) Arrow output.
+
+Semantically identical to ``DictionaryTagger`` followed by
+``EntityLinker`` (both kept for unit-level parity tests); this fusion
+exists for the hot path:
+
+* one decode of the ``spans`` column per batch (via ListArray
+  offsets + flattened struct fields, not ``to_pylist`` of nested rows);
+* mentions accumulate into flat Python lists and become Arrow arrays in
+  a single ``StructArray``/``ListArray`` construction — no per-mention
+  dicts, no intermediate ungrounded ``ents`` column;
+* grounding is a dict lookup in the same loop (broadcast dictionary
+  fetched once per actor in ``__init__``).
+
+Stage contract matches the tagger+linker chain: input DOCUMENTS columns
+pass through untouched; output adds ``ents`` (grounded ent structs) and
+``span_hash`` (per-row span-sequence invariant, asserted if present).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..functions.hashing import span_sequence_hash
+from .linker import GROUNDED_ENT_TYPE, _XREF_TYPE, entity_id_for, normalize_surface
+from .tagger import build_surface_pattern
+
+_SENT_BREAK = re.compile(r"[.!?]")
+_WS = re.compile(r"\s+")
+
+
+class Annotator:
+    """Actor-pool stage: interleaved documents → documents + grounded ents.
+
+    ``linker_ref`` may be a plain dict (tests) or a ``ray.ObjectRef``
+    (pipelines) of ``{(normalized surface, label): [xref_dict, ...]}``.
+    """
+
+    def __init__(self, surfaces: dict[str, str] | None = None, linker_ref=None):
+        if surfaces is None:
+            from ..gazetteer import SABER_SURFACES as surfaces  # noqa: N811
+        if linker_ref is None:
+            from ..gazetteer import SABER_GROUNDING, build_linker_dict
+
+            linker = build_linker_dict(SABER_GROUNDING)
+        elif isinstance(linker_ref, ray.ObjectRef):
+            linker = ray.get(linker_ref)
+        else:
+            linker = linker_ref
+        self._labels = {k.lower(): v for k, v in surfaces.items()}
+        self._pattern = build_surface_pattern(surfaces)
+        # (normalized surface, label) -> (xrefs tuple, entity_id) resolved once
+        self._ground: dict[tuple[str, str], tuple[list[dict], str]] = {}
+        for (surf, label), xrefs in linker.items():
+            self._ground[(surf, label)] = (xrefs, entity_id_for(label, surf, xrefs))
+
+    def _resolve(self, norm: str, label: str) -> tuple[list[dict], str]:
+        hit = self._ground.get((norm, label))
+        if hit is None:
+            hit = ([], entity_id_for(label, norm, []))
+            self._ground[(norm, label)] = hit  # cache ungrounded surfaces too
+        return hit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans_col = batch["spans"].combine_chunks()
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.chunk(0)
+        doc_offsets = spans_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = spans_col.values
+        olo, ohi = int(doc_offsets[0]), int(doc_offsets[-1])
+        if olo != 0 or len(flat) != ohi - olo:
+            flat = flat.slice(olo, ohi - olo)
+            doc_offsets = doc_offsets - olo
+        kinds = flat.field("kind").to_pylist()
+        texts = flat.field("text").to_pylist()
+        media = flat.field("media_ref").to_pylist()
+
+        n_docs = batch.num_rows
+        # flat mention accumulators
+        m_start: list[int] = []
+        m_end: list[int] = []
+        m_text: list[str] = []
+        m_label: list[str] = []
+        m_span_idx: list[int] = []
+        m_sent_idx: list[int] = []
+        m_entity: list[str] = []
+        # xrefs: flat triplets + per-mention offsets
+        x_ns: list[str] = []
+        x_id: list[str] = []
+        x_org: list[str] = []
+        x_offsets: list[int] = [0]
+        ents_offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        hashes: list[str] = []
+
+        pattern = self._pattern
+        labels = self._labels
+        for d in range(n_docs):
+            lo, hi = doc_offsets[d], doc_offsets[d + 1]
+            for span_idx in range(hi - lo):
+                i = lo + span_idx
+                if kinds[i] != "text":
+                    continue
+                text = texts[i]
+                if not text:
+                    continue
+                bounds = None
+                for m in pattern.finditer(text):
+                    if bounds is None:
+                        bounds = np.array(
+                            [b.start() for b in _SENT_BREAK.finditer(text)], dtype=np.int64
+                        )
+                    surface = m.group()
+                    norm = _WS.sub(" ", surface.lower())
+                    label = labels[norm]
+                    xrefs, entity_id = self._resolve(norm, label)
+                    m_start.append(m.start())
+                    m_end.append(m.end())
+                    m_text.append(surface)
+                    m_label.append(label)
+                    m_span_idx.append(span_idx)
+                    m_sent_idx.append(int(np.searchsorted(bounds, m.start(), side="left"))
+                                      if len(bounds) else 0)
+                    m_entity.append(entity_id)
+                    for x in xrefs:
+                        x_ns.append(x["namespace"])
+                        x_id.append(x["id"])
+                        x_org.append(x["organism_id"])
+                    x_offsets.append(len(x_ns))
+            ents_offsets[d + 1] = len(m_start)
+            hashes.append(span_sequence_hash(kinds[lo:hi], texts[lo:hi], media[lo:hi]))
+
+        xref_struct = pa.StructArray.from_arrays(
+            [pa.array(x_ns, type=pa.string()), pa.array(x_id, type=pa.string()),
+             pa.array(x_org, type=pa.string())],
+            fields=list(_XREF_TYPE),
+        )
+        xrefs_arr = pa.ListArray.from_arrays(pa.array(x_offsets, type=pa.int32()), xref_struct)
+        ent_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(m_start, type=pa.int32()),
+                pa.array(m_end, type=pa.int32()),
+                pa.array(m_text, type=pa.string()),
+                pa.array(m_label, type=pa.string()),
+                pa.array(m_span_idx, type=pa.int32()),
+                pa.array(m_sent_idx, type=pa.int32()),
+                xrefs_arr,
+                pa.array(m_entity, type=pa.string()),
+            ],
+            fields=list(GROUNDED_ENT_TYPE),
+        )
+        ents_arr = pa.ListArray.from_arrays(pa.array(ents_offsets), ent_struct)
+
+        out = batch.append_column("ents", ents_arr)
+        if "span_hash" in batch.column_names:
+            prior = batch["span_hash"].to_pylist()
+            if prior != hashes:
+                raise AssertionError("span-sequence invariant violated in annotator input")
+            return out
+        return out.append_column("span_hash", pa.array(hashes, type=pa.string()))

@@ -3,8 +3,9 @@
 This is the engine's only unavoidable all-to-all exchange (SURVEY.md A5 /
 J5), so it is built skew-aware from the start:
 
-1. **Batch-level partial aggregation** (``map_batches``): each Arrow batch
-   is collapsed to at most one partial row per key before anything is
+1. **Batch-level partial aggregation** (``map_batches``, vectorized
+   ``pyarrow`` ``group_by`` — no Python row loops): each Arrow batch is
+   collapsed to at most one partial row per key before anything is
    shuffled — a hot key ("p53"-like symbols can be 1e6× the median)
    contributes one row per batch instead of one per mention.
 2. **Salted first-level merge**: partials are grouped by ``(key, salt)``
@@ -17,12 +18,18 @@ Surface-form statistics are merged as (surface, count) multisets capped at
 ``max_surfaces`` (kept deterministically: highest count, then
 lexicographic), and ``canonical_name`` is the most-supported surface form.
 Edge lineage keeps a capped, deterministic sample of doc_ids.
+
+Node namespace/xref_id are recovered from the ``entity_id`` encoding
+(``label:namespace:xref`` for grounded, ``label:surface:<norm>`` for
+ungrounded — see stages/linker.py ``entity_id_for``), so the partial
+aggregation never touches the nested xrefs column.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import stable_u64
 from ..schemas import EDGES, NODES
@@ -40,49 +47,66 @@ def _top_counts(counter: dict[str, int], cap: int) -> dict[str, int]:
 
 # ---------------------------------------------------------------- nodes ---
 
-
-def partial_nodes(batch: pa.Table, num_salts: int = 16) -> pa.Table:
-    """MENTIONS batch → one partial-node row per (entity_id) in the batch."""
-    df = batch.select(["doc_id", "text", "label", "entity_id", "xrefs"]).to_pandas()
-    if df.empty:
-        return pa.Table.from_pydict(
-            {
-                "entity_id": [], "salt": [], "label": [], "namespace": [],
-                "xref_id": [], "surfaces": [], "counts": [], "support": [],
-            },
-            schema=_PARTIAL_NODES_SCHEMA,
-        )
-    df["surface"] = df["text"].str.lower().str.replace(r"\s+", " ", regex=True)
-    rows = {k: [] for k in ("entity_id", "salt", "label", "namespace", "xref_id",
-                            "surfaces", "counts", "support")}
-    for entity_id, g in df.groupby("entity_id", sort=True):
-        counts = g["surface"].value_counts()
-        counter = _top_counts(dict(counts), MAX_SURFACES)
-        xrefs = g["xrefs"].iloc[0]
-        first_doc = g["doc_id"].iloc[0]
-        rows["entity_id"].append(entity_id)
-        rows["salt"].append(stable_u64(f"{entity_id}\x1f{first_doc}") % num_salts)
-        rows["label"].append(g["label"].iloc[0])
-        rows["namespace"].append(xrefs[0]["namespace"] if len(xrefs) else "")
-        rows["xref_id"].append(xrefs[0]["id"] if len(xrefs) else "")
-        rows["surfaces"].append(sorted(counter))
-        rows["counts"].append([counter[s] for s in sorted(counter)])
-        rows["support"].append(int(len(g)))
-    return pa.Table.from_pydict(rows, schema=_PARTIAL_NODES_SCHEMA)
-
-
 _PARTIAL_NODES_SCHEMA = pa.schema(
     [
         ("entity_id", pa.string()),
         ("salt", pa.int64()),
-        ("label", pa.string()),
-        ("namespace", pa.string()),
-        ("xref_id", pa.string()),
         ("surfaces", pa.list_(pa.string())),
         ("counts", pa.list_(pa.int64())),
         ("support", pa.int64()),
     ]
 )
+
+
+def partial_nodes(batch: pa.Table, num_salts: int = 16) -> pa.Table:
+    """MENTIONS batch → one partial-node row per entity_id in the batch.
+
+    Vectorized: one ``pyarrow`` ``group_by`` on (entity_id, surface),
+    then a single ordered pass over the (already tiny) distinct rows.
+    """
+    surface = pc.replace_substring_regex(
+        pc.utf8_lower(batch["text"]), r"\s+", " "
+    )
+    t = pa.table(
+        {
+            "entity_id": batch["entity_id"],
+            "surface": surface,
+            "doc_id": batch["doc_id"],
+        }
+    )
+    agg = (
+        t.group_by(["entity_id", "surface"])
+        .aggregate([("surface", "count"), ("doc_id", "min")])
+        .sort_by([("entity_id", "ascending"), ("surface", "ascending")])
+    )
+    eids = agg["entity_id"].to_pylist()
+    surfs = agg["surface"].to_pylist()
+    counts = agg["surface_count"].to_pylist()
+    docs = agg["doc_id_min"].to_pylist()
+
+    rows = {k: [] for k in _PARTIAL_NODES_SCHEMA.names}
+    i, n = 0, len(eids)
+    while i < n:
+        j = i
+        counter: dict[str, int] = {}
+        first_doc = docs[i]
+        total = 0
+        while j < n and eids[j] == eids[i]:
+            c = int(counts[j])
+            counter[surfs[j]] = counter.get(surfs[j], 0) + c
+            total += c
+            if docs[j] < first_doc:
+                first_doc = docs[j]
+            j += 1
+        # support counts ALL mentions, including surfaces trimmed by the cap
+        counter = _top_counts(counter, MAX_SURFACES)
+        rows["entity_id"].append(eids[i])
+        rows["salt"].append(stable_u64(f"{eids[i]}\x1f{first_doc}") % num_salts)
+        rows["surfaces"].append(sorted(counter))
+        rows["counts"].append([counter[s] for s in sorted(counter)])
+        rows["support"].append(total)
+        i = j
+    return pa.Table.from_pydict(rows, schema=_PARTIAL_NODES_SCHEMA)
 
 
 def _merge_node_partials(g: pd.DataFrame) -> pd.DataFrame:
@@ -95,9 +119,6 @@ def _merge_node_partials(g: pd.DataFrame) -> pd.DataFrame:
         {
             "entity_id": [g["entity_id"].iloc[0]],
             "salt": [0],
-            "label": [g["label"].iloc[0]],
-            "namespace": [g["namespace"].iloc[0]],
-            "xref_id": [g["xref_id"].iloc[0]],
             "surfaces": [sorted(counter)],
             "counts": [[counter[s] for s in sorted(counter)]],
             "support": [int(g["support"].sum())],
@@ -107,16 +128,19 @@ def _merge_node_partials(g: pd.DataFrame) -> pd.DataFrame:
 
 def _finalize_node(g: pd.DataFrame) -> pd.DataFrame:
     merged = _merge_node_partials(g)
+    entity_id = merged["entity_id"].iloc[0]
+    label, kind, rest = entity_id.split(":", 2)
+    namespace, xref_id = ("", "") if kind == "surface" else (kind, rest)
     counter = dict(zip(merged["surfaces"].iloc[0], merged["counts"].iloc[0]))
     canonical = min(counter, key=lambda s: (-counter[s], s)) if counter else ""
     return pd.DataFrame(
         {
-            "node_id": [merged["entity_id"].iloc[0]],
-            "label": [merged["label"].iloc[0]],
+            "node_id": [entity_id],
+            "label": [label],
             "canonical_name": [canonical],
             "surface_forms": [sorted(counter)],
-            "namespace": [merged["namespace"].iloc[0]],
-            "xref_id": [merged["xref_id"].iloc[0]],
+            "namespace": [namespace],
+            "xref_id": [xref_id],
             "support": [int(merged["support"].iloc[0])],
         }
     )
@@ -127,6 +151,8 @@ def canonicalize_nodes(mentions, num_salts: int = 16):
     partials = mentions.map_batches(
         lambda b: partial_nodes(b, num_salts), batch_format="pyarrow"
     )
+    # coalesce the (small) partial stream — see canonicalize_edges
+    partials = partials.repartition(num_salts)
     level1 = partials.groupby(["entity_id", "salt"]).map_groups(
         _merge_node_partials, batch_format="pandas"
     )
@@ -134,8 +160,7 @@ def canonicalize_nodes(mentions, num_salts: int = 16):
         _finalize_node, batch_format="pandas"
     )
     return nodes.map_batches(
-        lambda t: t.cast(NODES) if t.schema.names == NODES.names else t.select(NODES.names).cast(NODES),
-        batch_format="pyarrow",
+        lambda t: t.select(NODES.names).cast(NODES), batch_format="pyarrow"
     )
 
 
@@ -154,49 +179,97 @@ _PARTIAL_EDGES_SCHEMA = pa.schema(
 
 
 def partial_edges(batch: pa.Table, num_salts: int = 16) -> pa.Table:
-    """TRIPLES batch → one partial-edge row per (subj, pred, obj)."""
-    df = batch.select(["doc_id", "subj", "pred", "obj", "score"]).to_pandas()
-    rows = {k: [] for k in ("src", "pred", "dst", "salt", "support", "doc_ids")}
-    for (subj, pred, obj), g in df.groupby(["subj", "pred", "obj"], sort=True):
-        docs = sorted(set(g["doc_id"]))[:MAX_DOC_IDS]
-        rows["src"].append(subj)
-        rows["pred"].append(pred)
-        rows["dst"].append(obj)
-        rows["salt"].append(
-            stable_u64(f"{subj}\x1f{pred}\x1f{obj}\x1f{g['doc_id'].iloc[0]}") % num_salts
-        )
-        rows["support"].append(int(g["score"].sum()))
-        rows["doc_ids"].append(docs)
-    return pa.Table.from_pydict(rows, schema=_PARTIAL_EDGES_SCHEMA)
+    """TRIPLES batch → one partial-edge row per (subj, pred, obj).
 
-
-def _merge_edge_partials(g: pd.DataFrame) -> pd.DataFrame:
-    docs: set[str] = set()
-    for d in g["doc_ids"]:
-        docs.update(d)
-    return pd.DataFrame(
+    Vectorized ``group_by``; the only per-row work runs over the
+    already-reduced distinct keys. Lineage keeps the min/max doc_id per
+    key per batch (a cheap deterministic sample — a full per-batch
+    distinct list would make hot keys O(batch) to sort); samples union
+    and cap during the merge levels.
+    """
+    t = batch.select(["doc_id", "subj", "pred", "obj", "score"])
+    agg = t.group_by(["subj", "pred", "obj"]).aggregate(
+        [("score", "sum"), ("doc_id", "min"), ("doc_id", "max")]
+    )
+    subj = agg["subj"].to_pylist()
+    pred = agg["pred"].to_pylist()
+    obj = agg["obj"].to_pylist()
+    first_doc = agg["doc_id_min"].to_pylist()
+    last_doc = agg["doc_id_max"].to_pylist()
+    salts = [
+        stable_u64(f"{s}\x1f{p}\x1f{o}\x1f{d}") % num_salts
+        for s, p, o, d in zip(subj, pred, obj, first_doc)
+    ]
+    return pa.Table.from_pydict(
         {
-            "src": [g["src"].iloc[0]],
-            "pred": [g["pred"].iloc[0]],
-            "dst": [g["dst"].iloc[0]],
-            "salt": [0],
-            "support": [int(g["support"].sum())],
-            "doc_ids": [sorted(docs)[:MAX_DOC_IDS]],
-        }
+            "src": subj,
+            "pred": pred,
+            "dst": obj,
+            "salt": salts,
+            "support": [int(x) for x in agg["score_sum"].to_pylist()],
+            "doc_ids": [
+                [a] if a == b else [a, b] for a, b in zip(first_doc, last_doc)
+            ],
+        },
+        schema=_PARTIAL_EDGES_SCHEMA,
+    )
+
+
+def _doc_sample_agg():
+    """Custom AggregateFn: union + cap of doc_id lineage samples.
+
+    Accumulates per BLOCK (vectorized flatten of the already-tiny
+    partial rows), so the shuffle reduce never loops rows in pandas.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def accumulate_block(acc: list, block) -> list:
+        col = block["doc_ids"]
+        flat = pc.list_flatten(col).to_pylist() if block.num_rows else []
+        merged = set(acc)
+        merged.update(flat)
+        return sorted(merged)[:MAX_DOC_IDS]
+
+    return AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: sorted(set(a) | set(b))[:MAX_DOC_IDS],
+        accumulate_block=accumulate_block,
+        name="doc_ids",
     )
 
 
 def canonicalize_edges(triples, num_salts: int = 16):
-    """TRIPLES Dataset → EDGES Dataset (salted two-level merge)."""
+    """TRIPLES Dataset → EDGES Dataset.
+
+    Salted two-level merge, both levels native ``groupby().aggregate``
+    (vectorized Sum + block-wise lineage union) — no per-group Python.
+    """
+    from ray.data.aggregate import Sum
+
     partials = triples.map_batches(
         lambda b: partial_edges(b, num_salts), batch_format="pyarrow"
     )
-    level1 = partials.groupby(["src", "pred", "dst", "salt"]).map_groups(
-        _merge_edge_partials, batch_format="pandas"
+    # coalesce the (small) partial stream: sort-based Aggregate creates one
+    # reduce partition per input block, and hundreds of near-empty reduce
+    # tasks cost more than the aggregation itself
+    partials = partials.repartition(num_salts)
+    level1 = partials.groupby(["src", "pred", "dst", "salt"]).aggregate(
+        Sum("support", alias_name="support"), _doc_sample_agg()
     )
-    edges = level1.groupby(["src", "pred", "dst"]).map_groups(
-        _merge_edge_partials, batch_format="pandas"
+    edges = level1.groupby(["src", "pred", "dst"]).aggregate(
+        Sum("support", alias_name="support"), _doc_sample_agg()
     )
-    return edges.map_batches(
-        lambda t: t.select(EDGES.names).cast(EDGES), batch_format="pyarrow"
-    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "src": t["src"],
+                "pred": t["pred"],
+                "dst": t["dst"],
+                "support": pc.cast(t["support"], pa.int64()),
+                "doc_ids": pc.cast(t["doc_ids"], pa.list_(pa.string())),
+            }
+        )
+        return out.cast(EDGES)
+
+    return edges.map_batches(finalize, batch_format="pyarrow")

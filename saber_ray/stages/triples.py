@@ -13,12 +13,17 @@ tagger/linker keep annotations on the document row instead of exploding
 early. Duplicate (subj, pred, obj) pairs within one document collapse to
 one triple whose score counts the co-occurrences.
 
+Both kernels decode the nested ``ents`` column via ListArray offsets +
+flattened struct fields (zero-copy views), not per-row ``to_pylist`` —
+the per-batch cost is the pair loop itself, nothing else.
+
 ``explode_mentions`` flattens annotated documents into the MENTIONS table
 (one row per mention) for canonicalization and evaluation.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ..constants import COOCCURS, RELATION_PREDICATES
@@ -29,29 +34,54 @@ def predicate_for(subj_label: str, obj_label: str) -> str:
     return RELATION_PREDICATES.get((subj_label, obj_label), COOCCURS)
 
 
+def _ents_parts(batch: pa.Table):
+    ents = batch["ents"].combine_chunks()
+    if isinstance(ents, pa.ChunkedArray):
+        ents = ents.chunk(0)
+    offsets = ents.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = ents.values
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    if lo != 0 or len(values) != hi - lo:
+        # sliced list array: values spans the parent buffer
+        values = values.slice(lo, hi - lo)
+        offsets = offsets - lo
+    return values, offsets
+
+
 def emit_triples(batch: pa.Table, same_sentence: bool = True) -> pa.Table:
     """Annotated documents batch → TRIPLES-schema batch."""
+    flat, offsets = _ents_parts(batch)
     doc_ids = batch["doc_id"].to_pylist()
-    ents_col = batch["ents"].to_pylist()
+    starts = flat.field("start").to_numpy(zero_copy_only=False)
+    span_idxs = flat.field("span_idx").to_numpy(zero_copy_only=False)
+    sent_idxs = flat.field("sent_idx").to_numpy(zero_copy_only=False)
+    labels = flat.field("label").to_pylist()
+    entities = flat.field("entity_id").to_pylist()
+
     rows: dict[str, list] = {name: [] for name in TRIPLES.names}
-    for doc_id, ents in zip(doc_ids, ents_col):
+    for d, doc_id in enumerate(doc_ids):
+        lo, hi = int(offsets[d]), int(offsets[d + 1])
+        if hi - lo < 2:
+            continue
+        # positional order within the document: (span_idx, start)
+        order = sorted(range(lo, hi), key=lambda i: (span_idxs[i], starts[i]))
         seen: dict[tuple, list] = {}
-        order = sorted(ents, key=lambda e: (e["span_idx"], e["start"]))
-        for i in range(len(order)):
-            a = order[i]
-            for j in range(i + 1, len(order)):
-                b = order[j]
+        for ii in range(len(order)):
+            a = order[ii]
+            for jj in range(ii + 1, len(order)):
+                b = order[jj]
                 if same_sentence and (
-                    a["span_idx"] != b["span_idx"] or a["sent_idx"] != b["sent_idx"]
+                    span_idxs[a] != span_idxs[b] or sent_idxs[a] != sent_idxs[b]
                 ):
                     continue
-                if a["entity_id"] == b["entity_id"]:
+                if entities[a] == entities[b]:
                     continue
-                key = (a["entity_id"], predicate_for(a["label"], b["label"]), b["entity_id"])
-                if key in seen:
-                    seen[key][0] += 1.0
+                key = (entities[a], predicate_for(labels[a], labels[b]), entities[b])
+                hit = seen.get(key)
+                if hit is not None:
+                    hit[0] += 1.0
                 else:
-                    seen[key] = [1.0, a["label"], b["label"], a["span_idx"]]
+                    seen[key] = [1.0, labels[a], labels[b], int(span_idxs[a])]
         for (subj, pred, obj), (score, subj_label, obj_label, span_idx) in seen.items():
             rows["doc_id"].append(doc_id)
             rows["subj"].append(subj)
@@ -65,19 +95,25 @@ def emit_triples(batch: pa.Table, same_sentence: bool = True) -> pa.Table:
 
 
 def explode_mentions(batch: pa.Table) -> pa.Table:
-    """Annotated documents batch → MENTIONS-schema batch (one row/mention)."""
-    doc_ids = batch["doc_id"].to_pylist()
-    ents_col = batch["ents"].to_pylist()
-    rows: dict[str, list] = {name: [] for name in MENTIONS.names}
-    for doc_id, ents in zip(doc_ids, ents_col):
-        for ent in ents:
-            rows["doc_id"].append(doc_id)
-            rows["span_idx"].append(ent["span_idx"])
-            rows["sent_idx"].append(ent["sent_idx"])
-            rows["start"].append(ent["start"])
-            rows["end"].append(ent["end"])
-            rows["text"].append(ent["text"])
-            rows["label"].append(ent["label"])
-            rows["xrefs"].append(ent.get("xrefs", []))
-            rows["entity_id"].append(ent.get("entity_id", ""))
-    return pa.Table.from_pydict(rows, schema=MENTIONS)
+    """Annotated documents batch → MENTIONS-schema batch (one row/mention).
+
+    Pure columnar: repeat doc_id by per-doc mention counts; every other
+    column is a zero-copy field view of the flattened ents structs.
+    """
+    flat, offsets = _ents_parts(batch)
+    counts = np.diff(offsets)
+    doc_ids = np.repeat(
+        np.asarray(batch["doc_id"].to_pylist(), dtype=object), counts
+    )
+    cols = {
+        "doc_id": pa.array(doc_ids, type=pa.string()),
+        "span_idx": flat.field("span_idx"),
+        "sent_idx": flat.field("sent_idx"),
+        "start": flat.field("start"),
+        "end": flat.field("end"),
+        "text": flat.field("text"),
+        "label": flat.field("label"),
+        "xrefs": flat.field("xrefs"),
+        "entity_id": flat.field("entity_id"),
+    }
+    return pa.Table.from_arrays([cols[n] for n in MENTIONS.names], schema=MENTIONS)
