@@ -1,0 +1,208 @@
+"""Resumable partitioned KG job runner.
+
+``run_kg_job`` executes the flagship pipeline over a parquet corpus with
+per-partition checkpointing:
+
+* input fragments (parquet files) are grouped into partitions; each
+  partition runs the streaming annotate → mentions/triples pass and
+  writes partitioned parquet under ``out/<table>/part=<id>/``;
+* a manifest record (lineage: input fragments; metrics: rows, wall_ms;
+  integrity: spot-check span hash; identity: config hash) is written
+  atomically AFTER the partition's outputs are complete — on resume,
+  partitions with a matching "done" record are skipped entirely;
+* the graph stage (salted canonicalization over ALL staged
+  mentions/triples) runs once at the end and is itself checkpointed as
+  stage records.
+
+Partition granularity is the resume granularity: at 100 TB a partition
+should be ~one storage fragment group (tens of GB), so a failed run
+loses at most one partition of work while the inner Dataset still
+parallelizes across the whole cluster.
+
+The per-row span-sequence invariant is enforced INSIDE the stages
+(stages/annotate.py asserts it when a ``span_hash`` column is present);
+the manifest's ``span_hash`` is a deterministic spot-check fingerprint
+of the partition's first input rows, recorded so a resumed run can
+detect that an input fragment changed underneath a completed partition.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import asdict
+
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .. import __version__
+from ..functions.hashing import span_sequence_hash, stable_hex
+from ..state.manifest import Manifest, PartitionRecord, StageTimer, config_hash
+from ..stages.canonicalize import canonicalize_edges, canonicalize_nodes
+from ..stages.triples import emit_triples, explode_mentions
+from .kg import KGConfig, annotate
+
+
+def _partition_inputs(paths: list[str], partitions: int) -> list[list[str]]:
+    """Round-robin fragment grouping — deterministic for a sorted listing."""
+    paths = sorted(paths)
+    n = min(partitions, len(paths)) or 1
+    groups: list[list[str]] = [[] for _ in range(n)]
+    for i, p in enumerate(paths):
+        groups[i % n].append(p)
+    return groups
+
+
+def _spot_hash(files: list[str], sample_rows: int = 64) -> str:
+    """Deterministic fingerprint of a partition's input: fragment names,
+    row counts, and the span hashes of the first ``sample_rows`` rows of
+    the first fragment (metadata-cheap; detects changed inputs)."""
+    parts = []
+    for f in sorted(files):
+        md = pq.ParquetFile(f)
+        parts.append(f"{os.path.basename(f)}:{md.metadata.num_rows}")
+    first = pq.ParquetFile(sorted(files)[0])
+    batch = next(first.iter_batches(batch_size=sample_rows))
+    if "spans" in batch.schema.names:
+        for spans in batch.column("spans").to_pylist():
+            parts.append(
+                span_sequence_hash(
+                    [s["kind"] for s in spans],
+                    [s["text"] for s in spans],
+                    [s["media_ref"] for s in spans],
+                )
+            )
+    return stable_hex("\x1f".join(parts), size=16)
+
+
+def _written_rows(path: str) -> int:
+    total = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
+def run_kg_job(
+    input_glob: str,
+    out_dir: str,
+    config: KGConfig | None = None,
+    partitions: int = 8,
+    max_partitions: int | None = None,
+) -> dict:
+    """Run (or resume) the partitioned KG job. Returns a summary dict.
+
+    ``max_partitions`` limits how many incomplete partitions this call
+    processes (used by tests to simulate an interrupted run).
+    """
+    config = config or KGConfig()
+    cfg_hash = config_hash(repr(asdict_like(config)), __version__)
+    manifest = Manifest(out_dir, cfg_hash)
+    files = sorted(glob.glob(input_glob))
+    if not files:
+        raise FileNotFoundError(f"no input fragments match {input_glob}")
+    groups = _partition_inputs(files, partitions)
+
+    ran, skipped = [], []
+    for pid, group in enumerate(groups):
+        if manifest.is_done("annotate", pid):
+            skipped.append(pid)
+            continue
+        if max_partitions is not None and len(ran) >= max_partitions:
+            continue
+        with StageTimer() as timer:
+            docs = rd.read_parquet(group)
+            rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in group)
+            ann_dir = os.path.join(out_dir, "annotated", f"part={pid:06d}")
+            mentions_dir = os.path.join(out_dir, "mentions", f"part={pid:06d}")
+            triples_dir = os.path.join(out_dir, "triples", f"part={pid:06d}")
+            # ONE annotate pass, staged to parquet (the annotation record
+            # table — Saber's per-doc output, saber/saber.py:114 — is a
+            # first-class output); mentions/triples are cheap derivations
+            # read back from the staged table, so the expensive stage
+            # never runs twice.
+            annotate(docs, config).write_parquet(ann_dir)
+            staged = rd.read_parquet(ann_dir)
+            staged.map_batches(
+                explode_mentions, batch_format="pyarrow"
+            ).write_parquet(mentions_dir)
+            rd.read_parquet(ann_dir).map_batches(
+                lambda b: emit_triples(b, same_sentence=config.same_sentence),
+                batch_format="pyarrow",
+            ).write_parquet(triples_dir)
+        manifest.write(
+            PartitionRecord(
+                stage="annotate",
+                partition_id=pid,
+                input_fragments=[os.path.basename(f) for f in group],
+                rows_in=rows_in,
+                rows_out=_written_rows(triples_dir),
+                span_hash=_spot_hash(group),
+                wall_ms=timer.wall_ms,
+                status="done",
+                config_hash=cfg_hash,
+                extra={"mentions_rows": _written_rows(mentions_dir)},
+            )
+        )
+        ran.append(pid)
+
+    summary = {
+        "partitions": len(groups),
+        "ran": ran,
+        "skipped": skipped,
+        "complete": all(manifest.is_done("annotate", p) for p in range(len(groups))),
+    }
+    if not summary["complete"]:
+        return summary
+
+    # ---- graph stage: global canonicalization over all staged outputs ----
+    if not manifest.is_done("graph", 0):
+        with StageTimer() as timer:
+            mentions = rd.read_parquet(os.path.join(out_dir, "mentions"))
+            triples = rd.read_parquet(os.path.join(out_dir, "triples"))
+            nodes_dir = os.path.join(out_dir, "nodes")
+            edges_dir = os.path.join(out_dir, "edges")
+            canonicalize_nodes(mentions, num_salts=config.num_salts).write_parquet(
+                nodes_dir
+            )
+            canonicalize_edges(triples, num_salts=config.num_salts).write_parquet(
+                edges_dir
+            )
+        manifest.write(
+            PartitionRecord(
+                stage="graph",
+                partition_id=0,
+                input_fragments=["mentions/", "triples/"],
+                rows_in=_written_rows_tree(os.path.join(out_dir, "triples")),
+                rows_out=_written_rows(os.path.join(out_dir, "edges")),
+                span_hash="",
+                wall_ms=timer.wall_ms,
+                status="done",
+                config_hash=cfg_hash,
+                extra={"nodes_rows": _written_rows(os.path.join(out_dir, "nodes"))},
+            )
+        )
+        summary["graph"] = "ran"
+    else:
+        summary["graph"] = "skipped"
+    return summary
+
+
+def _written_rows_tree(path: str) -> int:
+    total = 0
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
+def asdict_like(config: KGConfig) -> dict:
+    """Stable, hashable repr of the pipeline config (dict fields sorted)."""
+    return {
+        "surfaces": sorted(config.surfaces.items()),
+        "grounding": sorted(
+            (k, tuple(v)) for k, v in config.grounding.items()
+        ),
+        "same_sentence": config.same_sentence,
+        "num_salts": config.num_salts,
+        "batch_size": config.batch_size,
+    }

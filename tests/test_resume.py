@@ -1,0 +1,102 @@
+"""Checkpoint-manifest + resume tests (north rule: resumable from
+checkpoint with per-partition lineage + metrics)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from saber_ray.pipelines.kg import KGConfig
+from saber_ray.pipelines.run import asdict_like, run_kg_job
+from saber_ray.sources.synthetic import generate_documents
+from saber_ray.state.manifest import Manifest, config_hash
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    table, _, _ = generate_documents(240, seed=9)
+    for i in range(8):
+        pq.write_table(table.slice(i * 30, 30), str(d / f"frag-{i:02d}.parquet"))
+    return str(d)
+
+
+def test_interrupted_run_resumes(corpus_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out"))
+    cfg = KGConfig(batch_size=64, num_salts=4)
+
+    # simulate an interrupted run: only 2 of 4 partitions complete
+    s1 = run_kg_job(f"{corpus_dir}/*.parquet", out, cfg, partitions=4, max_partitions=2)
+    assert len(s1["ran"]) == 2 and not s1["complete"]
+    assert not os.path.exists(os.path.join(out, "edges"))
+
+    # resume: remaining partitions run, completed ones are skipped
+    s2 = run_kg_job(f"{corpus_dir}/*.parquet", out, cfg, partitions=4)
+    assert sorted(s2["skipped"]) == sorted(s1["ran"])
+    assert len(s2["ran"]) == 2 and s2["complete"] and s2["graph"] == "ran"
+
+    # idempotent third run: everything skipped
+    s3 = run_kg_job(f"{corpus_dir}/*.parquet", out, cfg, partitions=4)
+    assert len(s3["ran"]) == 0 and len(s3["skipped"]) == 4
+    assert s3["graph"] == "skipped"
+
+    # outputs are complete and consistent
+    mentions = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{out}/mentions/**/*.parquet", recursive=True)
+    )
+    node_support = sum(
+        sum(pq.read_table(f)["support"].to_pylist())
+        for f in glob.glob(f"{out}/nodes/*.parquet")
+    )
+    assert node_support == mentions
+    assert mentions > 0
+
+    # manifest records carry lineage + metrics
+    cfg_hash = config_hash(repr(asdict_like(cfg)), __import__("saber_ray").__version__)
+    man = Manifest(out, cfg_hash)
+    recs = man.records("annotate")
+    assert len(recs) == 4
+    assert all(r.status == "done" and r.wall_ms >= 0 for r in recs)
+    assert all(len(r.input_fragments) == 2 for r in recs)
+    assert all(r.span_hash for r in recs)
+    frag_union = sorted(f for r in recs for f in r.input_fragments)
+    assert frag_union == sorted(os.path.basename(f) for f in glob.glob(f"{corpus_dir}/*.parquet"))
+
+
+def test_config_change_invalidates(corpus_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out2"))
+    cfg = KGConfig(batch_size=64, num_salts=4)
+    run_kg_job(f"{corpus_dir}/*.parquet", out, cfg, partitions=2)
+
+    changed = KGConfig(batch_size=64, num_salts=8)
+    h_old = config_hash(repr(asdict_like(cfg)), __import__("saber_ray").__version__)
+    h_new = config_hash(repr(asdict_like(changed)), __import__("saber_ray").__version__)
+    assert h_old != h_new
+    # records written under the old hash do not satisfy the new config
+    man_new = Manifest(out, h_new)
+    assert not man_new.is_done("annotate", 0)
+    man_old = Manifest(out, h_old)
+    assert man_old.is_done("annotate", 0)
+
+
+def test_manifest_atomic_overwrite(tmp_path):
+    from saber_ray.state.manifest import PartitionRecord
+
+    man = Manifest(str(tmp_path), "abc")
+    rec = PartitionRecord(
+        stage="s", partition_id=3, input_fragments=["a"], rows_in=1, rows_out=2,
+        span_hash="h", wall_ms=5, status="done", config_hash="abc",
+    )
+    man.write(rec)
+    rec2 = PartitionRecord(
+        stage="s", partition_id=3, input_fragments=["a", "b"], rows_in=2, rows_out=4,
+        span_hash="h2", wall_ms=9, status="done", config_hash="abc",
+    )
+    man.write(rec2)  # last writer wins, no stray temp files
+    got = man.read("s", 3)
+    assert got.rows_in == 2 and got.input_fragments == ["a", "b"]
+    stray = [f for f in os.listdir(os.path.join(str(tmp_path), "_manifest", "s"))
+             if f.endswith(".tmp")]
+    assert stray == []
