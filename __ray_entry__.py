@@ -154,6 +154,21 @@ def _q_knn(sf_dir: str):
     return knn_topk(ds, queries, [r["vec_id"] for r in qrows], k=10)
 
 
+def _q_hot_tokens(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import token_frequency
+
+    freq = token_frequency(read_documents_flat(sf_dir))
+    return freq.sort(["n", "token"], descending=[True, False]).limit(10)
+
+
+def _q_kg_mentions_filtered(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_mentions
+    from saber_ray.stages.preprocess import filter_entity_classes
+
+    return filter_entity_classes(demo_mentions(sf_dir), ("PRGE", "CHED"))
+
+
 def _q_events_window(sf_dir: str):
     from saber_ray.sources.testdata import read_table
     from saber_ray.stages.relational import tumbling_window_agg
@@ -229,6 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "embedding_dup_pairs": _q_embedding_dups,
         "knn_search": _q_knn,
+        "hot_tokens": _q_hot_tokens,
+        "kg_mentions_filtered": _q_kg_mentions_filtered,
         "events_window": _q_events_window,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
@@ -375,6 +392,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        "hot_tokens": f"""
+            SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest({TOKENS_SQL}) AS tok FROM documents)
+            GROUP BY tok
+            ORDER BY n DESC, token
+            LIMIT 10
+        """,
+        "kg_mentions_filtered": f"""
+            WITH {gaz},
+            toks AS (SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents)
+            SELECT t.doc_id, t.tok AS mention, g.label
+            FROM toks t JOIN gaz g ON t.tok = g.tok
+            WHERE g.label IN ('PRGE', 'CHED')
         """,
         "events_window": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,

@@ -1,0 +1,151 @@
+"""Tests for validation/quarantine (M10), rare-token replacement (M6),
+one-hot (M12), class filter (M13), annotation combine (M14), coref gate
+(M4), hot keys (P6), and the S6/S7 sinks."""
+
+import glob
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from saber_ray.constants import ENTITY_CLASSES
+from saber_ray.pipelines.kg import KGConfig, annotate
+from saber_ray.schemas import DOCUMENTS
+from saber_ray.sources.sinks import (
+    annotation_records_batch,
+    fetch_pubmed_stub,
+    write_annotation_json,
+    write_metrics_json,
+)
+from saber_ray.sources.synthetic import generate_documents
+from saber_ray.stages.preprocess import (
+    CorefResolver,
+    combine_annotations,
+    filter_entity_classes,
+    hot_keys,
+    one_hot,
+    quarantine_split,
+    replace_rare_tokens_batch,
+    validate_documents,
+)
+from saber_ray.stages.triples import explode_mentions
+
+
+def _doc(doc_id, texts):
+    spans, off = [], 0
+    for t in texts:
+        spans.append({"kind": "text", "text": t, "media_ref": "", "offset": off})
+        off += (len(t) if t else 0) + 1
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def test_validate_and_quarantine():
+    docs = [
+        _doc("good", ["p53 is here."]),
+        {"doc_id": "", "spans": []},
+        {"doc_id": "nulltext", "spans": [{"kind": "text", "text": None,
+                                          "media_ref": "", "offset": 0}]},
+    ]
+    batch = pa.Table.from_pylist(docs, schema=DOCUMENTS)
+    out = validate_documents(batch)
+    assert out["valid"].to_pylist() == [True, False, False]
+    assert out["invalid_reason"].to_pylist() == ["", "missing doc_id", "null text span"]
+
+    good, bad = quarantine_split(rd.from_arrow(batch))
+    assert good.count() == 1 and bad.count() == 2
+
+
+def test_replace_rare_tokens():
+    batch = pa.table({"text": ["common words and xqzt here", "xqzt alone", ""]})
+    out = replace_rare_tokens_batch(batch, {"xqzt"})
+    assert out["text"].to_pylist() == [
+        "common words and <UNK> here", "<UNK> alone", ""]
+    # token boundaries respected
+    batch2 = pa.table({"text": ["xqzty stays"]})
+    assert replace_rare_tokens_batch(batch2, {"xqzt"})["text"].to_pylist() == ["xqzty stays"]
+    # broadcast ref path
+    ref = ray.put({"xqzt"})
+    assert replace_rare_tokens_batch(batch, ref)["text"].to_pylist()[1] == "<UNK> alone"
+
+
+def test_one_hot():
+    out = one_hot(np.array([[0, 2], [1, 1]]), 3)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0].tolist() == [1.0, 0.0, 0.0]
+    assert out[0, 1].tolist() == [0.0, 0.0, 1.0]
+    assert out.sum() == 4
+
+
+@pytest.fixture(scope="module")
+def annotated():
+    table, _, _ = generate_documents(80, seed=4)
+    return annotate(rd.from_arrow(table), KGConfig(batch_size=32)).materialize()
+
+
+def test_filter_entity_classes(annotated):
+    mentions = annotated.map_batches(explode_mentions, batch_format="pyarrow")
+    only_prge = filter_entity_classes(mentions, ("PRGE",))
+    labels = {r["label"] for r in only_prge.take_all()}
+    assert labels == {"PRGE"}
+    full = filter_entity_classes(mentions, ENTITY_CLASSES)
+    assert full.count() == mentions.count()
+
+
+def test_combine_annotations_dedups(annotated):
+    # combining a stream with itself must not duplicate mentions
+    combined = combine_annotations(annotated, annotated)
+    single = annotated.map_batches(explode_mentions, batch_format="pyarrow")
+    assert combined.count() == single.count()
+
+
+def test_coref_gate():
+    with pytest.raises(NotImplementedError):
+        CorefResolver()
+    stage = CorefResolver(passthrough=True)
+    batch = pa.Table.from_pylist([_doc("d", ["she said p53"])], schema=DOCUMENTS)
+    assert stage(batch) is batch
+
+
+def test_hot_keys(annotated):
+    mentions = annotated.map_batches(explode_mentions, batch_format="pyarrow")
+    top = hot_keys(mentions, "entity_id", k=3)
+    assert len(top) == 3
+    counts = [c for _, c in top]
+    assert counts == sorted(counts, reverse=True)
+    # p53 is over-sampled by the generator's skew knob
+    assert any("ENSP00000269305" in key for key, _ in top)
+
+
+def test_annotation_json_sink(annotated, tmp_path):
+    records = annotation_records_batch(annotated.take_batch(5, batch_format="pyarrow"))
+    rec = records.to_pylist()[0]
+    assert set(rec) == {"doc_id", "title", "text", "ents", "media_refs"}
+    for e in rec["ents"]:
+        assert set(e) == {"start", "end", "text", "label", "xrefs"}
+        # offsets index into the span text the mention came from
+        assert e["end"] > e["start"]
+
+    out = str(tmp_path / "ann")
+    write_annotation_json(annotated, out)
+    files = glob.glob(f"{out}/*.json")
+    assert files
+    first = json.loads(open(files[0]).readline())
+    assert "ents" in first and "text" in first
+
+
+def test_metrics_json_sink(tmp_path):
+    path = write_metrics_json(
+        {"PRGE": (1.0, 0.5, 2 / 3, 4), "MICRO_AVG": (1.0, 0.5, 2 / 3, 4)},
+        str(tmp_path / "m" / "scores.json"),
+    )
+    data = json.load(open(path))
+    assert data["scores"]["PRGE"]["recall"] == 0.5
+    assert data["scores"]["MICRO_AVG"]["support"] == 4
+
+
+def test_pubmed_stub_gated():
+    with pytest.raises(NotImplementedError):
+        fetch_pubmed_stub("12345")
