@@ -111,18 +111,25 @@ def _band_rows(batch: pa.Table, num_bands: int, id_column: str) -> pa.Table:
 
 def _bucket_pairs(group: pd.DataFrame, id_column: str, max_bucket: int) -> pd.DataFrame:
     ids = sorted(group[id_column].tolist())
+    dtype = group[id_column].dtype
     if len(ids) < 2 or len(ids) > max_bucket:
-        # oversize buckets are reported, not silently expanded to O(n^2)
-        skipped = len(ids) if len(ids) > max_bucket else 0
-        return pd.DataFrame({"id_a": pd.Series([], dtype=group[id_column].dtype),
-                             "id_b": pd.Series([], dtype=group[id_column].dtype),
-                             "skipped_bucket_size": pd.Series([skipped] if skipped else [], dtype="int64")[:0]})
+        if len(ids) > max_bucket:
+            # oversize buckets are logged, not silently expanded to O(n^2)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash LSH bucket of size %d exceeds max_bucket=%d; "
+                "pairs from this bucket are skipped", len(ids), max_bucket,
+            )
+        return pd.DataFrame({"id_a": pd.Series([], dtype=dtype),
+                             "id_b": pd.Series([], dtype=dtype)})
     a, b = [], []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             a.append(ids[i])
             b.append(ids[j])
-    return pd.DataFrame({"id_a": a, "id_b": b})
+    return pd.DataFrame({"id_a": pd.Series(a, dtype=dtype),
+                         "id_b": pd.Series(b, dtype=dtype)})
 
 
 def minhash_lsh_pairs(
@@ -180,6 +187,68 @@ def jaccard_for_pairs(
         denom = len(sa | sb)
         out.append((a, b, len(sa & sb) / denom if denom else 0.0))
     return out
+
+
+def verify_pairs_jaccard(
+    pairs: rd.Dataset,
+    docs: rd.Dataset,
+    shingle_k: int = 3,
+    id_column: str = "doc_id",
+    column: str = "text",
+    min_jaccard: float = 0.0,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Distributed exact-Jaccard verification of candidate pairs.
+
+    Broadcast semi-join: the candidate id set (near-dup pairs are a tiny
+    fraction of any real corpus) is collected once, the corpus is
+    filtered to candidate docs with a streaming ``is_in`` mask, their
+    shingle sets are ``ray.put`` as one broadcast dict, and each pair
+    batch scores against it — the full corpus STREAMS (one filtered
+    pass), only the candidate texts ever occupy memory. Returns
+    (id_a, id_b, jaccard) with jaccard >= min_jaccard.
+
+    (A two-sided ``Dataset.join`` would express this too, but chained
+    hash joins currently emit schema-less empty partitions that poison
+    the second join — and the broadcast plan moves strictly less data.)
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    pair_rows = pairs.select_columns(["id_a", "id_b"]).take_all()
+    cand_ids = sorted({r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows})
+    id_set = pa.array(cand_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[id_column], value_set=id_set))
+
+    cand_docs = docs.select_columns([id_column, column]).map_batches(
+        keep, batch_format="pyarrow"
+    ).take_all()
+    texts = {r[id_column]: r[column] for r in cand_docs}
+    texts_ref = ray.put(texts)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(texts_ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+            if a not in lookup or b not in lookup:
+                continue
+            j = jaccard_for_pairs(lookup, [(a, b)], shingle_k)[0][2]
+            if j >= min_jaccard:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, type=id_set.type),
+                "id_b": pa.array(out_b, type=id_set.type),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------- simhash ----

@@ -149,18 +149,27 @@ def knn_topk_lsh(
 
     Recall < 1 by construction; tests compare against ``knn_topk``.
     """
+    import pyarrow.compute as pc
+
     queries = np.asarray(queries, dtype=np.float64)
     planes = make_hyperplanes(queries.shape[1], bits, seed)
     q_buckets = (((queries @ planes.T) > 0) @ (1 << np.arange(bits))).astype(np.int64)
     wanted = sorted(set(q_buckets.tolist()))
+    wanted_arr = pa.array(wanted, type=pa.int64())
     bucketed = ds.map_batches(
         lambda b: lsh_bucket_batch(b, planes, vector_column), batch_format="pyarrow"
-    ).filter(expr=f"bucket in {tuple(wanted)}" if len(wanted) > 1 else f"bucket == {wanted[0]}")
+    ).map_batches(
+        lambda b: b.filter(pc.is_in(b["bucket"], value_set=wanted_arr)),
+        batch_format="pyarrow",
+    )
     # per-bucket brute force against only the queries assigned there
     results = []
     for bucket in wanted:
         qsel = [i for i, qb in enumerate(q_buckets) if qb == bucket]
-        sub = bucketed.filter(expr=f"bucket == {bucket}")
+        sub = bucketed.map_batches(
+            lambda b, bk=bucket: b.filter(pc.equal(b["bucket"], bk)),
+            batch_format="pyarrow",
+        )
         results.append(
             knn_topk(
                 sub, queries[qsel], [list(query_ids)[i] for i in qsel], k=k,

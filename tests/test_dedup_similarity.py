@@ -1,0 +1,134 @@
+"""Dedup + similarity operator tests: MinHash/LSH candidate recall on
+constructed near-duplicates, SimHash, distributed Jaccard verification,
+exact dedup, brute-force vs LSH ANN agreement, and Annotator fusion
+parity with the separate tagger→linker stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from saber_ray.gazetteer import SABER_GROUNDING, build_linker_dict
+from saber_ray.schemas import DOCUMENTS
+from saber_ray.stages.annotate import Annotator
+from saber_ray.stages.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+    verify_pairs_jaccard,
+)
+from saber_ray.stages.linker import EntityLinker
+from saber_ray.stages.similarity import embedding_dup_pairs, knn_topk, knn_topk_lsh
+from saber_ray.stages.tagger import DictionaryTagger
+
+
+@pytest.fixture(scope="module")
+def dup_corpus():
+    """80 distinct docs + 5 near-duplicate pairs + 2 exact duplicates."""
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(80):
+        words = rng.choice(vocab, size=40).tolist()
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    for j in range(5):  # near-dups: copy with 2 words changed
+        base = rows[j]["text"].split()
+        base[5], base[20] = "changed", "words"
+        rows.append({"doc_id": 100 + j, "text": " ".join(base)})
+    rows.append({"doc_id": 200, "text": rows[10]["text"]})  # exact dup
+    rows.append({"doc_id": 201, "text": rows[11]["text"]})
+    return rd.from_arrow(pa.table({
+        "doc_id": [r["doc_id"] for r in rows],
+        "text": [r["text"] for r in rows],
+    })).materialize()
+
+
+def test_dedup_exact_survivors(dup_corpus):
+    out = dedup_exact(dup_corpus)
+    assert out.count() == 85  # 87 docs, 2 exact dups collapsed
+    survivors = {r["doc_id"] for r in out.take_all()}
+    assert 10 in survivors and 200 not in survivors
+    assert 11 in survivors and 201 not in survivors
+
+
+def test_minhash_finds_near_dups(dup_corpus):
+    # 2-of-40 words changed → Jaccard ≈ 0.73; 32 bands × 4 rows puts the
+    # LSH s-curve threshold at (1/32)^(1/4) ≈ 0.42, so these must be caught
+    # (the 16×8 default thresholds at ≈ 0.71 — tuned for closer duplicates)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_pairs(dup_corpus, num_bands=32).take_all()}
+    for j in range(5):
+        assert (j, 100 + j) in pairs, f"near-dup pair {j} missed"
+    assert (10, 200) in pairs and (11, 201) in pairs
+
+
+def test_jaccard_verification_stage(dup_corpus):
+    cand = minhash_lsh_pairs(dup_corpus, num_bands=32)
+    verified = verify_pairs_jaccard(cand, dup_corpus, min_jaccard=0.5)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.take_all()}
+    assert rows[(10, 200)] == 1.0
+    for j in range(5):
+        assert 0.5 <= rows[(j, 100 + j)] < 1.0
+
+
+def test_simhash_finds_exact_and_near(dup_corpus):
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(dup_corpus, max_hamming=6).take_all()}
+    assert (10, 200) in pairs and (11, 201) in pairs
+
+
+def test_knn_lsh_subset_of_bruteforce():
+    rng = np.random.RandomState(3)
+    mat = rng.normal(size=(200, 16))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(200)),
+        "embedding": [row.tolist() for row in mat],
+    }))
+    queries, qids = mat[:3], [0, 1, 2]
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             knn_topk(ds, queries, qids, k=5).take_all()}
+    approx = knn_topk_lsh(ds, queries, qids, k=5, bits=4).take_all()
+    assert approx, "LSH variant returned nothing"
+    # every approx neighbor must at least be a same-bucket true vector
+    assert all(r["rank"] >= 1 for r in approx)
+    # recall vs exact is positive (hyperplane buckets keep near vectors)
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(approx_pairs & exact) > 0
+
+
+def test_embedding_dup_pairs_symmetric():
+    base = np.random.RandomState(5).normal(size=(30, 8))
+    base[7] = base[3] * 1.001  # near-identical direction
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(30)),
+        "embedding": [r.tolist() for r in base],
+    }))
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(ds, threshold=0.999).take_all()}
+    assert (3, 7) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+# ------------------------------------------------- annotator fusion ------
+
+
+def test_annotator_fusion_parity():
+    """Fused Annotator must equal DictionaryTagger → EntityLinker."""
+    docs = []
+    texts = [
+        ["Glucose and p53 in cystic fibrosis.", "Mouse and human MK2!"],
+        ["No entities at all here."],
+        [""],
+    ]
+    for i, t in enumerate(texts):
+        spans, off = [], 0
+        if i == 1:
+            spans.append({"kind": "image", "text": "", "media_ref": "m://x", "offset": 0})
+        for s in t:
+            spans.append({"kind": "text", "text": s, "media_ref": "", "offset": off})
+            off += len(s) + 1
+        docs.append({"doc_id": f"d{i}", "spans": spans})
+    batch = pa.Table.from_pylist(docs, schema=DOCUMENTS)
+
+    fused = Annotator()(batch)
+    chained = EntityLinker(build_linker_dict(SABER_GROUNDING))(DictionaryTagger()(batch))
+    assert fused["ents"].to_pylist() == chained["ents"].to_pylist()
+    assert fused["span_hash"].to_pylist() == chained["span_hash"].to_pylist()
