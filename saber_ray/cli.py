@@ -1,0 +1,104 @@
+"""Command-line entry points — the ``ray job submit`` surface.
+
+    # run (or resume) the partitioned KG job over a parquet corpus
+    python -m saber_ray.cli run --input 'corpus/*.parquet' --out /data/kg
+
+    # generate a synthetic interleaved corpus
+    python -m saber_ray.cli synth --docs 100000 --out /data/corpus
+
+    # evaluate emitted triples against a gold table
+    python -m saber_ray.cli eval --pred /data/kg/triples --gold /data/gold \
+        --metrics /data/kg/metrics.json
+
+On a cluster each subcommand is submitted as-is::
+
+    ray job submit --working-dir . -- python -m saber_ray.cli run ...
+
+Scripts own the Ray session (``ray.init`` guarded); library code never
+initialises Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "auto"),
+            include_dashboard=False,
+            logging_level="ERROR",
+            ignore_reinit_error=True,
+        )
+
+
+def cmd_run(args: argparse.Namespace) -> None:
+    _ensure_ray()
+    from .pipelines.kg import KGConfig
+    from .pipelines.run import run_kg_job
+
+    config = KGConfig(num_salts=args.num_salts, batch_size=args.batch_size)
+    summary = run_kg_job(
+        args.input, args.out, config, partitions=args.partitions
+    )
+    print(json.dumps(summary))
+
+
+def cmd_synth(args: argparse.Namespace) -> None:
+    _ensure_ray()
+    from .sources.synthetic import synthetic_dataset
+
+    ds = synthetic_dataset(args.docs, seed=args.seed)
+    ds.write_parquet(args.out)
+    print(json.dumps({"docs": args.docs, "out": args.out}))
+
+
+def cmd_eval(args: argparse.Namespace) -> None:
+    _ensure_ray()
+    import ray.data as rd
+
+    from .sources.sinks import write_metrics_json
+    from .stages.evaluate import evaluate_triples
+
+    scores = evaluate_triples(rd.read_parquet(args.pred), rd.read_parquet(args.gold))
+    p, r, f1, support = scores["MICRO_AVG"]
+    if args.metrics:
+        write_metrics_json(scores, args.metrics)
+    print(json.dumps({"precision": p, "recall": r, "f1": f1, "support": support}))
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="saber_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="run/resume the partitioned KG job")
+    p_run.add_argument("--input", required=True, help="parquet glob of documents")
+    p_run.add_argument("--out", required=True)
+    p_run.add_argument("--partitions", type=int, default=8)
+    p_run.add_argument("--num-salts", type=int, default=16)
+    p_run.add_argument("--batch-size", type=int, default=256)
+    p_run.set_defaults(fn=cmd_run)
+
+    p_synth = sub.add_parser("synth", help="generate a synthetic corpus")
+    p_synth.add_argument("--docs", type=int, required=True)
+    p_synth.add_argument("--seed", type=int, default=42)
+    p_synth.add_argument("--out", required=True)
+    p_synth.set_defaults(fn=cmd_synth)
+
+    p_eval = sub.add_parser("eval", help="triple-level P/R vs a gold table")
+    p_eval.add_argument("--pred", required=True)
+    p_eval.add_argument("--gold", required=True)
+    p_eval.add_argument("--metrics", default="")
+    p_eval.set_defaults(fn=cmd_eval)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
