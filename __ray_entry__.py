@@ -176,6 +176,20 @@ def _q_events_window(sf_dir: str):
     return tumbling_window_agg(read_table(sf_dir, "events"))
 
 
+def _q_events_sliding(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import sliding_window_agg
+
+    return sliding_window_agg(read_table(sf_dir, "events"))
+
+
+def _q_events_sessions(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import sessionize
+
+    return sessionize(read_table(sf_dir, "events", columns=["user_id", "ts"]))
+
+
 def _q_tpch_q1(sf_dir: str):
     from saber_ray.sources.testdata import read_table
     from saber_ray.stages.relational import lineitem_pricing_summary
@@ -247,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_tokens": _q_hot_tokens,
         "kg_mentions_filtered": _q_kg_mentions_filtered,
         "events_window": _q_events_window,
+        "events_sliding": _q_events_sliding,
+        "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "kg_mentions": _q_kg_mentions,
@@ -411,6 +427,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    CAST(count(*) AS BIGINT) AS n, max(value) AS max_value
             FROM events
+            GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            WITH bounds AS (
+                SELECT time_bucket(INTERVAL 15 MINUTE, min(ts)) - INTERVAL 45 MINUTE AS a,
+                       max(ts) AS b
+                FROM events
+            ),
+            w AS (
+                SELECT unnest(generate_series((SELECT a FROM bounds),
+                                              (SELECT b FROM bounds),
+                                              INTERVAL 15 MINUTE)) AS window_start
+            )
+            SELECT e.event_type, w.window_start, CAST(count(*) AS BIGINT) AS n
+            FROM events e
+            JOIN w ON w.window_start <= e.ts AND e.ts < w.window_start + INTERVAL 60 MINUTE
+            GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_num
+                FROM e
+            )
+            SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s
             GROUP BY 1, 2
         """,
         "tpch_q1": """

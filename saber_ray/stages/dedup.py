@@ -109,27 +109,52 @@ def _band_rows(batch: pa.Table, num_bands: int, id_column: str) -> pa.Table:
     )
 
 
-def _bucket_pairs(group: pd.DataFrame, id_column: str, max_bucket: int) -> pd.DataFrame:
-    ids = sorted(group[id_column].tolist())
-    dtype = group[id_column].dtype
-    if len(ids) < 2 or len(ids) > max_bucket:
-        if len(ids) > max_bucket:
-            # oversize buckets are logged, not silently expanded to O(n^2)
-            import logging
+def _bucket_members_agg(id_column: str, cap: int):
+    """AggregateFn collecting up to ``cap``+1 member ids per bucket —
+    vectorized block accumulation, no per-group pandas. Keeping cap+1
+    lets the pair expansion distinguish 'exactly cap' from 'oversize'."""
+    from ray.data.aggregate import AggregateFn
 
+    def accumulate_block(acc: list, block) -> list:
+        if len(acc) > cap:
+            return acc
+        return (acc + block[id_column].to_pylist())[: cap + 1]
+
+    return AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: (a + b)[: cap + 1],
+        accumulate_block=accumulate_block,
+        name="members",
+    )
+
+
+def _expand_bucket_pairs(batch: pa.Table, max_bucket: int) -> pa.Table:
+    """(bucket key, members) rows → (id_a, id_b) candidate pairs."""
+    import logging
+
+    out_a, out_b = [], []
+    for members in batch["members"].to_pylist():
+        if len(members) < 2:
+            continue
+        if len(members) > max_bucket:
+            # oversize buckets are logged, not silently expanded to O(n^2)
             logging.getLogger(__name__).warning(
-                "minhash LSH bucket of size %d exceeds max_bucket=%d; "
-                "pairs from this bucket are skipped", len(ids), max_bucket,
+                "LSH bucket exceeds max_bucket=%d; its pairs are skipped",
+                max_bucket,
             )
-        return pd.DataFrame({"id_a": pd.Series([], dtype=dtype),
-                             "id_b": pd.Series([], dtype=dtype)})
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"id_a": pd.Series(a, dtype=dtype),
-                         "id_b": pd.Series(b, dtype=dtype)})
+            continue
+        ids = sorted(members)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+    id_type = batch.schema.field("members").type.value_type
+    return pa.table(
+        {
+            "id_a": pa.array(out_a, type=id_type),
+            "id_b": pa.array(out_b, type=id_type),
+        }
+    )
 
 
 def minhash_lsh_pairs(
@@ -159,9 +184,12 @@ def minhash_lsh_pairs(
     )
     bands = sigs.map_batches(
         lambda b: _band_rows(b, num_bands, id_column), batch_format="pyarrow"
+    ).repartition(num_bands)  # coalesce: see canonicalize.py on reduce-task overhead
+    buckets = bands.groupby(["band", "band_hash"]).aggregate(
+        _bucket_members_agg(id_column, max_bucket)
     )
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, id_column, max_bucket), batch_format="pandas"
+    pairs = buckets.map_batches(
+        lambda b: _expand_bucket_pairs(b, max_bucket), batch_format="pyarrow"
     )
     # distinct (a, b) across bands
     return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
@@ -303,19 +331,50 @@ def simhash_near_pairs(
                          "key": pa.array(keys, type=pa.int64()),
                          "simhash": pa.array(sims, type=pa.int64())})
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(group[id_column], group["simhash"]))
-        if len(rows) < 2 or len(rows) > max_bucket:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(group[id_column].dtype, errors="ignore")
-        a_out, b_out = [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                x = (rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)
-                if bin(x).count("1") <= max_hamming:
-                    a_out.append(rows[i][0])
-                    b_out.append(rows[j][0])
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out})
+    import json
 
-    banded = sigs.map_batches(bands, batch_format="pyarrow")
-    cand = banded.groupby(["t", "key"]).map_groups(pairs, batch_format="pandas")
+    from ray.data.aggregate import AggregateFn
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
+
+    def accumulate_block(acc: list, block) -> list:
+        # members JSON-encoded so the accumulator stays a uniform string
+        # list whatever the id type (Arrow can't hold (str, int) tuples)
+        if len(acc) > max_bucket:
+            return acc
+        got = [
+            json.dumps([i, s])
+            for i, s in zip(block[id_column].to_pylist(), block["simhash"].to_pylist())
+        ]
+        return (acc + got)[: max_bucket + 1]
+
+    members_agg = AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: (a + b)[: max_bucket + 1],
+        accumulate_block=accumulate_block,
+        name="members",
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for members in batch["members"].to_pylist():
+            if len(members) < 2 or len(members) > max_bucket:
+                continue
+            rows = sorted(tuple(json.loads(m)) for m in members)
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    x = (rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)
+                    if bin(x).count("1") <= max_hamming:
+                        out_a.append(rows[i][0])
+                        out_b.append(rows[j][0])
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, type=id_type),
+                "id_b": pa.array(out_b, type=id_type),
+            }
+        )
+
+    banded = sigs.map_batches(bands, batch_format="pyarrow").repartition(num_tables)
+    buckets = banded.groupby(["t", "key"]).aggregate(members_agg)
+    cand = buckets.map_batches(expand, batch_format="pyarrow")
     return cand.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])

@@ -46,6 +46,81 @@ def tumbling_window_agg(
     return agg
 
 
+def sliding_window_agg(
+    events: rd.Dataset,
+    window_minutes: int = 60,
+    slide_minutes: int = 15,
+    key: str = "event_type",
+    ts_column: str = "ts",
+) -> rd.Dataset:
+    """Sliding-window aggregate: each event lands in
+    ``window/slide`` overlapping windows (epoch-aligned starts); counts
+    per (key, window_start).
+
+    Window assignment is a flat map (vectorized floor + offsets) — the
+    multiplicity is bounded (window/slide), and the shuffle is still a
+    single groupby on (key, window_start).
+    """
+    assert window_minutes % slide_minutes == 0
+    fanout = window_minutes // slide_minutes
+
+    def assign(batch: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(batch[ts_column], multiple=slide_minutes, unit="minute")
+        keys, starts = [], []
+        for off in range(fanout):
+            delta = pa.scalar(off * slide_minutes * 60_000_000, type=pa.duration("us"))
+            starts.append(pc.subtract(base, delta))
+            keys.append(batch[key])
+        return pa.table(
+            {
+                key: pa.concat_arrays([pa.concat_arrays(k.chunks) if isinstance(k, pa.ChunkedArray) else k for k in keys]),
+                "window_start": pa.concat_arrays(
+                    [s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s for s in starts]
+                ),
+            }
+        )
+
+    agg = events.map_batches(assign, batch_format="pyarrow").groupby(
+        [key, "window_start"]
+    ).count()
+    return agg.rename_columns({"count()": "n"})
+
+
+def sessionize(
+    events: rd.Dataset,
+    gap_minutes: int = 30,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+) -> rd.Dataset:
+    """Gap-based sessionization: per user, a new session starts when the
+    gap to the previous event exceeds ``gap_minutes``. One shuffle keyed
+    on the user; session assembly is a sorted per-group pass.
+
+    Returns (user_id, session_num, n, session_start, session_end);
+    session_num is 1-based in event-time order (deterministic).
+    """
+    import pandas as pd
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_column)
+        new_session = (g[ts_column].diff() > gap) | g[ts_column].diff().isna()
+        g = g.assign(session_num=new_session.cumsum().astype("int64"))
+        out = g.groupby("session_num", sort=True).agg(
+            n=(ts_column, "size"),
+            session_start=(ts_column, "min"),
+            session_end=(ts_column, "max"),
+        ).reset_index()
+        out.insert(0, user_column, g[user_column].iloc[0])
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return events.select_columns([user_column, ts_column]).groupby(
+        user_column
+    ).map_groups(per_user, batch_format="pandas")
+
+
 def lineitem_pricing_summary(lineitem: rd.Dataset) -> rd.Dataset:
     """TPC-H Q1-shaped pricing summary over lineitem.
 

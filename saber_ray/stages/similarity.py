@@ -73,7 +73,7 @@ class BruteForceTopK:
         )
 
 
-def _merge_topk(k: int, exclude_self: bool):
+def _merge_topk(k: int, exclude_self: bool, keep_scores: bool = False):
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         g = group
         if exclude_self:
@@ -82,7 +82,8 @@ def _merge_topk(k: int, exclude_self: bool):
         g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g[["query_id", "neighbor_id", "rank"]]
+        cols = ["query_id", "neighbor_id", "rank"] + (["cosine"] if keep_scores else [])
+        return g[cols]
 
     return merge
 
@@ -96,6 +97,7 @@ def knn_topk(
     vector_column: str = "embedding",
     exclude_self: bool = True,
     concurrency=None,
+    keep_scores: bool = False,
 ) -> rd.Dataset:
     """Exact cosine top-k: (query_id, neighbor_id, rank) per query."""
     queries_ref = ray.put(np.asarray(queries, dtype=np.float64))
@@ -103,6 +105,74 @@ def knn_topk(
         BruteForceTopK,
         fn_constructor_kwargs={
             "queries_ref": queries_ref, "query_ids": list(query_ids),
+            "k": k + (1 if exclude_self else 0),
+            "id_column": id_column, "vector_column": vector_column,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 8),
+    )
+    return cands.groupby("query_id").map_groups(
+        _merge_topk(k, exclude_self, keep_scores), batch_format="pandas"
+    )
+
+
+
+class MaskedTopK:
+    """Map stage: local top-k where each (row, query) pair is allowed only
+    if the row's partition (LSH bucket / IVF list) is in the query's probe
+    set. One actor-pool pass over the corpus — no per-bucket sub-pipelines.
+
+    ``assign`` maps a [n, d] matrix to an int partition id per row;
+    ``probe_bool`` is [nq, num_partitions] of allowed partitions.
+    At storage scale the same partition ids prune reads instead
+    (the index table is written partitioned by this id).
+    """
+
+    def __init__(self, queries_ref, query_ids, assign_ref, probe_bool_ref, k: int,
+                 id_column: str = "vec_id", vector_column: str = "embedding"):
+        self._q = _normalize(ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref)
+        self._qids = np.asarray(query_ids)
+        self._assign = ray.get(assign_ref) if isinstance(assign_ref, ray.ObjectRef) else assign_ref
+        self._probe = ray.get(probe_bool_ref) if isinstance(probe_bool_ref, ray.ObjectRef) else probe_bool_ref
+        self._k = k
+        self._id = id_column
+        self._vec = vector_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self._id].to_pylist())
+        mat = _normalize(_stack(batch[self._vec]))
+        parts = self._assign(mat)                           # [n]
+        allowed = self._probe[:, parts].T                   # [n, nq]
+        sims = mat @ self._q.T
+        sims = np.where(allowed, sims, -np.inf)
+        k = min(self._k, len(ids))
+        out_q, out_n, out_s = [], [], []
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]
+        for qi in range(sims.shape[1]):
+            rows = [r for r in top[:, qi] if np.isfinite(sims[r, qi])]
+            out_q.extend([self._qids[qi]] * len(rows))
+            out_n.extend(ids[rows].tolist())
+            out_s.extend(sims[rows, qi].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                "neighbor_id": pa.array(out_n),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def _masked_topk(ds, queries, query_ids, k, assign_fn, probe_bool,
+                 id_column, vector_column, exclude_self=True, concurrency=None):
+    import ray as _ray
+
+    cands = ds.map_batches(
+        MaskedTopK,
+        fn_constructor_kwargs={
+            "queries_ref": _ray.put(np.asarray(queries, dtype=np.float64)),
+            "query_ids": list(query_ids),
+            "assign_ref": _ray.put(assign_fn),
+            "probe_bool_ref": _ray.put(probe_bool),
             "k": k + (1 if exclude_self else 0),
             "id_column": id_column, "vector_column": vector_column,
         },
@@ -145,41 +215,93 @@ def knn_topk_lsh(
     id_column: str = "vec_id",
     vector_column: str = "embedding",
 ) -> rd.Dataset:
-    """Approximate top-k: probe only the query's LSH bucket.
-
-    Recall < 1 by construction; tests compare against ``knn_topk``.
-    """
-    import pyarrow.compute as pc
-
+    """Approximate top-k: each query scores only vectors in its own LSH
+    bucket (masked single pass). Recall < 1 by construction; tests
+    compare against ``knn_topk``."""
     queries = np.asarray(queries, dtype=np.float64)
     planes = make_hyperplanes(queries.shape[1], bits, seed)
-    q_buckets = (((queries @ planes.T) > 0) @ (1 << np.arange(bits))).astype(np.int64)
-    wanted = sorted(set(q_buckets.tolist()))
-    wanted_arr = pa.array(wanted, type=pa.int64())
-    bucketed = ds.map_batches(
-        lambda b: lsh_bucket_batch(b, planes, vector_column), batch_format="pyarrow"
-    ).map_batches(
-        lambda b: b.filter(pc.is_in(b["bucket"], value_set=wanted_arr)),
-        batch_format="pyarrow",
+    weights = 1 << np.arange(bits)
+
+    def assign(mat: np.ndarray) -> np.ndarray:
+        return (((mat @ planes.T) > 0) @ weights).astype(np.int64)
+
+    q_buckets = assign(_normalize(queries))
+    probe = np.zeros((len(queries), 1 << bits), dtype=bool)
+    probe[np.arange(len(queries)), q_buckets] = True
+    return _masked_topk(ds, queries, query_ids, k, assign, probe,
+                        id_column, vector_column)
+
+
+# --------------------------------------------------------------- IVF ----
+
+
+def train_ivf_centroids(
+    ds: rd.Dataset,
+    num_centroids: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    vector_column: str = "embedding",
+) -> np.ndarray:
+    """k-means centroids (normalized) from a bounded sample.
+
+    The sample (not the corpus) fits on the driver; Lloyd iterations are
+    numpy. At 100 TB the sample is a `random_sample` read — training cost
+    is independent of corpus size.
+    """
+    rows = ds.limit(sample_size).take_all()
+    mat = _normalize(np.array([r[vector_column] for r in rows], dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(num_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_assign_batch(batch: pa.Table, centroids: np.ndarray,
+                     vector_column: str = "embedding") -> pa.Table:
+    """Append ``centroid`` — nearest-centroid id (the IVF partition key;
+    at scale this is the stored index's partitioning column)."""
+    mat = _normalize(_stack(batch[vector_column]))
+    assign = (mat @ centroids.T).argmax(axis=1).astype(np.int64)
+    return batch.append_column("centroid", pa.array(assign))
+
+
+def knn_topk_ivf(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> rd.Dataset:
+    """IVF approximate top-k: each query scores only vectors whose
+    nearest centroid is among its ``nprobe`` closest lists (masked single
+    pass; nprobe == num_centroids → exact). Tests compare against
+    ``knn_topk``."""
+    queries = np.asarray(queries, dtype=np.float64)
+    centroids = train_ivf_centroids(
+        ds, num_centroids, seed=seed, vector_column=vector_column
     )
-    # per-bucket brute force against only the queries assigned there
-    results = []
-    for bucket in wanted:
-        qsel = [i for i, qb in enumerate(q_buckets) if qb == bucket]
-        sub = bucketed.map_batches(
-            lambda b, bk=bucket: b.filter(pc.equal(b["bucket"], bk)),
-            batch_format="pyarrow",
-        )
-        results.append(
-            knn_topk(
-                sub, queries[qsel], [list(query_ids)[i] for i in qsel], k=k,
-                id_column=id_column, vector_column=vector_column,
-            )
-        )
-    out = results[0]
-    for r in results[1:]:
-        out = out.union(r)
-    return out
+
+    def assign(mat: np.ndarray) -> np.ndarray:
+        return (mat @ centroids.T).argmax(axis=1).astype(np.int64)
+
+    qsims = _normalize(queries) @ centroids.T
+    order = np.argsort(-qsims, axis=1)[:, :nprobe]
+    probe = np.zeros((len(queries), len(centroids)), dtype=bool)
+    for i in range(len(queries)):
+        probe[i, order[i]] = True
+    return _masked_topk(ds, queries, query_ids, k, assign, probe,
+                        id_column, vector_column)
 
 
 # ------------------------------------------------- embedding near-dup ---

@@ -132,3 +132,29 @@ def test_annotator_fusion_parity():
     chained = EntityLinker(build_linker_dict(SABER_GROUNDING))(DictionaryTagger()(batch))
     assert fused["ents"].to_pylist() == chained["ents"].to_pylist()
     assert fused["span_hash"].to_pylist() == chained["span_hash"].to_pylist()
+
+
+def test_knn_ivf_recall():
+    """IVF with full probing equals exact; partial probing keeps high
+    recall on clustered data."""
+    from saber_ray.stages.similarity import knn_topk_ivf
+
+    rng = np.random.RandomState(11)
+    centers = rng.normal(size=(8, 16)) * 4
+    vecs = np.vstack([c + rng.normal(size=(40, 16)) for c in centers])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(len(vecs))),
+        "embedding": [v.tolist() for v in vecs],
+    })).materialize()
+    queries, qids = vecs[:4], [0, 1, 2, 3]
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             knn_topk(ds, queries, qids, k=5).take_all()}
+
+    full = {(r["query_id"], r["neighbor_id"]) for r in
+            knn_topk_ivf(ds, queries, qids, k=5, num_centroids=8, nprobe=8).take_all()}
+    assert full == exact  # probing every list == exact
+
+    part = {(r["query_id"], r["neighbor_id"]) for r in
+            knn_topk_ivf(ds, queries, qids, k=5, num_centroids=8, nprobe=2).take_all()}
+    recall = len(part & exact) / len(exact)
+    assert recall >= 0.8, f"IVF nprobe=2 recall {recall}"
