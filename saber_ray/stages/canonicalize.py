@@ -109,59 +109,103 @@ def partial_nodes(batch: pa.Table, num_salts: int = 16) -> pa.Table:
     return pa.Table.from_pydict(rows, schema=_PARTIAL_NODES_SCHEMA)
 
 
-def _merge_node_partials(g: pd.DataFrame) -> pd.DataFrame:
-    counter: dict[str, int] = {}
-    for surfaces, counts in zip(g["surfaces"], g["counts"]):
-        for s, c in zip(surfaces, counts):
-            counter[s] = counter.get(s, 0) + int(c)
-    counter = _top_counts(counter, MAX_SURFACES)
-    return pd.DataFrame(
-        {
-            "entity_id": [g["entity_id"].iloc[0]],
-            "salt": [0],
-            "surfaces": [sorted(counter)],
-            "counts": [[counter[s] for s in sorted(counter)]],
-            "support": [int(g["support"].sum())],
-        }
+def _node_state_agg():
+    """AggregateFn merging node partials: (surface-count multiset capped
+    at MAX_SURFACES, total support) — block-wise accumulation, finalized
+    to a JSON string (Arrow-storable; parsed by the next stage)."""
+    import json
+
+    from ray.data.aggregate import AggregateFn
+
+    def merge(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        counter, support = dict(a[0]), a[1] + b[1]
+        for s, c in b[0].items():
+            counter[s] = counter.get(s, 0) + c
+        return (_top_counts(counter, MAX_SURFACES), support)
+
+    def accumulate_block(acc, block):
+        counter: dict[str, int] = {}
+        support = 0
+        for surfaces, counts, sup in zip(
+            block["surfaces"].to_pylist(), block["counts"].to_pylist(),
+            block["support"].to_pylist(),
+        ):
+            for s, c in zip(surfaces, counts):
+                counter[s] = counter.get(s, 0) + int(c)
+            support += int(sup)
+        return merge(acc, (_top_counts(counter, MAX_SURFACES), support))
+
+    return AggregateFn(
+        init=lambda k: None,
+        merge=merge,
+        accumulate_block=accumulate_block,
+        finalize=lambda acc: json.dumps(
+            [sorted((acc or ({}, 0))[0].items()), (acc or ({}, 0))[1]]
+        ),
+        name="node_state",
     )
 
 
-def _finalize_node(g: pd.DataFrame) -> pd.DataFrame:
-    merged = _merge_node_partials(g)
-    entity_id = merged["entity_id"].iloc[0]
-    label, kind, rest = entity_id.split(":", 2)
-    namespace, xref_id = ("", "") if kind == "surface" else (kind, rest)
-    counter = dict(zip(merged["surfaces"].iloc[0], merged["counts"].iloc[0]))
-    canonical = min(counter, key=lambda s: (-counter[s], s)) if counter else ""
-    return pd.DataFrame(
-        {
-            "node_id": [entity_id],
-            "label": [label],
-            "canonical_name": [canonical],
-            "surface_forms": [sorted(counter)],
-            "namespace": [namespace],
-            "xref_id": [xref_id],
-            "support": [int(merged["support"].iloc[0])],
-        }
-    )
+def _state_to_partials(batch: pa.Table) -> pa.Table:
+    """Level-1 aggregate output → partial-node rows for the final level."""
+    import json
+
+    rows = {k: [] for k in _PARTIAL_NODES_SCHEMA.names}
+    for eid, state in zip(
+        batch["entity_id"].to_pylist(), batch["node_state"].to_pylist()
+    ):
+        items, support = json.loads(state)
+        counter = dict(items)
+        rows["entity_id"].append(eid)
+        rows["salt"].append(0)
+        rows["surfaces"].append(sorted(counter))
+        rows["counts"].append([counter[s] for s in sorted(counter)])
+        rows["support"].append(int(support))
+    return pa.Table.from_pydict(rows, schema=_PARTIAL_NODES_SCHEMA)
+
+
+def _states_to_nodes(batch: pa.Table) -> pa.Table:
+    """Final aggregate output → NODES-schema rows."""
+    import json
+
+    rows = {k: [] for k in NODES.names}
+    for eid, state in zip(
+        batch["entity_id"].to_pylist(), batch["node_state"].to_pylist()
+    ):
+        items, support = json.loads(state)
+        counter = dict(items)
+        label, kind, rest = eid.split(":", 2)
+        namespace, xref_id = ("", "") if kind == "surface" else (kind, rest)
+        canonical = min(counter, key=lambda s: (-counter[s], s)) if counter else ""
+        rows["node_id"].append(eid)
+        rows["label"].append(label)
+        rows["canonical_name"].append(canonical)
+        rows["surface_forms"].append(sorted(counter))
+        rows["namespace"].append(namespace)
+        rows["xref_id"].append(xref_id)
+        rows["support"].append(int(support))
+    return pa.Table.from_pydict(rows, schema=NODES)
 
 
 def canonicalize_nodes(mentions, num_salts: int = 16):
-    """MENTIONS Dataset → NODES Dataset (salted two-level merge)."""
+    """MENTIONS Dataset → NODES Dataset.
+
+    Salted two-level merge, both levels native ``groupby().aggregate``
+    with a multiset-merging AggregateFn — no per-group Python/pandas.
+    """
     partials = mentions.map_batches(
         lambda b: partial_nodes(b, num_salts), batch_format="pyarrow"
     )
     # coalesce the (small) partial stream — see canonicalize_edges
     partials = partials.repartition(num_salts)
-    level1 = partials.groupby(["entity_id", "salt"]).map_groups(
-        _merge_node_partials, batch_format="pandas"
-    )
-    nodes = level1.groupby("entity_id").map_groups(
-        _finalize_node, batch_format="pandas"
-    )
-    return nodes.map_batches(
-        lambda t: t.select(NODES.names).cast(NODES), batch_format="pyarrow"
-    )
+    level1 = partials.groupby(["entity_id", "salt"]).aggregate(_node_state_agg())
+    level2_in = level1.map_batches(_state_to_partials, batch_format="pyarrow")
+    final = level2_in.groupby("entity_id").aggregate(_node_state_agg())
+    return final.map_batches(_states_to_nodes, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- edges ---
