@@ -95,44 +95,69 @@ class Annotator:
         x_id: list[str] = []
         x_org: list[str] = []
         x_offsets: list[int] = [0]
-        ents_offsets = np.zeros(n_docs + 1, dtype=np.int32)
         hashes: list[str] = []
 
         pattern = self._pattern
         labels = self._labels
+
+        # ONE regex scan per batch: join every text span with \x00 (never
+        # whitespace nor alnum, so no surface and no boundary lookaround
+        # can cross it) and map match positions back through cumulative
+        # span starts. Cuts per-span scanner setup out of the hot loop.
+        sel = [
+            i for i in range(len(kinds))
+            if kinds[i] == "text" and texts[i]
+        ]
+        joined = "\x00".join(texts[i] for i in sel)
+        span_starts = np.zeros(len(sel) + 1, dtype=np.int64)
+        for si, i in enumerate(sel):
+            span_starts[si + 1] = span_starts[si] + len(texts[i]) + 1
+        sel_arr = np.asarray(sel, dtype=np.int64)
+        mention_flat_idx: list[int] = []
+        bounds_cache: dict[int, np.ndarray] = {}
+        for m in pattern.finditer(joined):
+            pos = m.start()
+            si = int(np.searchsorted(span_starts, pos, side="right")) - 1
+            i = int(sel_arr[si])
+            local_start = pos - int(span_starts[si])
+            surface = m.group()
+            norm = _WS.sub(" ", surface.lower())
+            label = labels[norm]
+            xrefs, entity_id = self._resolve(norm, label)
+            bounds = bounds_cache.get(i)
+            if bounds is None:
+                bounds = np.array(
+                    [b.start() for b in _SENT_BREAK.finditer(texts[i])], dtype=np.int64
+                )
+                bounds_cache[i] = bounds
+            m_start.append(local_start)
+            m_end.append(local_start + len(surface))
+            m_text.append(surface)
+            m_label.append(label)
+            mention_flat_idx.append(i)
+            m_sent_idx.append(int(np.searchsorted(bounds, local_start, side="left"))
+                              if len(bounds) else 0)
+            m_entity.append(entity_id)
+            for x in xrefs:
+                x_ns.append(x["namespace"])
+                x_id.append(x["id"])
+                x_org.append(x["organism_id"])
+            x_offsets.append(len(x_ns))
+
+        # flat span index → (doc, span_idx); matches arrive in flat order,
+        # so per-doc mention runs are contiguous and ents_offsets is a
+        # searchsorted over the run boundaries
+        if mention_flat_idx:
+            flat_idx = np.asarray(mention_flat_idx, dtype=np.int64)
+            docs_of_mention = np.searchsorted(doc_offsets, flat_idx, side="right") - 1
+            m_span_idx = (flat_idx - doc_offsets[docs_of_mention]).astype(np.int32).tolist()
+            ents_offsets = np.searchsorted(docs_of_mention, np.arange(n_docs + 1)).astype(np.int32)
+        else:
+            m_span_idx = []
+            ents_offsets = np.zeros(n_docs + 1, dtype=np.int32)
+
         for d in range(n_docs):
             lo, hi = doc_offsets[d], doc_offsets[d + 1]
-            for span_idx in range(hi - lo):
-                i = lo + span_idx
-                if kinds[i] != "text":
-                    continue
-                text = texts[i]
-                if not text:
-                    continue
-                bounds = None
-                for m in pattern.finditer(text):
-                    if bounds is None:
-                        bounds = np.array(
-                            [b.start() for b in _SENT_BREAK.finditer(text)], dtype=np.int64
-                        )
-                    surface = m.group()
-                    norm = _WS.sub(" ", surface.lower())
-                    label = labels[norm]
-                    xrefs, entity_id = self._resolve(norm, label)
-                    m_start.append(m.start())
-                    m_end.append(m.end())
-                    m_text.append(surface)
-                    m_label.append(label)
-                    m_span_idx.append(span_idx)
-                    m_sent_idx.append(int(np.searchsorted(bounds, m.start(), side="left"))
-                                      if len(bounds) else 0)
-                    m_entity.append(entity_id)
-                    for x in xrefs:
-                        x_ns.append(x["namespace"])
-                        x_id.append(x["id"])
-                        x_org.append(x["organism_id"])
-                    x_offsets.append(len(x_ns))
-            ents_offsets[d + 1] = len(m_start)
             hashes.append(span_sequence_hash(kinds[lo:hi], texts[lo:hi], media[lo:hi]))
 
         xref_struct = pa.StructArray.from_arrays(
