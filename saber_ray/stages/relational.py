@@ -151,7 +151,12 @@ def lineitem_pricing_summary(lineitem: rd.Dataset) -> rd.Dataset:
     def round2(batch: pa.Table) -> pa.Table:
         for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
             idx = batch.column_names.index(col)
-            batch = batch.set_column(idx, col, pc.round(batch[col], 2))
+            batch = batch.set_column(
+                idx, col,
+                # DuckDB round() is half-away-from-zero; Arrow defaults to
+                # half-to-even - match DuckDB so value hashes agree exactly
+                pc.round(batch[col], 2, round_mode="half_towards_infinity"),
+            )
         return batch
 
     return final.map_batches(round2, batch_format="pyarrow").sort(
@@ -221,7 +226,10 @@ def top_revenue_orders(
 
     def round2(batch: pa.Table) -> pa.Table:
         idx = batch.column_names.index("revenue")
-        return batch.set_column(idx, "revenue", pc.round(batch["revenue"], 2))
+        return batch.set_column(
+            idx, "revenue",
+            pc.round(batch["revenue"], 2, round_mode="half_towards_infinity"),
+        )
 
     return (
         joined.map_batches(round2, batch_format="pyarrow")
