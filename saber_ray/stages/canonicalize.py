@@ -111,23 +111,28 @@ def partial_nodes(batch: pa.Table, num_salts: int = 16) -> pa.Table:
 
 def _node_state_agg():
     """AggregateFn merging node partials: (surface-count multiset capped
-    at MAX_SURFACES, total support) — block-wise accumulation, finalized
-    to a JSON string (Arrow-storable; parsed by the next stage)."""
+    at MAX_SURFACES, total support).
+
+    The accumulator is a JSON STRING at every step — Ray serializes
+    accumulators into Arrow blocks between the map and reduce phases of
+    a sort-based aggregate, so a Python (dict, int) tuple there forces
+    object-dtype fallback blocks (ArrowConversionError spam)."""
     import json
 
     from ray.data.aggregate import AggregateFn
 
-    def merge(a, b):
-        if a is None:
-            return b
-        if b is None:
-            return a
-        counter, support = dict(a[0]), a[1] + b[1]
-        for s, c in b[0].items():
-            counter[s] = counter.get(s, 0) + c
-        return (_top_counts(counter, MAX_SURFACES), support)
+    empty = json.dumps([[], 0])
 
-    def accumulate_block(acc, block):
+    def _merge_states(a: str, b: str) -> str:
+        items_a, sup_a = json.loads(a)
+        items_b, sup_b = json.loads(b)
+        counter = dict(items_a)
+        for s, c in items_b:
+            counter[s] = counter.get(s, 0) + c
+        counter = _top_counts(counter, MAX_SURFACES)
+        return json.dumps([sorted(counter.items()), sup_a + sup_b])
+
+    def accumulate_block(acc: str, block) -> str:
         counter: dict[str, int] = {}
         support = 0
         for surfaces, counts, sup in zip(
@@ -137,15 +142,13 @@ def _node_state_agg():
             for s, c in zip(surfaces, counts):
                 counter[s] = counter.get(s, 0) + int(c)
             support += int(sup)
-        return merge(acc, (_top_counts(counter, MAX_SURFACES), support))
+        state = json.dumps([sorted(_top_counts(counter, MAX_SURFACES).items()), support])
+        return _merge_states(acc or empty, state)
 
     return AggregateFn(
-        init=lambda k: None,
-        merge=merge,
+        init=lambda k: empty,
+        merge=lambda a, b: _merge_states(a or empty, b or empty),
         accumulate_block=accumulate_block,
-        finalize=lambda acc: json.dumps(
-            [sorted((acc or ({}, 0))[0].items()), (acc or ({}, 0))[1]]
-        ),
         name="node_state",
     )
 
