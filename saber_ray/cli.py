@@ -29,8 +29,10 @@ def _ensure_ray() -> None:
     import ray
 
     if not ray.is_initialized():
+        # RAY_ADDRESS targets a running cluster (the ray job submit path);
+        # unset -> start a local instance ("auto" would raise instead)
         ray.init(
-            address=os.environ.get("RAY_ADDRESS", "auto"),
+            address=os.environ.get("RAY_ADDRESS"),
             include_dashboard=False,
             logging_level="ERROR",
             ignore_reinit_error=True,

@@ -62,10 +62,15 @@ def rolling_fingerprint(tokens: list[str], base: int = 1_000_003) -> int:
 
 
 def make_minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
-    """(a, b) coefficient vectors for num_perm universal-hash permutations."""
+    """(a, b) coefficient vectors for num_perm universal-hash permutations.
+
+    Coefficients are 32-bit and inputs are masked to 32 bits so
+    ``a * x + b`` < 2^64 exactly — no silent uint64 wraparound, the
+    universal-hash guarantee actually holds for the computed family.
+    """
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -79,7 +84,9 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) 
     num_perm = len(a)
     if len(shingle_hashes) == 0:
         return np.full(num_perm, _MAX_H, dtype=np.uint64)
-    x = shingle_hashes.astype(np.uint64) % _MERSENNE
+    # mask inputs to 32 bits: with 32-bit (a, b) the affine transform
+    # stays < 2^64, so the mod-p result is exact (no uint64 wraparound)
+    x = shingle_hashes.astype(np.uint64) & _MAX_H
     # [num_perm, n] — fine for per-document shingle counts
     vals = (np.outer(a, x) + b[:, None]) % _MERSENNE
     return (vals.min(axis=1) & _MAX_H).astype(np.uint64)

@@ -80,10 +80,25 @@ def annotate(documents: rd.Dataset, config: KGConfig | None = None) -> rd.Datase
     )
 
 
-def build_graph(documents: rd.Dataset, config: KGConfig | None = None) -> dict[str, rd.Dataset]:
-    """Full pipeline; returns lazy datasets for every logical table."""
+def build_graph(
+    documents: rd.Dataset,
+    config: KGConfig | None = None,
+    materialize_annotated: bool = False,
+) -> dict[str, rd.Dataset]:
+    """Full pipeline; returns datasets for every logical table.
+
+    The outputs are LAZY and share the annotate stage: consuming k of
+    them re-executes the (dominant) tagger+linker pass k times. When a
+    caller will consume more than one output, either pass
+    ``materialize_annotated=True`` (pins the annotated table in the
+    object store — fine when it fits) or stage the annotated table to
+    storage and derive from the staged copy, which is what
+    ``pipelines/run.py`` does for the checkpointed job.
+    """
     config = config or KGConfig()
     annotated = annotate(documents, config)
+    if materialize_annotated:
+        annotated = annotated.materialize()
     mentions = annotated.map_batches(explode_mentions, batch_format="pyarrow")
     triples = annotated.map_batches(
         lambda b: emit_triples(b, same_sentence=config.same_sentence),

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 from dataclasses import asdict
 
 import pyarrow.parquet as pq
@@ -96,7 +97,11 @@ def run_kg_job(
     processes (used by tests to simulate an interrupted run).
     """
     config = config or KGConfig()
-    cfg_hash = config_hash(repr(asdict_like(config)), __version__)
+    # partition count is part of the job identity: a different grouping
+    # maps fragments to different part dirs, so mixing is invalidated
+    cfg_hash = config_hash(
+        repr(asdict_like(config)) + f"|partitions={partitions}", __version__
+    )
     manifest = Manifest(out_dir, cfg_hash)
     files = sorted(glob.glob(input_glob))
     if not files:
@@ -116,6 +121,11 @@ def run_kg_job(
             ann_dir = os.path.join(out_dir, "annotated", f"part={pid:06d}")
             mentions_dir = os.path.join(out_dir, "mentions", f"part={pid:06d}")
             triples_dir = os.path.join(out_dir, "triples", f"part={pid:06d}")
+            # a crash between data write and manifest write leaves partial
+            # output; the rerun must start from empty dirs or the uniquely
+            # named parquet files accumulate as duplicate rows
+            for d in (ann_dir, mentions_dir, triples_dir):
+                shutil.rmtree(d, ignore_errors=True)
             # ONE annotate pass, staged to parquet (the annotation record
             # table — Saber's per-doc output, saber/saber.py:114 — is a
             # first-class output); mentions/triples are cheap derivations
@@ -158,6 +168,8 @@ def run_kg_job(
     # ---- graph stage: global canonicalization over all staged outputs ----
     if not manifest.is_done("graph", 0):
         with StageTimer() as timer:
+            for d in (os.path.join(out_dir, "nodes"), os.path.join(out_dir, "edges")):
+                shutil.rmtree(d, ignore_errors=True)
             mentions = rd.read_parquet(os.path.join(out_dir, "mentions"))
             triples = rd.read_parquet(os.path.join(out_dir, "triples"))
             nodes_dir = os.path.join(out_dir, "nodes")

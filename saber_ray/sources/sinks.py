@@ -22,14 +22,24 @@ def annotation_records_batch(batch: pa.Table) -> pa.Table:
 
     ``text`` is the concatenation of the document's text spans (media
     spans excluded, their refs listed separately so nothing is lost).
+    Mention offsets are REMAPPED from span-local to document-level so
+    ``record['text'][start:end] == mention text`` holds for every ent —
+    the contract the reference's consumers rely on
+    (saber/saber.py:107-112). ``span_idx`` is preserved for projecting
+    back to the source span.
     """
     rows = {"doc_id": [], "title": [], "text": [], "ents": [], "media_refs": []}
     for doc_id, spans, ents in zip(
         batch["doc_id"].to_pylist(), batch["spans"].to_pylist(), batch["ents"].to_pylist()
     ):
         text_parts, media = [], []
-        for s in spans:
+        # doc-level char offset of each span's text within the joined text
+        span_base: dict[int, int] = {}
+        cursor = 0
+        for idx, s in enumerate(spans):
             if s["kind"] == "text":
+                span_base[idx] = cursor
+                cursor += len(s["text"]) + 1  # the " " joiner
                 text_parts.append(s["text"])
             else:
                 media.append(s["media_ref"])
@@ -39,8 +49,11 @@ def annotation_records_batch(batch: pa.Table) -> pa.Table:
         rows["ents"].append(
             [
                 {
-                    "start": e["start"], "end": e["end"], "text": e["text"],
+                    "start": span_base.get(e["span_idx"], 0) + e["start"],
+                    "end": span_base.get(e["span_idx"], 0) + e["end"],
+                    "text": e["text"],
                     "label": e["label"],
+                    "span_idx": e["span_idx"],
                     "xrefs": e.get("xrefs", []),
                 }
                 for e in ents

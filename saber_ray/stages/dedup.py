@@ -8,8 +8,8 @@ All flavors follow the same scale shape:
 * candidate generation is ONE keyed shuffle (``groupby`` on a band /
   bucket key) — the only all-to-all exchange;
 * per-bucket pair expansion is capped (``max_bucket``) so a degenerate
-  bucket cannot emit O(n²) pairs — dropped buckets are reported in a
-  ``skipped_buckets`` side output rather than silently truncated;
+  bucket cannot emit O(n²) pairs — oversize buckets are dropped WITH a
+  warning log (never silently);
 * pair verification (exact Jaccard / Hamming / cosine) happens on the
   candidate pairs only.
 
@@ -285,6 +285,8 @@ def verify_pairs_jaccard(
 def simhash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """Append ``simhash`` — 64-bit SimHash over token hashes (vectorized
     bit-vote accumulation per document)."""
+    from ..functions.hashing import simhash64
+
     out = []
     for text in batch[column].to_pylist():
         toks = _TOKEN_RE.findall(text.lower()) if text else []
@@ -292,12 +294,7 @@ def simhash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
             out.append(0)
             continue
         hashes = np.array([stable_u64(t) for t in toks], dtype=np.uint64)
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        votes = (bits * 2 - 1).sum(axis=0)
-        val = 0
-        for i in range(64):
-            if votes[i] > 0:
-                val |= 1 << i
+        val = simhash64(hashes)  # single definition of the kernel
         out.append(val - (1 << 64) if val >= (1 << 63) else val)  # store as int64
     return batch.append_column("simhash", pa.array(out, type=pa.int64()))
 
@@ -356,15 +353,25 @@ def simhash_near_pairs(
     )
 
     def expand(batch: pa.Table) -> pa.Table:
+        import logging
+
         out_a, out_b = [], []
         for members in batch["members"].to_pylist():
-            if len(members) < 2 or len(members) > max_bucket:
+            if len(members) < 2:
+                continue
+            if len(members) > max_bucket:
+                logging.getLogger(__name__).warning(
+                    "simhash bucket exceeds max_bucket=%d; its pairs are skipped",
+                    max_bucket,
+                )
                 continue
             rows = sorted(tuple(json.loads(m)) for m in members)
+            from ..functions.hashing import hamming64
+
             for i in range(len(rows)):
                 for j in range(i + 1, len(rows)):
-                    x = (rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)
-                    if bin(x).count("1") <= max_hamming:
+                    if hamming64(rows[i][1] & ((1 << 64) - 1),
+                                 rows[j][1] & ((1 << 64) - 1)) <= max_hamming:
                         out_a.append(rows[i][0])
                         out_b.append(rows[j][0])
         return pa.table(

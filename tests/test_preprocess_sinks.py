@@ -124,9 +124,9 @@ def test_annotation_json_sink(annotated, tmp_path):
     rec = records.to_pylist()[0]
     assert set(rec) == {"doc_id", "title", "text", "ents", "media_refs"}
     for e in rec["ents"]:
-        assert set(e) == {"start", "end", "text", "label", "xrefs"}
-        # offsets index into the span text the mention came from
-        assert e["end"] > e["start"]
+        assert set(e) == {"start", "end", "text", "label", "span_idx", "xrefs"}
+        # doc-level offsets: slicing the record text yields the mention
+        assert rec["text"][e["start"]:e["end"]] == e["text"]
 
     out = str(tmp_path / "ann")
     write_annotation_json(annotated, out)

@@ -54,7 +54,7 @@ def test_interrupted_run_resumes(corpus_dir, tmp_path_factory):
     assert mentions > 0
 
     # manifest records carry lineage + metrics
-    cfg_hash = config_hash(repr(asdict_like(cfg)), __import__("saber_ray").__version__)
+    cfg_hash = config_hash(repr(asdict_like(cfg)) + "|partitions=4", __import__("saber_ray").__version__)
     man = Manifest(out, cfg_hash)
     recs = man.records("annotate")
     assert len(recs) == 4
@@ -71,8 +71,8 @@ def test_config_change_invalidates(corpus_dir, tmp_path_factory):
     run_kg_job(f"{corpus_dir}/*.parquet", out, cfg, partitions=2)
 
     changed = KGConfig(batch_size=64, num_salts=8)
-    h_old = config_hash(repr(asdict_like(cfg)), __import__("saber_ray").__version__)
-    h_new = config_hash(repr(asdict_like(changed)), __import__("saber_ray").__version__)
+    h_old = config_hash(repr(asdict_like(cfg)) + "|partitions=2", __import__("saber_ray").__version__)
+    h_new = config_hash(repr(asdict_like(changed)) + "|partitions=2", __import__("saber_ray").__version__)
     assert h_old != h_new
     # records written under the old hash do not satisfy the new config
     man_new = Manifest(out, h_new)
