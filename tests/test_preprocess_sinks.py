@@ -149,3 +149,19 @@ def test_metrics_json_sink(tmp_path):
 def test_pubmed_stub_gated():
     with pytest.raises(NotImplementedError):
         fetch_pubmed_stub("12345")
+
+
+def test_ini_config_roundtrip(tmp_path):
+    from saber_ray.config import load_config, save_config
+    from saber_ray.pipelines.kg import KGConfig
+
+    cfg = KGConfig(same_sentence=False, num_salts=8, batch_size=128,
+                   surfaces={"p53": "PRGE", "glucose": "CHED"})
+    path = save_config(cfg, str(tmp_path / "c.ini"))
+    loaded = load_config(path)
+    assert loaded.same_sentence is False
+    assert loaded.num_salts == 8
+    assert loaded.batch_size == 128
+    assert loaded.surfaces == {"p53": "PRGE", "glucose": "CHED"}
+    # CLI-style override wins
+    assert load_config(path, num_salts=4).num_salts == 4
