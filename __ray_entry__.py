@@ -138,7 +138,17 @@ def _q_embedding_dups(sf_dir: str):
     from saber_ray.sources.testdata import read_table
     from saber_ray.stages.similarity import embedding_dup_pairs
 
-    return embedding_dup_pairs(read_table(sf_dir, "embeddings"), threshold=0.5)
+    ds = embedding_dup_pairs(read_table(sf_dir, "embeddings"), threshold=0.5)
+    # near-dup pairs are tiny by definition; collect into a TYPED table so
+    # an all-empty result still carries its schema (a fully-empty Dataset
+    # drops columns on conversion)
+    rows = ds.take_all()
+    return pa.table(
+        {
+            "id_a": pa.array([r["id_a"] for r in rows], type=pa.int64()),
+            "id_b": pa.array([r["id_b"] for r in rows], type=pa.int64()),
+        }
+    )
 
 
 def _q_knn(sf_dir: str):
