@@ -111,12 +111,38 @@ def run_suite(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_neural_tag(num_docs: int) -> float:
+    """Weights-backed tagger path (bundle load per actor, tensor encode
+    → forward → decode) over the synthetic corpus."""
+    import tempfile
+
+    from saber_ray.gazetteer import SABER_SURFACES
+    from saber_ray.sources.synthetic import synthetic_dataset
+    from saber_ray.stages.neural import NeuralTagger
+    from saber_ray.state.bundle import build_gazetteer_bundle
+
+    bundle = build_gazetteer_bundle(
+        tempfile.mkdtemp(prefix="bench_bundle_"), SABER_SURFACES
+    )
+    t0 = time.perf_counter()
+    ds = synthetic_dataset(num_docs, seed=42).map_batches(
+        NeuralTagger,
+        fn_constructor_kwargs={"bundle_path": bundle},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(4, max(8, NUM_CPUS * 3 // 4)),
+    )
+    ds.count()
+    return time.perf_counter() - t0
+
+
 def main_bench() -> None:
     _init_ray(NUM_CPUS)
     t0 = time.perf_counter()
     queries = run_suite(SF_DIR)
     kg = run_synthetic_kg(SYNTH_DOCS)
     queries["synthetic_kg"] = round(kg["sec"], 3)
+    queries["synthetic_neural_tag"] = round(run_neural_tag(SYNTH_DOCS), 3)
     total = time.perf_counter() - t0
     print(
         json.dumps(

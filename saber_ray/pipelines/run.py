@@ -41,6 +41,7 @@ from .. import __version__
 from ..functions.hashing import span_sequence_hash, stable_hex
 from ..state.manifest import Manifest, PartitionRecord, StageTimer, config_hash
 from ..stages.canonicalize import canonicalize_edges, canonicalize_nodes
+from ..stages.preprocess import quarantine_split
 from ..stages.triples import emit_triples, explode_mentions
 from .kg import KGConfig, annotate
 
@@ -121,11 +122,22 @@ def run_kg_job(
             ann_dir = os.path.join(out_dir, "annotated", f"part={pid:06d}")
             mentions_dir = os.path.join(out_dir, "mentions", f"part={pid:06d}")
             triples_dir = os.path.join(out_dir, "triples", f"part={pid:06d}")
+            quarantine_dir = os.path.join(out_dir, "quarantine", f"part={pid:06d}")
             # a crash between data write and manifest write leaves partial
             # output; the rerun must start from empty dirs or the uniquely
             # named parquet files accumulate as duplicate rows
-            for d in (ann_dir, mentions_dir, triples_dir):
+            for d in (ann_dir, mentions_dir, triples_dir, quarantine_dir):
                 shutil.rmtree(d, ignore_errors=True)
+            # M10: invalid rows are routed to a quarantine table (never
+            # silently dropped); only valid rows feed the tagger
+            valid, invalid = quarantine_split(docs)
+            n_quarantined = 0
+            try:
+                invalid.write_parquet(quarantine_dir)
+                n_quarantined = _written_rows(quarantine_dir)
+            except Exception:
+                pass  # fully-empty invalid stream has no schema to write
+            docs = valid.drop_columns(["valid", "invalid_reason"])
             # ONE annotate pass, staged to parquet (the annotation record
             # table — Saber's per-doc output, saber/saber.py:114 — is a
             # first-class output); mentions/triples are cheap derivations
@@ -151,7 +163,8 @@ def run_kg_job(
                 wall_ms=timer.wall_ms,
                 status="done",
                 config_hash=cfg_hash,
-                extra={"mentions_rows": _written_rows(mentions_dir)},
+                extra={"mentions_rows": _written_rows(mentions_dir),
+                       "quarantined_rows": n_quarantined},
             )
         )
         ran.append(pid)

@@ -100,3 +100,38 @@ def test_manifest_atomic_overwrite(tmp_path):
     stray = [f for f in os.listdir(os.path.join(str(tmp_path), "_manifest", "s"))
              if f.endswith(".tmp")]
     assert stray == []
+
+
+def test_invalid_docs_quarantined(tmp_path_factory):
+    import pyarrow as pa
+
+    from saber_ray.schemas import DOCUMENTS
+
+    d = tmp_path_factory.mktemp("qcorpus")
+    table, _, _ = generate_documents(30, seed=12)
+    bad = pa.Table.from_pylist(
+        [{"doc_id": "", "spans": []},
+         {"doc_id": "nulltext",
+          "spans": [{"kind": "text", "text": None, "media_ref": "", "offset": 0}]}],
+        schema=DOCUMENTS,
+    )
+    pq.write_table(pa.concat_tables([table, bad]), str(d / "frag-0.parquet"))
+
+    out = str(tmp_path_factory.mktemp("qout"))
+    cfg = KGConfig(batch_size=16, num_salts=2)
+    s = run_kg_job(f"{d}/*.parquet", out, cfg, partitions=1)
+    assert s["complete"]
+    qrows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{out}/quarantine/**/*.parquet", recursive=True)
+    )
+    assert qrows == 2
+    ann_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{out}/annotated/**/*.parquet", recursive=True)
+    )
+    assert ann_rows == 30  # invalid docs excluded from the tagger path
+    cfg_hash = config_hash(repr(asdict_like(cfg)) + "|partitions=1",
+                           __import__("saber_ray").__version__)
+    rec = Manifest(out, cfg_hash).read("annotate", 0)
+    assert rec.extra["quarantined_rows"] == 2
