@@ -74,6 +74,16 @@ def cmd_eval(args: argparse.Namespace) -> None:
     print(json.dumps({"precision": p, "recall": r, "f1": f1, "support": support}))
 
 
+def cmd_serve(args: argparse.Namespace) -> None:
+    # in-process annotator; no Ray session needed for the serving path
+    from .service import serve
+
+    server = serve(host=args.host, port=args.port)
+    print(json.dumps({"serving": f"http://{args.host}:{server.server_address[1]}"}),
+          flush=True)
+    server.serve_forever()
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="saber_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -97,6 +107,11 @@ def main(argv=None) -> None:
     p_eval.add_argument("--gold", required=True)
     p_eval.add_argument("--metrics", default="")
     p_eval.set_defaults(fn=cmd_eval)
+
+    p_serve = sub.add_parser("serve", help="annotation HTTP service")
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=8421)
+    p_serve.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)
     args.fn(args)
