@@ -32,7 +32,7 @@ def _ensure_ray() -> None:
         # RAY_ADDRESS targets a running cluster (the ray job submit path);
         # unset -> start a local instance ("auto" would raise instead)
         ray.init(
-            address=os.environ.get("RAY_ADDRESS"),
+            address=os.environ.get("RAY_ADDRESS") or None,
             include_dashboard=False,
             logging_level="ERROR",
             ignore_reinit_error=True,
