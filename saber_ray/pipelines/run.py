@@ -47,12 +47,16 @@ from .kg import KGConfig, annotate
 
 
 def _partition_inputs(paths: list[str], partitions: int) -> list[list[str]]:
-    """Round-robin fragment grouping — deterministic for a sorted listing."""
-    paths = sorted(paths)
-    n = min(partitions, len(paths)) or 1
+    """Fragment grouping by FILENAME HASH — appending new fragments to
+    the corpus moves only the groups that receive them, so an
+    incremental re-run re-processes those partitions and skips the rest
+    (round-robin by index would reshuffle every group on any append)."""
+    from ..functions.hashing import stable_u64
+
+    n = max(1, partitions)
     groups: list[list[str]] = [[] for _ in range(n)]
-    for i, p in enumerate(paths):
-        groups[i % n].append(p)
+    for p in sorted(paths):
+        groups[stable_u64(os.path.basename(p)) % n].append(p)
     return groups
 
 
@@ -111,7 +115,19 @@ def run_kg_job(
 
     ran, skipped = [], []
     for pid, group in enumerate(groups):
-        if manifest.is_done("annotate", pid):
+        if not group:
+            skipped.append(pid)
+            continue
+        rec = manifest.read("annotate", pid)
+        if (
+            rec is not None
+            and rec.status == "done"
+            and rec.config_hash == cfg_hash
+            # resume is only valid if the partition's INPUT is unchanged:
+            # same fragment set and same spot-check content hash
+            and rec.input_fragments == [os.path.basename(f) for f in group]
+            and rec.span_hash == _spot_hash(group)
+        ):
             skipped.append(pid)
             continue
         if max_partitions is not None and len(ran) >= max_partitions:
@@ -169,17 +185,19 @@ def run_kg_job(
         )
         ran.append(pid)
 
+    nonempty = [p for p in range(len(groups)) if groups[p]]
     summary = {
         "partitions": len(groups),
         "ran": ran,
         "skipped": skipped,
-        "complete": all(manifest.is_done("annotate", p) for p in range(len(groups))),
+        "complete": all(p in ran or p in skipped for p in nonempty),
     }
     if not summary["complete"]:
         return summary
 
     # ---- graph stage: global canonicalization over all staged outputs ----
-    if not manifest.is_done("graph", 0):
+    # any re-run partition invalidates the previously aggregated graph
+    if ran or not manifest.is_done("graph", 0):
         with StageTimer() as timer:
             for d in (os.path.join(out_dir, "nodes"), os.path.join(out_dir, "edges")):
                 shutil.rmtree(d, ignore_errors=True)
