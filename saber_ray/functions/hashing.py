@@ -61,34 +61,43 @@ def rolling_fingerprint(tokens: list[str], base: int = 1_000_003) -> int:
     return acc
 
 
-def make_minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
-    """(a, b) coefficient vectors for num_perm universal-hash permutations.
+# odd multiplier for multiply-shift hashing (golden-ratio constant)
+_MULT = np.uint64(0x9E3779B97F4A7C15)
 
-    Coefficients are 32-bit and inputs are masked to 32 bits so
-    ``a * x + b`` < 2^64 exactly — no silent uint64 wraparound, the
-    universal-hash guarantee actually holds for the computed family.
+
+def make_minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Per-permutation 64-bit xor keys (and a second key vector kept for
+    API symmetry) for xor → multiply-shift permutations.
+
+    ``h_i(x) = ((x ^ k_i) * MULT) mod 2^64`` — the uint64 wraparound IS
+    the modulus, so the family is exact in numpy (an affine (a·x+b) mod p
+    family silently overflows uint64 for 61-bit coefficients, and
+    restricting coefficients to 32 bits measurably biases the Jaccard
+    estimate).
     """
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64)
-    return a, b
+    k1 = rng.randint(0, 1 << 63, size=num_perm, dtype=np.uint64) << np.uint64(1)
+    k1 |= rng.randint(0, 2, size=num_perm, dtype=np.uint64)
+    k2 = rng.randint(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    return k1, k2
 
 
 def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """MinHash signature (uint64[num_perm]) from uint64 shingle hashes.
 
-    ``(a * x + b) mod p`` universal hashing, min over shingles, per
-    permutation — the standard MinHash construction (Broder 1997).
-    Empty input → all-max signature (matches nothing).
+    xor → multiply-shift permutation per row (MinHash construction,
+    Broder 1997, with a numpy-exact hash family — see
+    ``make_minhash_params``), min over shingles. Empty input → all-max
+    signature (matches nothing). ``b`` is accepted for API symmetry and
+    used as a second xor key.
     """
     num_perm = len(a)
     if len(shingle_hashes) == 0:
         return np.full(num_perm, _MAX_H, dtype=np.uint64)
-    # mask inputs to 32 bits: with 32-bit (a, b) the affine transform
-    # stays < 2^64, so the mod-p result is exact (no uint64 wraparound)
-    x = shingle_hashes.astype(np.uint64) & _MAX_H
+    x = shingle_hashes.astype(np.uint64)
     # [num_perm, n] — fine for per-document shingle counts
-    vals = (np.outer(a, x) + b[:, None]) % _MERSENNE
+    with np.errstate(over="ignore"):
+        vals = ((x[None, :] ^ a[:, None]) * _MULT) ^ b[:, None]
     return (vals.min(axis=1) & _MAX_H).astype(np.uint64)
 
 

@@ -82,3 +82,17 @@ def evaluate_chunks(
     scores["MACRO_AVG"] = (macro_p, macro_r, macro_f1, tp_total + fn_total)
     scores["MICRO_AVG"] = precision_recall_f1_support(tp_total, fp_total, fn_total)
     return scores
+
+
+def best_epoch(epoch_scores: list[tuple[float, float, float]]) -> int:
+    """A4: index of the epoch with the best F1 (reference picks max by
+    itemgetter(2) over (p, r, f1) tuples — saber/metrics.py:266-273).
+    Ties resolve to the EARLIEST epoch, like ``max`` over a left-to-right
+    scan."""
+    if not epoch_scores:
+        raise ValueError("no epochs to choose from")
+    best_idx = 0
+    for i, scores in enumerate(epoch_scores):
+        if scores[2] > epoch_scores[best_idx][2]:
+            best_idx = i
+    return best_idx

@@ -75,3 +75,42 @@ def test_evaluate_chunks_left_right():
 def test_evaluate_chunks_invalid_criteria():
     with pytest.raises(ValueError):
         evaluate_chunks([], [], criteria="bogus")
+
+
+def test_best_epoch():
+    from saber_ray.functions.metrics import best_epoch
+
+    scores = [(0.5, 0.5, 0.5), (0.9, 0.8, 0.85), (0.9, 0.8, 0.85), (0.1, 0.1, 0.1)]
+    assert best_epoch(scores) == 1  # ties resolve to the earliest epoch
+    with pytest.raises(ValueError):
+        best_epoch([])
+
+
+def test_rolling_fingerprint():
+    from saber_ray.functions.hashing import rolling_fingerprint
+
+    a = rolling_fingerprint(["the", "quick", "fox"])
+    assert a == rolling_fingerprint(["the", "quick", "fox"])  # deterministic
+    assert a != rolling_fingerprint(["quick", "the", "fox"])  # order-sensitive
+    assert rolling_fingerprint([]) == 0
+
+
+def test_minhash_estimates_jaccard():
+    """Statistical property: signature agreement approximates Jaccard."""
+    import numpy as np
+
+    from saber_ray.functions.hashing import (
+        make_minhash_params,
+        minhash_signature,
+        stable_u64,
+    )
+
+    a, b = make_minhash_params(256, seed=1)
+    s1 = {f"sh{i}" for i in range(100)}
+    s2 = {f"sh{i}" for i in range(50, 150)}  # true J = 50/150 = 1/3
+    h1 = np.array([stable_u64(x) for x in sorted(s1)], dtype=np.uint64)
+    h2 = np.array([stable_u64(x) for x in sorted(s2)], dtype=np.uint64)
+    sig1 = minhash_signature(h1, a, b)
+    sig2 = minhash_signature(h2, a, b)
+    est = (sig1 == sig2).mean()
+    assert abs(est - 1 / 3) < 0.08, f"minhash estimate {est} far from 1/3"
