@@ -128,19 +128,24 @@ def run_neural_tag(num_docs: int) -> float:
     from saber_ray.stages.neural import NeuralTagger
     from saber_ray.state.bundle import build_gazetteer_bundle
 
+    import shutil
+
     bundle = build_gazetteer_bundle(
         tempfile.mkdtemp(prefix="bench_bundle_"), SABER_SURFACES
     )
-    t0 = time.perf_counter()
-    ds = synthetic_dataset(num_docs, seed=42).map_batches(
-        NeuralTagger,
-        fn_constructor_kwargs={"bundle_path": bundle},
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=(4, max(8, NUM_CPUS * 3 // 4)),
-    )
-    ds.count()
-    return time.perf_counter() - t0
+    try:
+        t0 = time.perf_counter()
+        ds = synthetic_dataset(num_docs, seed=42).map_batches(
+            NeuralTagger,
+            fn_constructor_kwargs={"bundle_path": bundle},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(4, max(8, NUM_CPUS * 3 // 4)),
+        )
+        ds.count()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(bundle, ignore_errors=True)
 
 
 def main_bench() -> None:
@@ -208,20 +213,23 @@ def main_scaling(num_docs: int, low: int = 8, high: int = 32) -> None:
             print(gen.stdout[-1000:], gen.stderr[-1000:], file=sys.stderr)
             raise RuntimeError("corpus generation failed")
     results = {}
-    for cpus in (low, high):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-worker",
-             str(cpus), str(num_docs)],
-            capture_output=True, text=True, timeout=3600,
-            env={**os.environ, "GRAFT_SCALING_CORPUS": corpus_dir or ""},
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("SCALING_RESULT ")]
-        if not line:
-            print(proc.stdout[-2000:], proc.stderr[-2000:], file=sys.stderr)
-            raise RuntimeError(f"scaling worker at {cpus} cpus produced no result")
-        results[cpus] = json.loads(line[-1][len("SCALING_RESULT "):])
-    if corpus_dir:
-        shutil.rmtree(corpus_dir, ignore_errors=True)
+    try:
+        for cpus in (low, high):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-worker",
+                 str(cpus), str(num_docs)],
+                capture_output=True, text=True, timeout=3600,
+                env={**os.environ, "GRAFT_SCALING_CORPUS": corpus_dir or ""},
+            )
+            line = [l for l in proc.stdout.splitlines()
+                    if l.startswith("SCALING_RESULT ")]
+            if not line:
+                print(proc.stdout[-2000:], proc.stderr[-2000:], file=sys.stderr)
+                raise RuntimeError(f"scaling worker at {cpus} cpus produced no result")
+            results[cpus] = json.loads(line[-1][len("SCALING_RESULT "):])
+    finally:
+        if corpus_dir:
+            shutil.rmtree(corpus_dir, ignore_errors=True)
     tp_low = results[low]["triples_per_sec"]
     tp_high = results[high]["triples_per_sec"]
     efficiency = (tp_high / tp_low) / (high / low) if tp_low else 0.0

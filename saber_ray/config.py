@@ -25,7 +25,10 @@ from .pipelines.kg import KGConfig
 
 def load_config(path: str, **overrides) -> KGConfig:
     """INI file → KGConfig; keyword overrides win (CLI harmonization)."""
-    parser = configparser.ConfigParser()
+    # raw keys (gazetteer surfaces are case-sensitive data, and may
+    # contain '%' which BasicInterpolation would choke on)
+    parser = configparser.ConfigParser(interpolation=None)
+    parser.optionxform = str
     with open(path) as f:
         parser.read_file(f)
     kwargs: dict = {}
@@ -49,7 +52,8 @@ def load_config(path: str, **overrides) -> KGConfig:
 def save_config(config: KGConfig, path: str) -> str:
     """KGConfig → INI (the reference saves its config with every model
     bundle for reproducibility, saber/saber.py:161-162)."""
-    parser = configparser.ConfigParser()
+    parser = configparser.ConfigParser(interpolation=None)
+    parser.optionxform = str
     parser["pipeline"] = {
         "same_sentence": str(config.same_sentence).lower(),
         "num_salts": str(config.num_salts),

@@ -41,7 +41,7 @@ from .. import __version__
 from ..functions.hashing import span_sequence_hash, stable_hex
 from ..state.manifest import Manifest, PartitionRecord, StageTimer, config_hash
 from ..stages.canonicalize import canonicalize_edges, canonicalize_nodes
-from ..stages.preprocess import quarantine_split
+from ..stages.preprocess import validate_documents
 from ..stages.triples import emit_triples, explode_mentions
 from .kg import KGConfig, annotate
 
@@ -65,20 +65,23 @@ def _spot_hash(files: list[str], sample_rows: int = 64) -> str:
     row counts, and the span hashes of the first ``sample_rows`` rows of
     the first fragment (metadata-cheap; detects changed inputs)."""
     parts = []
+    per_fragment = max(1, sample_rows // max(1, len(files)))
     for f in sorted(files):
         md = pq.ParquetFile(f)
         parts.append(f"{os.path.basename(f)}:{md.metadata.num_rows}")
-    first = pq.ParquetFile(sorted(files)[0])
-    batch = next(first.iter_batches(batch_size=sample_rows))
-    if "spans" in batch.schema.names:
-        for spans in batch.column("spans").to_pylist():
-            parts.append(
-                span_sequence_hash(
-                    [s["kind"] for s in spans],
-                    [s["text"] for s in spans],
-                    [s["media_ref"] for s in spans],
+        # sample rows from EVERY fragment (a change confined to one
+        # fragment must invalidate the partition), tolerating empties
+        batch = next(iter(md.iter_batches(batch_size=per_fragment)), None)
+        if batch is not None and "spans" in batch.schema.names:
+            for spans in batch.column("spans").to_pylist():
+                spans = spans or []
+                parts.append(
+                    span_sequence_hash(
+                        [s["kind"] for s in spans],
+                        [s["text"] for s in spans],
+                        [s["media_ref"] for s in spans],
+                    )
                 )
-            )
     return stable_hex("\x1f".join(parts), size=16)
 
 
@@ -132,6 +135,10 @@ def run_kg_job(
             continue
         if max_partitions is not None and len(ran) >= max_partitions:
             continue
+        # this partition WILL re-run: the previously aggregated graph is
+        # now stale — invalidate its record persistently BEFORE doing any
+        # work, so a crash mid-way cannot leave a trusted stale graph
+        manifest.invalidate("graph", 0)
         with StageTimer() as timer:
             docs = rd.read_parquet(group)
             rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in group)
@@ -144,24 +151,22 @@ def run_kg_job(
             # named parquet files accumulate as duplicate rows
             for d in (ann_dir, mentions_dir, triples_dir, quarantine_dir):
                 shutil.rmtree(d, ignore_errors=True)
-            # M10: invalid rows are routed to a quarantine table (never
-            # silently dropped); only valid rows feed the tagger
-            valid, invalid = quarantine_split(docs)
-            n_quarantined = 0
-            try:
-                invalid.write_parquet(quarantine_dir)
-                n_quarantined = _written_rows(quarantine_dir)
-            except Exception:
-                pass  # fully-empty invalid stream has no schema to write
-            docs = valid.drop_columns(["valid", "invalid_reason"])
-            # ONE annotate pass, staged to parquet (the annotation record
-            # table — Saber's per-doc output, saber/saber.py:114 — is a
-            # first-class output); mentions/triples are cheap derivations
-            # read back from the staged table, so the expensive stage
-            # never runs twice.
-            annotate(docs, config).write_parquet(ann_dir)
+            # ONE pass over the input: validation flags travel with the
+            # rows (the annotator is null-safe and yields 0 mentions for
+            # invalid docs), and the staged annotated table — Saber's
+            # per-doc output, saber/saber.py:114, a first-class output —
+            # carries them. Quarantine (M10: flagged, never silently
+            # dropped) and mentions/triples all derive from the staged
+            # parquet, so neither the input read nor the tagger runs
+            # twice.
+            flagged = docs.map_batches(validate_documents, batch_format="pyarrow")
+            annotate(flagged, config).write_parquet(ann_dir)
             staged = rd.read_parquet(ann_dir)
-            staged.map_batches(
+            staged.filter(expr="valid == False").drop_columns(
+                ["ents", "span_hash"]
+            ).write_parquet(quarantine_dir)
+            n_quarantined = _written_rows(quarantine_dir)
+            rd.read_parquet(ann_dir).map_batches(
                 explode_mentions, batch_format="pyarrow"
             ).write_parquet(mentions_dir)
             rd.read_parquet(ann_dir).map_batches(
@@ -196,8 +201,8 @@ def run_kg_job(
         return summary
 
     # ---- graph stage: global canonicalization over all staged outputs ----
-    # any re-run partition invalidates the previously aggregated graph
-    if ran or not manifest.is_done("graph", 0):
+    # (re-run partitions already invalidated the graph record above)
+    if not manifest.is_done("graph", 0):
         with StageTimer() as timer:
             for d in (os.path.join(out_dir, "nodes"), os.path.join(out_dir, "edges")):
                 shutil.rmtree(d, ignore_errors=True)

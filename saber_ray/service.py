@@ -102,6 +102,8 @@ def make_handler(annotator: Annotator):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("request body must be a JSON object")
                 record = annotate_text(annotator, req.get("text", ""))
             except (ValueError, json.JSONDecodeError) as e:
                 self._send(400, {"error": str(e)})

@@ -74,14 +74,21 @@ class MinHashSignatures:
         self._num_perm = num_perm
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = []
-        for text in batch[self._col].to_pylist():
+        # docs with no shingles are dropped here: the all-max "empty"
+        # signature is identical for every empty doc, so banding them
+        # would pair all empty docs with each other
+        ids, sigs = [], []
+        for rid, text in zip(batch[self._id].to_pylist(), batch[self._col].to_pylist()):
             toks = _TOKEN_RE.findall(text.lower()) if text else []
-            sig = minhash_signature(_shingle_hashes(toks, self._k), self._a, self._b)
-            sigs.append(sig.astype(np.int64))
+            hashes = _shingle_hashes(toks, self._k)
+            if len(hashes) == 0:
+                continue
+            ids.append(rid)
+            sigs.append(minhash_signature(hashes, self._a, self._b).astype(np.int64))
+        id_type = batch.schema.field(self._id).type
         return pa.table(
             {
-                self._id: batch[self._id],
+                self._id: pa.array(ids, type=id_type),
                 "signature": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.int64())),
             }
         )

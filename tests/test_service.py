@@ -62,6 +62,13 @@ def test_annotate_rejects_bad_json(server):
     assert err.value.code == 400
 
 
+def test_annotate_rejects_non_object_json(server):
+    # valid JSON that isn't an object must 400, not kill the connection
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(f"{server}/annotate/text", [1, 2])
+    assert err.value.code == 400
+
+
 def test_html_endpoint(server):
     status, body = _post(f"{server}/annotate/html", {"text": "glucose and mouse"})
     assert status == 200
