@@ -43,7 +43,13 @@ class Annotator:
     (pipelines) of ``{(normalized surface, label): [xref_dict, ...]}``.
     """
 
-    def __init__(self, surfaces: dict[str, str] | None = None, linker_ref=None):
+    # beyond this many surfaces, Python's re alternation degrades while
+    # the token trie stays O(text); threshold chosen from measurement
+    # (regex wins below ~1k surfaces, trie wins far beyond)
+    TRIE_THRESHOLD = 1000
+
+    def __init__(self, surfaces: dict[str, str] | None = None, linker_ref=None,
+                 strategy: str = "auto"):
         if surfaces is None:
             from ..gazetteer import SABER_SURFACES as surfaces  # noqa: N811
         if linker_ref is None:
@@ -55,7 +61,17 @@ class Annotator:
         else:
             linker = linker_ref
         self._labels = {k.lower(): v for k, v in surfaces.items()}
-        self._pattern = build_surface_pattern(surfaces)
+        if strategy == "auto":
+            strategy = "trie" if len(surfaces) > self.TRIE_THRESHOLD else "regex"
+        self._strategy = strategy
+        if strategy == "trie":
+            from ..functions.matching import TokenTrieMatcher
+
+            self._matcher = TokenTrieMatcher(self._labels)
+            self._pattern = None
+        else:
+            self._pattern = build_surface_pattern(surfaces)
+            self._matcher = None
         # (normalized surface, label) -> (xrefs tuple, entity_id) resolved once
         self._ground: dict[tuple[str, str], tuple[list[dict], str]] = {}
         for (surf, label), xrefs in linker.items():
@@ -98,7 +114,6 @@ class Annotator:
         x_offsets: list[int] = [0]
         hashes: list[str] = []
 
-        pattern = self._pattern
         labels = self._labels
 
         # ONE regex scan per batch: join every text span with \x00 (never
@@ -115,23 +130,38 @@ class Annotator:
             span_starts[si + 1] = span_starts[si] + len(texts[i]) + 1
         mention_flat_idx: list[int] = []
         bounds_cache: dict[int, list[int]] = {}
+        # both strategies scan the SAME joined buffer: \x00 is its own
+        # token and matches no surface, so phrases cannot cross spans
+        if self._matcher is not None:
+            matches = self._matcher.finditer(joined)
+        else:
+            matches = (
+                (m.start(), m.end(), m.group(),
+                 _WS.sub(" ", m.group().lower()), None)
+                for m in self._pattern.finditer(joined)
+            )
+            matches = ((p, e, t, n, labels[n]) for p, e, t, n, _ in matches)
+
+        def _trie_matches(it):
+            for p, e, n_surface, label in it:
+                yield p, e, joined[p:e], n_surface, label
+
+        if self._matcher is not None:
+            matches = _trie_matches(matches)
+
         # scalar lookups use stdlib bisect — np.searchsorted per match is
         # ~15x slower for single values
-        for m in pattern.finditer(joined):
-            pos = m.start()
+        for pos, end, surface, norm, label in matches:
             si = bisect_right(span_starts, pos) - 1
             i = sel[si]
             local_start = pos - span_starts[si]
-            surface = m.group()
-            norm = _WS.sub(" ", surface.lower())
-            label = labels[norm]
             xrefs, entity_id = self._resolve(norm, label)
             bounds = bounds_cache.get(i)
             if bounds is None:
                 bounds = [b.start() for b in _SENT_BREAK.finditer(texts[i])]
                 bounds_cache[i] = bounds
             m_start.append(local_start)
-            m_end.append(local_start + len(surface))
+            m_end.append(local_start + (end - pos))
             m_text.append(surface)
             m_label.append(label)
             mention_flat_idx.append(i)
