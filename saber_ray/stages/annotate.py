@@ -29,7 +29,7 @@ import pyarrow as pa
 import ray
 
 from ..functions.hashing import span_sequence_hash
-from .linker import GROUNDED_ENT_TYPE, _XREF_TYPE, entity_id_for, normalize_surface
+from .linker import GROUNDED_ENT_TYPE, _XREF_TYPE, entity_id_for
 from .tagger import build_surface_pattern
 
 _SENT_BREAK = re.compile(r"[.!?]")
