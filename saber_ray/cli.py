@@ -44,7 +44,8 @@ def cmd_run(args: argparse.Namespace) -> None:
     from .pipelines.kg import KGConfig
     from .pipelines.run import run_kg_job
 
-    config = KGConfig(num_salts=args.num_salts, batch_size=args.batch_size)
+    config = KGConfig(num_salts=args.num_salts, batch_size=args.batch_size,
+                      bundle_path=args.bundle)
     summary = run_kg_job(
         args.input, args.out, config, partitions=args.partitions
     )
@@ -94,6 +95,7 @@ def main(argv=None) -> None:
     p_run.add_argument("--partitions", type=int, default=8)
     p_run.add_argument("--num-salts", type=int, default=16)
     p_run.add_argument("--batch-size", type=int, default=256)
+    p_run.add_argument("--bundle", default="", help="model bundle dir → neural tagger path")
     p_run.set_defaults(fn=cmd_run)
 
     p_synth = sub.add_parser("synth", help="generate a synthetic corpus")

@@ -35,6 +35,7 @@ class KGConfig:
     )
     same_sentence: bool = True     # triple co-occurrence scope
     num_salts: int = 16            # canonicalization salt fan-out
+    bundle_path: str = ""          # set → weights-backed NeuralTagger path
     tagger_concurrency: Any = None  # None → autoscale pool sized to cluster CPUs
     linker_concurrency: Any = None
     batch_size: int | None = 256   # mirrors the reference's PRED_BATCH_SIZE
@@ -54,7 +55,10 @@ def _default_pool() -> tuple[int, int]:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return (2, max(2, (cpus * 3) // 4))
+    # floor of 1 on small clusters: two chained pools each pinning 2
+    # actors can reserve every CPU of a 4-cpu cluster and deadlock the
+    # task operators between them
+    return (1 if cpus < 16 else 2, max(2, (cpus * 3) // 4))
 
 
 def annotate(documents: rd.Dataset, config: KGConfig | None = None) -> rd.Dataset:
@@ -68,6 +72,26 @@ def annotate(documents: rd.Dataset, config: KGConfig | None = None) -> rd.Datase
     """
     config = config or KGConfig()
     linker_ref = ray.put(build_linker_dict(config.grounding))
+    if config.bundle_path:
+        # weights-backed path: bundle-loaded tagger actor pool followed by
+        # the broadcast-dictionary linker (the reference's two-model shape)
+        from ..stages.linker import EntityLinker
+        from ..stages.neural import NeuralTagger
+
+        tagged = documents.map_batches(
+            NeuralTagger,
+            fn_constructor_kwargs={"bundle_path": config.bundle_path},
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+            concurrency=config.tagger_concurrency or _default_pool(),
+        )
+        return tagged.map_batches(
+            EntityLinker,
+            fn_constructor_kwargs={"linker_ref": linker_ref},
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+            concurrency=config.linker_concurrency or _default_pool(),
+        )
     return documents.map_batches(
         Annotator,
         fn_constructor_kwargs={

@@ -253,4 +253,5 @@ def asdict_like(config: KGConfig) -> dict:
         "same_sentence": config.same_sentence,
         "num_salts": config.num_salts,
         "batch_size": config.batch_size,
+        "bundle_path": config.bundle_path,
     }

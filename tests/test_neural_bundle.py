@@ -136,3 +136,39 @@ def test_neural_tagger_as_ray_stage(bundle):
     rows = ds.take_all()
     assert len(rows) == 60
     assert any(r["ents"] for r in rows)
+
+
+def test_kg_job_with_bundle(bundle, tmp_path):
+    """The checkpointed job runs the weights-backed path end-to-end and
+    produces the same mentions as the dictionary path."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from saber_ray.pipelines.kg import KGConfig
+    from saber_ray.pipelines.run import run_kg_job
+
+    table, _, _ = generate_documents(60, seed=14)
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(table, str(corpus / "frag.parquet"))
+
+    out_n = str(tmp_path / "neural")
+    out_d = str(tmp_path / "dict")
+    s1 = run_kg_job(f"{corpus}/*.parquet", out_n,
+                    KGConfig(batch_size=16, num_salts=2, bundle_path=bundle),
+                    partitions=1)
+    s2 = run_kg_job(f"{corpus}/*.parquet", out_d,
+                    KGConfig(batch_size=16, num_salts=2), partitions=1)
+    assert s1["complete"] and s2["complete"]
+
+    def mention_set(root):
+        rows = []
+        for f in glob.glob(f"{root}/mentions/**/*.parquet", recursive=True):
+            t = pq.read_table(f)
+            rows += list(zip(t["doc_id"].to_pylist(), t["span_idx"].to_pylist(),
+                             t["start"].to_pylist(), t["end"].to_pylist(),
+                             t["label"].to_pylist(), t["entity_id"].to_pylist()))
+        return set(rows)
+
+    assert mention_set(out_n) == mention_set(out_d)
