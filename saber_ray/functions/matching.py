@@ -9,64 +9,92 @@ engine also ships this token-level longest-match trie: build O(total
 surface tokens), match O(text tokens × max phrase length) — independent
 of dictionary size.
 
-Semantics are IDENTICAL to the regex path (unit-tested parity):
-case-insensitive, NERsuite token boundaries, leftmost-longest,
-non-overlapping; multi-token surfaces match across whitespace runs but
-not across intervening punctuation tokens.
+CANONICAL MATCH SEMANTICS (shared with the regex strategy; parity is
+unit-tested in tests/test_matching.py):
+
+* case-insensitive, NERsuite token boundaries, leftmost-longest,
+  non-overlapping;
+* a SPACE inside a surface matches any whitespace RUN in the text
+  ("cystic fibrosis" matches "cystic  fibrosis");
+* ADJACENT tokens inside a surface (punctuated forms like "il-2")
+  require adjacency in the text — "il - 2" does NOT match "il-2";
+* the grounding key is the matched text normalized (lowercase,
+  whitespace runs collapsed), so punctuated surfaces round-trip to
+  their dictionary entries.
 """
 
 from __future__ import annotations
 
-from .text import TOKEN_RE, tokenize
+from .text import TOKEN_RE, tokenize_with_offsets
 
 _LEAF = "\x00leaf"
+_ADJ = 1   # tokens must touch in the text
+_WS = 0    # any whitespace run between tokens
+
+
+def _surface_edges(surface: str) -> list[tuple[str, int]]:
+    """Surface string → [(token, edge-to-previous), ...]; the first
+    token's edge value is unused."""
+    toks = tokenize_with_offsets(surface.lower())
+    out = []
+    prev_end = None
+    for tok, start, end in toks:
+        edge = _WS if prev_end is None or start > prev_end else _ADJ
+        out.append((tok, edge))
+        prev_end = end
+    return out
 
 
 class TokenTrieMatcher:
     """Longest-match surface matcher over NERsuite tokens."""
 
     def __init__(self, surfaces: dict[str, str]):
-        """``surfaces``: normalized surface form → label."""
+        """``surfaces``: surface form → label."""
         self._trie: dict = {}
         self._max_len = 1
         for surface, label in surfaces.items():
-            toks = tokenize(surface.lower())
+            toks = _surface_edges(surface)
             if not toks:
                 continue
             node = self._trie
-            for tok in toks:
-                node = node.setdefault(tok, {})
-            # leaf payload: (normalized surface key, label)
-            node[_LEAF] = (" ".join(toks), label)
+            for tok, edge in toks:
+                node = node.setdefault((tok, edge), {})
+            node[_LEAF] = label
             self._max_len = max(self._max_len, len(toks))
 
     def finditer(self, text: str):
-        """Yield ``(char_start, char_end, norm_surface, label)`` matches,
-        leftmost-longest, non-overlapping — the regex path's contract."""
+        """Yield ``(char_start, char_end, label)`` matches,
+        leftmost-longest, non-overlapping."""
         toks = [(m.group().lower(), m.start(), m.end()) for m in TOKEN_RE.finditer(text)]
         n = len(toks)
         i = 0
         trie = self._trie
         while i < n:
-            node = trie.get(toks[i][0])
+            node = trie.get((toks[i][0], _WS))
             if node is None:
                 i += 1
                 continue
-            best = node.get(_LEAF)
+            best_label = node.get(_LEAF)
             best_j = i
             j = i
             while j + 1 < n and j - i + 1 < self._max_len:
-                nxt = node.get(toks[j + 1][0])
+                adjacent = toks[j][2] == toks[j + 1][1]
+                nxt = node.get((toks[j + 1][0], _ADJ)) if adjacent else None
+                if nxt is None:
+                    nxt = node.get((toks[j + 1][0], _WS))
+                    # a _WS edge requires actual separation in the text
+                    if nxt is not None and adjacent:
+                        nxt = None
                 if nxt is None:
                     break
                 j += 1
                 node = nxt
                 leaf = node.get(_LEAF)
                 if leaf is not None:
-                    best = leaf
+                    best_label = leaf
                     best_j = j
-            if best is None:
+            if best_label is None:
                 i += 1
                 continue
-            yield toks[i][1], toks[best_j][2], best[0], best[1]
+            yield toks[i][1], toks[best_j][2], best_label
             i = best_j + 1

@@ -48,8 +48,8 @@ def _default_pool() -> tuple[int, int]:
     Capped at 3/4 of cluster CPUs — the annotate pool must leave slots
     for the downstream stateless task operators (triple emission,
     writes); measured on the 8M-doc job this beats both a full-width
-    pool and a half-width pool. Min 2 keeps a warm floor while the
-    autoscaler ramps.
+    pool and a half-width pool. The warm floor is 2 on big clusters and
+    1 below 16 CPUs (see comment in the body).
     """
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))

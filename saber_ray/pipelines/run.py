@@ -253,5 +253,21 @@ def asdict_like(config: KGConfig) -> dict:
         "same_sentence": config.same_sentence,
         "num_salts": config.num_salts,
         "batch_size": config.batch_size,
-        "bundle_path": config.bundle_path,
+        # hash bundle CONTENTS, not the path: retrained weights at the
+        # same path must invalidate completed partitions
+        "bundle_digest": _bundle_digest(config.bundle_path),
     }
+
+
+def _bundle_digest(bundle_path: str) -> str:
+    if not bundle_path:
+        return ""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+    for name in ("weights.npz", "vocab.json", "config.json"):
+        p = os.path.join(bundle_path, name)
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()

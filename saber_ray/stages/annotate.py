@@ -63,7 +63,7 @@ class Annotator:
         self._labels = {k.lower(): v for k, v in surfaces.items()}
         if strategy == "auto":
             strategy = "trie" if len(surfaces) > self.TRIE_THRESHOLD else "regex"
-        self._strategy = strategy
+        self.strategy = strategy  # introspectable
         if strategy == "trie":
             from ..functions.matching import TokenTrieMatcher
 
@@ -131,23 +131,20 @@ class Annotator:
         mention_flat_idx: list[int] = []
         bounds_cache: dict[int, list[int]] = {}
         # both strategies scan the SAME joined buffer: \x00 is its own
-        # token and matches no surface, so phrases cannot cross spans
+        # token and matches no surface, so phrases cannot cross spans;
+        # the grounding key is always the matched text normalized
         if self._matcher is not None:
-            matches = self._matcher.finditer(joined)
+            def gen():
+                for pos, end, label in self._matcher.finditer(joined):
+                    surface = joined[pos:end]
+                    yield pos, end, surface, _WS.sub(" ", surface.lower()), label
         else:
-            matches = (
-                (m.start(), m.end(), m.group(),
-                 _WS.sub(" ", m.group().lower()), None)
-                for m in self._pattern.finditer(joined)
-            )
-            matches = ((p, e, t, n, labels[n]) for p, e, t, n, _ in matches)
-
-        def _trie_matches(it):
-            for p, e, n_surface, label in it:
-                yield p, e, joined[p:e], n_surface, label
-
-        if self._matcher is not None:
-            matches = _trie_matches(matches)
+            def gen():
+                for m in self._pattern.finditer(joined):
+                    surface = m.group()
+                    norm = _WS.sub(" ", surface.lower())
+                    yield m.start(), m.end(), surface, norm, labels[norm]
+        matches = gen()
 
         # scalar lookups use stdlib bisect — np.searchsorted per match is
         # ~15x slower for single values

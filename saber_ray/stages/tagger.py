@@ -56,10 +56,12 @@ def build_surface_pattern(surfaces: dict[str, str]) -> re.Pattern:
     Alternatives are sorted longest-first so Python's leftmost-first
     alternation implements greedy longest match; token boundaries are
     enforced with alnum lookarounds (the NERsuite tokenizer's token
-    boundary — saber/utils/text_utils.py:10).
+    boundary — saber/utils/text_utils.py:10). A space inside a surface
+    matches any whitespace RUN (canonical semantics shared with the
+    token-trie strategy — functions/matching.py).
     """
     alts = sorted(surfaces, key=lambda s: (-len(s), s))
-    body = "|".join(re.escape(s).replace(r"\ ", r"\s") for s in alts)
+    body = "|".join(re.escape(s).replace(r"\ ", r"\s+") for s in alts)
     return re.compile(rf"(?<![0-9a-zA-Z])(?:{body})(?![0-9a-zA-Z])", re.IGNORECASE)
 
 
