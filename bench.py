@@ -148,6 +148,31 @@ def run_neural_tag(num_docs: int) -> float:
         shutil.rmtree(bundle, ignore_errors=True)
 
 
+def run_bigdict_tag(num_docs: int, num_surfaces: int = 100_000) -> float:
+    """Production-scale gazetteer: the annotator auto-switches to the
+    token-trie strategy (regex alternation would be ~1000x slower here).
+    Same corpus, 100k-surface dictionary, full annotate pass."""
+    import ray
+
+    from saber_ray.gazetteer import SABER_GROUNDING, SABER_SURFACES, build_linker_dict
+    from saber_ray.sources.synthetic import synthetic_dataset
+    from saber_ray.stages.annotate import Annotator
+
+    surfaces = {f"gene{i}xyz": "PRGE" for i in range(num_surfaces)}
+    surfaces.update(SABER_SURFACES)
+    linker_ref = ray.put(build_linker_dict(SABER_GROUNDING))
+    t0 = time.perf_counter()
+    ds = synthetic_dataset(num_docs, seed=42).map_batches(
+        Annotator,
+        fn_constructor_kwargs={"surfaces": surfaces, "linker_ref": linker_ref},
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(2, max(8, NUM_CPUS * 3 // 4)),
+    )
+    ds.count()
+    return time.perf_counter() - t0
+
+
 def main_bench() -> None:
     _init_ray(NUM_CPUS)
     t0 = time.perf_counter()
@@ -155,6 +180,7 @@ def main_bench() -> None:
     kg = run_synthetic_kg(SYNTH_DOCS)
     queries["synthetic_kg"] = round(kg["sec"], 3)
     queries["synthetic_neural_tag"] = round(run_neural_tag(SYNTH_DOCS), 3)
+    queries["synthetic_bigdict_tag"] = round(run_bigdict_tag(SYNTH_DOCS), 3)
     total = time.perf_counter() - t0
     print(
         json.dumps(

@@ -36,3 +36,11 @@ def k_fold_splits(ds: rd.Dataset, k: int = 5):
             train = train.union(f)
         out.append((train, folds[i]))
     return out
+
+
+def seeded_shuffle(ds: rd.Dataset, seed: int = 42) -> rd.Dataset:
+    """Deterministic corpus shuffle (P3 analogue: the reference seeds its
+    random task order; training-data pipelines shuffle shards the same
+    way). A full random_shuffle is an all-to-all exchange — at scale
+    prefer ``randomize_block_order`` when block-level mixing suffices."""
+    return ds.random_shuffle(seed=seed)

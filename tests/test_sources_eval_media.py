@@ -199,3 +199,15 @@ def test_real_decoder_gated():
 def test_frame_sample():
     assert frame_sample(10, 3) == [0, 3, 6, 9]
     assert frame_sample(0, 3) == []
+
+
+def test_seeded_shuffle_deterministic():
+    from saber_ray.pipelines.splits import seeded_shuffle
+
+    ds = rd.range(200, override_num_blocks=4)
+    a = [r["id"] for r in seeded_shuffle(ds, seed=7).take_all()]
+    b = [r["id"] for r in seeded_shuffle(ds, seed=7).take_all()]
+    c = [r["id"] for r in seeded_shuffle(ds, seed=8).take_all()]
+    assert a == b
+    assert sorted(a) == list(range(200))
+    assert a != c
