@@ -248,6 +248,41 @@ def _q_kg_nodes(sf_dir: str):
     return demo_nodes(sf_dir)
 
 
+def _q_kg_degrees(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_graph
+    from saber_ray.stages.graph import node_degrees
+
+    edges = demo_graph(sf_dir)["edges"]
+    return node_degrees(edges.select_columns(["src", "pred", "dst", "support"]))
+
+
+def _q_kg_top_edges(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_edges
+    from saber_ray.stages.graph import top_edges
+
+    return top_edges(demo_edges(sf_dir), k=10)
+
+
+def _q_kg_annotation_stats(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from saber_ray.pipelines.demo import demo_annotated
+    from saber_ray.sources.sinks import annotation_records_batch
+
+    ann = demo_annotated(sf_dir)
+
+    def shape(batch):
+        rec = annotation_records_batch(batch)
+        return pa.table(
+            {
+                "doc_id": pc.cast(rec["doc_id"], pa.int64()),
+                "n_ents": pc.cast(pc.list_value_length(rec["ents"]), pa.int64()),
+            }
+        )
+
+    return ann.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_kg_edges(sf_dir: str):
     from saber_ray.pipelines.demo import demo_edges
 
@@ -280,6 +315,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
+        "kg_degrees": _q_kg_degrees,
+        "kg_top_edges": _q_kg_top_edges,
+        "kg_annotation_stats": _q_kg_annotation_stats,
     }
 
 
@@ -526,5 +564,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj AS src, pred, obj AS dst, CAST(sum(n) AS BIGINT) AS support
             FROM trip
             GROUP BY 1, 2, 3
+        """,
+        "kg_degrees": f"""
+            {triples_cte},
+            e AS (SELECT subj AS src, pred, obj AS dst FROM trip GROUP BY 1, 2, 3),
+            o AS (SELECT src AS node_id, CAST(count(*) AS BIGINT) AS out_degree
+                  FROM e GROUP BY 1),
+            i AS (SELECT dst AS node_id, CAST(count(*) AS BIGINT) AS in_degree
+                  FROM e GROUP BY 1)
+            SELECT coalesce(o.node_id, i.node_id) AS node_id,
+                   coalesce(o.out_degree, 0) AS out_degree,
+                   coalesce(i.in_degree, 0) AS in_degree,
+                   coalesce(o.out_degree, 0) + coalesce(i.in_degree, 0) AS degree
+            FROM o FULL OUTER JOIN i ON o.node_id = i.node_id
+        """,
+        "kg_top_edges": f"""
+            {triples_cte}
+            SELECT subj AS src, pred, obj AS dst, CAST(sum(n) AS BIGINT) AS support
+            FROM trip
+            GROUP BY 1, 2, 3
+            ORDER BY support DESC, src, pred, dst
+            LIMIT 10
+        """,
+        "kg_annotation_stats": f"""
+            WITH {gaz},
+            toks AS (SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents),
+            counts AS (
+                SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_ents
+                FROM toks t JOIN gaz g ON t.tok = g.tok
+                GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(c.n_ents, 0) AS n_ents
+            FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
         """,
     }

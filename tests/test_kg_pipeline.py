@@ -228,3 +228,28 @@ def test_e2e_nodes_edges(synthetic):
     assert sum(e["support"] for e in edges) == int(
         sum(t["score"] for t in out["triples"].take_all()))
     assert all(len(e["doc_ids"]) <= 10 for e in edges)
+
+
+def test_node_degrees_and_top_edges(synthetic):
+    from saber_ray.stages.graph import node_degrees, top_edges
+
+    table, _, _ = synthetic
+    out = build_graph(rd.from_arrow(table), KGConfig(batch_size=64),
+                      materialize_annotated=True)
+    edges = out["edges"].materialize()
+    degrees = {r["node_id"]: r for r in node_degrees(edges).take_all()}
+    edge_rows = edges.take_all()
+    # out/in degree must equal the edge-list counts
+    import collections
+
+    out_c = collections.Counter(e["src"] for e in edge_rows)
+    in_c = collections.Counter(e["dst"] for e in edge_rows)
+    for node, rec in degrees.items():
+        assert rec["out_degree"] == out_c.get(node, 0)
+        assert rec["in_degree"] == in_c.get(node, 0)
+        assert rec["degree"] == rec["out_degree"] + rec["in_degree"]
+
+    top = top_edges(edges, k=5).take_all()
+    supports = [t["support"] for t in top]
+    assert supports == sorted(supports, reverse=True)
+    assert len(top) == 5
