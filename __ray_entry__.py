@@ -249,11 +249,10 @@ def _q_kg_nodes(sf_dir: str):
 
 
 def _q_kg_degrees(sf_dir: str):
-    from saber_ray.pipelines.demo import demo_graph
+    from saber_ray.pipelines.demo import demo_edges
     from saber_ray.stages.graph import node_degrees
 
-    edges = demo_graph(sf_dir)["edges"]
-    return node_degrees(edges.select_columns(["src", "pred", "dst", "support"]))
+    return node_degrees(demo_edges(sf_dir))
 
 
 def _q_kg_top_edges(sf_dir: str):

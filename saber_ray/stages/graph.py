@@ -14,45 +14,35 @@ import ray.data as rd
 def node_degrees(edges: rd.Dataset) -> rd.Dataset:
     """(node_id, out_degree, in_degree, degree) from the EDGES table.
 
-    Two keyed counts + an outer merge, all streaming; at scale this is
-    two shuffles over the (already canonicalized, small-ish) edge list.
+    ONE shuffle: each edge emits an endpoint row for its src (out=1) and
+    dst (in=1), then a single groupby-sum per node.
     """
-    out_deg = edges.groupby("src").count().rename_columns(
-        {"src": "node_id", "count()": "out_degree"}
-    )
-    in_deg = edges.groupby("dst").count().rename_columns(
-        {"dst": "node_id", "count()": "in_degree"}
-    )
 
-    def tag(batch: pa.Table, col: str, other: str) -> pa.Table:
+    def endpoints(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        n = batch.num_rows
+        ones = pa.array([1] * n, type=pa.int64())
+        zeros = pa.array([0] * n, type=pa.int64())
+        src = batch["src"].combine_chunks() if isinstance(batch["src"], pa.ChunkedArray) else batch["src"]
+        dst = batch["dst"].combine_chunks() if isinstance(batch["dst"], pa.ChunkedArray) else batch["dst"]
         return pa.table(
             {
-                "node_id": batch["node_id"],
-                "out_degree": pc.cast(
-                    batch[col] if col == "out_degree" else pa.nulls(batch.num_rows, pa.int64()),
-                    pa.int64(),
-                ),
-                "in_degree": pc.cast(
-                    batch[col] if col == "in_degree" else pa.nulls(batch.num_rows, pa.int64()),
-                    pa.int64(),
-                ),
+                "node_id": pa.concat_arrays([src, dst]),
+                "out_degree": pa.concat_arrays([ones, zeros]),
+                "in_degree": pa.concat_arrays([zeros, ones]),
             }
         )
 
-    both = out_deg.map_batches(
-        lambda b: tag(b, "out_degree", "in_degree"), batch_format="pyarrow"
-    ).union(
-        in_deg.map_batches(lambda b: tag(b, "in_degree", "out_degree"), batch_format="pyarrow")
-    )
-    agg = both.groupby("node_id").sum(["out_degree", "in_degree"])
+    agg = edges.map_batches(endpoints, batch_format="pyarrow").groupby(
+        "node_id"
+    ).sum(["out_degree", "in_degree"])
 
     def finalize(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        out = pc.coalesce(pc.cast(batch["sum(out_degree)"], pa.int64()), pa.scalar(0, pa.int64()))
-        inn = pc.coalesce(pc.cast(batch["sum(in_degree)"], pa.int64()), pa.scalar(0, pa.int64()))
+        out = pc.cast(batch["sum(out_degree)"], pa.int64())
+        inn = pc.cast(batch["sum(in_degree)"], pa.int64())
         return pa.table(
             {
                 "node_id": batch["node_id"],
