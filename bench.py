@@ -316,6 +316,6 @@ if __name__ == "__main__":
     elif args.scaling:
         # scaling needs a corpus large enough that per-stage fixed
         # overheads (actor spin-up, shuffle setup) are <10% of wall
-        main_scaling(args.docs or int(os.environ.get("GRAFT_SCALING_DOCS", "4000000")))
+        main_scaling(args.docs or int(os.environ.get("GRAFT_SCALING_DOCS", "6000000")))
     else:
         main_bench()
