@@ -384,7 +384,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "sterilize": """
-            SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS clean
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                  '\\s+', ' ', 'g') AS clean
             FROM documents
         """,
         "token_count": """

@@ -39,7 +39,8 @@ def load_config(path: str, **overrides) -> KGConfig:
         if "num_salts" in sec:
             kwargs["num_salts"] = sec.getint("num_salts")
         if "batch_size" in sec:
-            kwargs["batch_size"] = sec.getint("batch_size")
+            raw = sec.get("batch_size")
+            kwargs["batch_size"] = None if raw in ("", "none", "None") else int(raw)
     if parser.has_section("gazetteer") and parser["gazetteer"]:
         kwargs["surfaces"] = {
             surface: label.strip().upper()
@@ -57,7 +58,7 @@ def save_config(config: KGConfig, path: str) -> str:
     parser["pipeline"] = {
         "same_sentence": str(config.same_sentence).lower(),
         "num_salts": str(config.num_salts),
-        "batch_size": str(config.batch_size),
+        "batch_size": "" if config.batch_size is None else str(config.batch_size),
     }
     parser["gazetteer"] = {s: l for s, l in sorted(config.surfaces.items())}
     with open(path, "w") as f:

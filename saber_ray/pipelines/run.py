@@ -200,6 +200,15 @@ def run_kg_job(
     if not summary["complete"]:
         return summary
 
+    # the graph stage globs every part dir under the output tables: part
+    # dirs from a previous partitioning scheme (different partition
+    # count) or from fragments that no longer exist must not leak into
+    # the aggregate
+    valid_pids = set(ran) | {p for p in skipped if groups[p]}
+    stale = _remove_stale_parts(out_dir, valid_pids)
+    if stale:
+        manifest.invalidate("graph", 0)
+
     # ---- graph stage: global canonicalization over all staged outputs ----
     # (re-run partitions already invalidated the graph record above)
     if not manifest.is_done("graph", 0):
@@ -234,6 +243,22 @@ def run_kg_job(
     else:
         summary["graph"] = "skipped"
     return summary
+
+
+def _remove_stale_parts(out_dir: str, valid_pids: set[int]) -> int:
+    """Delete output part dirs not produced by the current partitioning.
+    Returns how many were removed (each removal invalidates the graph)."""
+    removed = 0
+    for table in ("annotated", "mentions", "triples", "quarantine"):
+        for d in glob.glob(os.path.join(out_dir, table, "part=*")):
+            try:
+                pid = int(os.path.basename(d).split("=", 1)[1])
+            except ValueError:
+                continue
+            if pid not in valid_pids:
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+    return removed
 
 
 def _written_rows_tree(path: str) -> int:

@@ -14,10 +14,13 @@ J5), so it is built skew-aware from the start:
    bounds any single ``map_groups`` group to ~#batches / num_salts rows.
 3. **Tiny final merge** over ≤ num_salts rows per key.
 
-Surface-form statistics are merged as (surface, count) multisets capped at
-``max_surfaces`` (kept deterministically: highest count, then
-lexicographic), and ``canonical_name`` is the most-supported surface form.
-Edge lineage keeps a capped, deterministic sample of doc_ids.
+Surface-form statistics are merged as (surface, count) multisets; merge
+states keep 4×MAX_SURFACES entries and the final node caps to
+MAX_SURFACES (highest count, then lexicographic), so the intermediate
+cap only becomes merge-order-sensitive for entities with >128 distinct
+surfaces — supports stay exact regardless. ``canonical_name`` is the
+most-supported surface form. Edge lineage keeps a capped sample of
+doc_ids.
 
 Node namespace/xref_id are recovered from the ``entity_id`` encoding
 (``label:namespace:xref`` for grounded, ``label:surface:<norm>`` for
@@ -27,7 +30,6 @@ aggregation never touches the nested xrefs column.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -129,7 +131,9 @@ def _node_state_agg():
         counter = dict(items_a)
         for s, c in items_b:
             counter[s] = counter.get(s, 0) + c
-        counter = _top_counts(counter, MAX_SURFACES)
+        # intermediate states keep a wider multiset so the final cap is
+        # (practically) merge-order independent
+        counter = _top_counts(counter, MAX_SURFACES * 4)
         return json.dumps([sorted(counter.items()), sup_a + sup_b])
 
     def accumulate_block(acc: str, block) -> str:
@@ -142,7 +146,7 @@ def _node_state_agg():
             for s, c in zip(surfaces, counts):
                 counter[s] = counter.get(s, 0) + int(c)
             support += int(sup)
-        state = json.dumps([sorted(_top_counts(counter, MAX_SURFACES).items()), support])
+        state = json.dumps([sorted(_top_counts(counter, MAX_SURFACES * 4).items()), support])
         return _merge_states(acc or empty, state)
 
     return AggregateFn(
@@ -180,7 +184,7 @@ def _states_to_nodes(batch: pa.Table) -> pa.Table:
         batch["entity_id"].to_pylist(), batch["node_state"].to_pylist()
     ):
         items, support = json.loads(state)
-        counter = dict(items)
+        counter = _top_counts(dict(items), MAX_SURFACES)
         label, kind, rest = eid.split(":", 2)
         namespace, xref_id = ("", "") if kind == "surface" else (kind, rest)
         canonical = min(counter, key=lambda s: (-counter[s], s)) if counter else ""

@@ -179,6 +179,11 @@ def minhash_lsh_pairs(
     in-bucket pairs → distinct pairs. One shuffle on the band key plus a
     final distinct on the (small) pair set.
     """
+    if num_perm % num_bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by num_bands "
+            f"({num_bands}) — trailing permutations would be silently dropped"
+        )
     sigs = ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={
@@ -199,6 +204,13 @@ def minhash_lsh_pairs(
     )
     # distinct (a, b) across bands
     return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
+
+
+def _shingle_set(text: str, k: int) -> set:
+    toks = _TOKEN_RE.findall(text.lower()) if text else []
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
 def jaccard_for_pairs(
@@ -260,16 +272,21 @@ def verify_pairs_jaccard(
     cand_docs = docs.select_columns([id_column, column]).map_batches(
         keep, batch_format="pyarrow"
     ).take_all()
-    texts = {r[id_column]: r[column] for r in cand_docs}
-    texts_ref = ray.put(texts)
+    # shingle each candidate doc ONCE; pairs only intersect sets
+    shingles = {
+        r[id_column]: _shingle_set(r[column], shingle_k) for r in cand_docs
+    }
+    shingles_ref = ray.put(shingles)
 
     def score(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(texts_ref)
+        lookup = ray.get(shingles_ref)
         out_a, out_b, out_j = [], [], []
         for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            if a not in lookup or b not in lookup:
+            sa, sb = lookup.get(a), lookup.get(b)
+            if sa is None or sb is None:
                 continue
-            j = jaccard_for_pairs(lookup, [(a, b)], shingle_k)[0][2]
+            denom = len(sa | sb)
+            j = len(sa & sb) / denom if denom else 0.0
             if j >= min_jaccard:
                 out_a.append(a)
                 out_b.append(b)

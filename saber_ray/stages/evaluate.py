@@ -5,8 +5,9 @@ The reference accumulates TP/FP/FN per label in-process
 (saber/metrics.py:124-201); distributed, the same math becomes:
 
 1. map each side to its match key (criteria-projected) + side marker;
-2. ``groupby(key)`` counting pred/gold occurrences per key (multiset
-   semantics: TP per key = min(pred_n, gold_n));
+2. ``groupby(key)`` counting pred/gold occurrences per key (membership
+   semantics matching the reference: every pred occurrence of a key
+   present in gold is a TP; gold keys absent from pred are FNs);
 3. per-label TP/FP/FN sums → driver-side scalar P/R/F1
    (functions/metrics.py, the unit-tested port of the reference math).
 

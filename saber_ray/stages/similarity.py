@@ -36,7 +36,10 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def _stack(column) -> np.ndarray:
-    return np.array(column.to_pylist(), dtype=np.float64)
+    mat = np.array(column.to_pylist(), dtype=np.float64)
+    if mat.ndim == 1:  # empty block: shape (0,) → (0, 0)
+        mat = mat.reshape(0, 0)
+    return mat
 
 
 class BruteForceTopK:
@@ -52,6 +55,10 @@ class BruteForceTopK:
         self._vec = vector_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         ids = np.asarray(batch[self._id].to_pylist())
         mat = _normalize(_stack(batch[self._vec]))          # [n, d]
         sims = mat @ self._q.T                              # [n, nq]
@@ -139,6 +146,10 @@ class MaskedTopK:
         self._vec = vector_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         ids = np.asarray(batch[self._id].to_pylist())
         mat = _normalize(_stack(batch[self._vec]))
         parts = self._assign(mat)                           # [n]
@@ -246,10 +257,13 @@ def train_ivf_centroids(
     """k-means centroids (normalized) from a bounded sample.
 
     The sample (not the corpus) fits on the driver; Lloyd iterations are
-    numpy. At 100 TB the sample is a `random_sample` read — training cost
-    is independent of corpus size.
+    numpy. Blocks are read in randomized order so ordered/clustered
+    corpora still yield a spread sample; training cost is independent of
+    corpus size.
     """
-    rows = ds.limit(sample_size).take_all()
+    # randomize BLOCK order before sampling: a head over a sorted/
+    # clustered corpus would train every centroid on one region
+    rows = ds.randomize_block_order(seed=seed).limit(sample_size).take_all()
     mat = _normalize(np.array([r[vector_column] for r in rows], dtype=np.float64))
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(len(mat), size=min(num_centroids, len(mat)), replace=False)]
@@ -323,6 +337,11 @@ def embedding_dup_pairs(
     LSH-bucketed variant.
     """
     rows = ds.select_columns([id_column, vector_column]).take_all()
+    if not rows:
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                        "id_b": pa.array([], pa.int64())}))
     ids = np.array([r[id_column] for r in rows])
     mat = _normalize(np.array([r[vector_column] for r in rows], dtype=np.float64))
     mat_ref = ray.put(mat)

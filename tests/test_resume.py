@@ -223,3 +223,33 @@ def test_crash_between_rerun_and_graph_invalidates_graph(tmp_path_factory):
     # final resume completes and re-aggregates
     s4 = run_kg_job(f"{d}/*.parquet", out, cfg, partitions=2)
     assert s4["complete"] and man.is_done("graph", 0)
+
+
+def test_partition_count_change_no_double_count(tmp_path_factory):
+    """Re-running the same out_dir with a different partition count must
+    not leak old part dirs into the re-aggregated graph."""
+    d = tmp_path_factory.mktemp("pc_corpus")
+    table, _, _ = generate_documents(120, seed=41)
+    for i in range(6):
+        pq.write_table(table.slice(i * 20, 20), str(d / f"frag-{i}.parquet"))
+    out = str(tmp_path_factory.mktemp("pc_out"))
+    cfg = KGConfig(batch_size=32, num_salts=2)
+
+    run_kg_job(f"{d}/*.parquet", out, cfg, partitions=6)
+    mentions_before = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{out}/mentions/**/*.parquet", recursive=True)
+    )
+
+    s2 = run_kg_job(f"{d}/*.parquet", out, cfg, partitions=2)
+    assert s2["complete"]
+    mentions_after = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{out}/mentions/**/*.parquet", recursive=True)
+    )
+    assert mentions_after == mentions_before  # same corpus, no duplicates
+    node_support = sum(
+        sum(pq.read_table(f)["support"].to_pylist())
+        for f in glob.glob(f"{out}/nodes/*.parquet")
+    )
+    assert node_support == mentions_after
