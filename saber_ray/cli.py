@@ -44,8 +44,22 @@ def cmd_run(args: argparse.Namespace) -> None:
     from .pipelines.kg import KGConfig
     from .pipelines.run import run_kg_job
 
-    config = KGConfig(num_salts=args.num_salts, batch_size=args.batch_size,
-                      bundle_path=args.bundle)
+    if args.config:
+        # INI base + CLI overrides (the reference's config harmonization)
+        from .config import load_config
+
+        overrides = {}
+        if args.num_salts is not None:
+            overrides["num_salts"] = args.num_salts
+        if args.batch_size is not None:
+            overrides["batch_size"] = args.batch_size
+        if args.bundle:
+            overrides["bundle_path"] = args.bundle
+        config = load_config(args.config, **overrides)
+    else:
+        config = KGConfig(num_salts=args.num_salts or 16,
+                          batch_size=args.batch_size or 256,
+                          bundle_path=args.bundle)
     summary = run_kg_job(
         args.input, args.out, config, partitions=args.partitions
     )
@@ -93,8 +107,9 @@ def main(argv=None) -> None:
     p_run.add_argument("--input", required=True, help="parquet glob of documents")
     p_run.add_argument("--out", required=True)
     p_run.add_argument("--partitions", type=int, default=8)
-    p_run.add_argument("--num-salts", type=int, default=16)
-    p_run.add_argument("--batch-size", type=int, default=256)
+    p_run.add_argument("--config", default="", help="INI config file (CLI flags override)")
+    p_run.add_argument("--num-salts", type=int, default=None)
+    p_run.add_argument("--batch-size", type=int, default=None)
     p_run.add_argument("--bundle", default="", help="model bundle dir → neural tagger path")
     p_run.set_defaults(fn=cmd_run)
 
