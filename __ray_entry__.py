@@ -186,6 +186,15 @@ def _q_events_window(sf_dir: str):
     return tumbling_window_agg(read_table(sf_dir, "events"))
 
 
+def _q_events_filtered_window(sf_dir: str):
+    from saber_ray.sources.testdata import read_events_filtered
+    from saber_ray.stages.relational import tumbling_window_agg
+
+    # row filter pushed into the parquet scan (prune-at-the-read)
+    ds = read_events_filtered(sf_dir, "click")
+    return tumbling_window_agg(ds)
+
+
 def _q_events_sliding(sf_dir: str):
     from saber_ray.sources.testdata import read_table
     from saber_ray.stages.relational import sliding_window_agg
@@ -306,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions_filtered": _q_kg_mentions_filtered,
         "events_window": _q_events_window,
         "events_sliding": _q_events_sliding,
+        "events_filtered_window": _q_events_filtered_window,
         "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
@@ -476,6 +486,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    CAST(count(*) AS BIGINT) AS n, max(value) AS max_value
             FROM events
+            GROUP BY 1, 2
+        """,
+        "events_filtered_window": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n, max(value) AS max_value
+            FROM events
+            WHERE event_type = 'click'
             GROUP BY 1, 2
         """,
         "events_sliding": """

@@ -57,3 +57,17 @@ def read_documents_flat(sf_dir: str, columns=("doc_id", "text"), **read_kwargs) 
 
 def read_table(sf_dir: str, name: str, columns=None, **read_kwargs) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **read_kwargs)
+
+
+def read_events_filtered(sf_dir: str, event_type: str, columns=None) -> rd.Dataset:
+    """Predicate pushdown at the scan: the row filter is evaluated by the
+    parquet reader (row-group statistics prune before decode), so only
+    matching rows leave storage — at 100 TB this is the difference
+    between reading a column slice and reading everything."""
+    import pyarrow.dataset as pads
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=columns,
+        filter=pads.field("event_type") == event_type,
+    )
