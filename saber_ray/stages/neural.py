@@ -72,10 +72,31 @@ class NeuralTagger:
         self._emb = weights["embeddings"]
         self._w = weights["W"]
         self._b = weights["b"]
+        # optional CRF head: a [T, T] transition score matrix turns the
+        # per-token argmax into Viterbi decoding (the reference's CRF
+        # layer, saber/models/multi_task_lstm_crf.py:96-103); absent →
+        # independent argmax, exactly the CRF-less decode
+        self._transitions = weights.get("transitions")
         self._word2idx = vocab["word2idx"]
         self._char2idx = vocab["char2idx"]
         self._idx2tag = vocab["idx2tag"]
         self._pad_tag = "<PAD>"
+
+    def _viterbi(self, logits: np.ndarray, length: int) -> np.ndarray:
+        """Max-score tag path for one sentence: [S, T] emissions + the
+        bundle's transition matrix (first-order linear-chain CRF)."""
+        trans = self._transitions
+        score = logits[0].copy()                     # [T]
+        back = np.zeros((length, len(score)), dtype=np.int64)
+        for t in range(1, length):
+            cand = score[:, None] + trans            # [T_prev, T_next]
+            back[t] = cand.argmax(axis=0)
+            score = cand.max(axis=0) + logits[t]
+        path = np.zeros(length, dtype=np.int64)
+        path[-1] = int(score.argmax())
+        for t in range(length - 1, 0, -1):
+            path[t - 1] = back[t, path[t]]
+        return path
 
     def _predict_tags(self, sents: list[list[str]]) -> list[list[str]]:
         """Forward + M9 decode: per-sentence tag strings, pads stripped."""
@@ -83,10 +104,14 @@ class NeuralTagger:
             return []
         word_ids, _ = encode_sentences(sents, self._word2idx, self._char2idx)
         logits = self._emb[word_ids] @ self._w + self._b       # [n, S, T]
-        pred = logits.argmax(-1)                               # [n, S]
         out = []
         for i, sent in enumerate(sents):
-            tags = [self._idx2tag[t] for t in pred[i, : len(sent)]]
+            length = min(len(sent), logits.shape[1])
+            if self._transitions is not None and length:
+                pred = self._viterbi(logits[i, :length], length)
+            else:
+                pred = logits[i, :length].argmax(-1)
+            tags = [self._idx2tag[t] for t in pred]
             out.append([t if t != self._pad_tag else "O" for t in tags])
         return out
 

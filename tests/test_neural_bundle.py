@@ -172,3 +172,53 @@ def test_kg_job_with_bundle(bundle, tmp_path):
         return set(rows)
 
     assert mention_set(out_n) == mention_set(out_d)
+
+
+def test_crf_viterbi_decoding(tmp_path):
+    """A transition matrix turns decoding into Viterbi: transitions can
+    overrule per-token argmax (the CRF property the reference's head
+    provides; saber/models/multi_task_lstm_crf.py:96-103)."""
+    from saber_ray.state.bundle import save_bundle
+
+    # tags: 0=<PAD> 1=O 2=B-X 3=I-X
+    tags = ["<PAD>", "O", "B-X", "I-X"]
+    # vocab: token 'a' slightly prefers I-X over B-X; token 'b' prefers I-X
+    word2idx = {"<PAD>": 0, "<UNK>": 1, "a": 2, "b": 3}
+    emb = np.zeros((4, 4), dtype=np.float32)
+    emb[1, 1] = 1.0                     # unk → O
+    emb[2] = [0.0, 0.0, 1.0, 1.1]       # 'a': I-X edges out B-X
+    emb[3] = [0.0, 0.0, 0.0, 1.5]       # 'b': strongly I-X
+    weights = {
+        "embeddings": emb,
+        "W": np.eye(4, dtype=np.float32),
+        "b": np.zeros(4, dtype=np.float32),
+    }
+    vocab = {"word2idx": word2idx, "char2idx": {"<PAD>": 0, "<UNK>": 1},
+             "idx2tag": tags}
+
+    # without transitions: argmax picks the invalid bare I-X run, which
+    # the chunker then drops (quirk-preserving, but no mention)
+    save_bundle(str(tmp_path / "nocrf"), weights, vocab)
+    plain = NeuralTagger(str(tmp_path / "nocrf"))
+    assert plain._predict_tags([["a", "b"]]) == [["I-X", "I-X"]]
+
+    # with a CRF transition matrix that forbids starting with I-X and
+    # rewards B-X → I-X, Viterbi decodes the valid sequence
+    trans = np.full((4, 4), 0.0, dtype=np.float32)
+    trans[1, 3] = -5.0   # O → I-X forbidden
+    trans[2, 3] = 1.0    # B-X → I-X rewarded
+    # starting emission boost comes from the path score itself; penalize
+    # I-X at sentence start by making O→ and B-X→ the only ways in:
+    weights_crf = dict(weights)
+    weights_crf["transitions"] = trans
+    # make the start matter: first token score alone still favors I-X by
+    # 0.1, but B-X → I-X adds +1.0 to the two-token path
+    save_bundle(str(tmp_path / "crf"), weights_crf, vocab)
+    crf = NeuralTagger(str(tmp_path / "crf"))
+    assert crf._predict_tags([["a", "b"]]) == [["B-X", "I-X"]]
+
+    # end-to-end: the CRF bundle yields the mention the plain one drops
+    batch = pa.Table.from_pylist([_doc("d", ["a b"])], schema=DOCUMENTS)
+    assert plain(batch)["ents"].to_pylist()[0] == []
+    ents = crf(batch)["ents"].to_pylist()[0]
+    assert [(e["text"], e["label"]) for e in ents] == [("a b", "X")]
