@@ -271,6 +271,13 @@ def _q_kg_top_edges(sf_dir: str):
     return top_edges(demo_edges(sf_dir), k=10)
 
 
+def _q_kg_two_hop(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_edges
+    from saber_ray.stages.graph import two_hop_pairs
+
+    return two_hop_pairs(demo_edges(sf_dir))
+
+
 def _q_kg_annotation_stats(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -326,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": _q_kg_edges,
         "kg_degrees": _q_kg_degrees,
         "kg_top_edges": _q_kg_top_edges,
+        "kg_two_hop": _q_kg_two_hop,
         "kg_annotation_stats": _q_kg_annotation_stats,
     }
 
@@ -603,6 +611,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY support DESC, src, pred, dst
             LIMIT 10
+        """,
+        "kg_two_hop": f"""
+            {triples_cte},
+            e AS (SELECT subj AS src, obj AS dst FROM trip GROUP BY 1, 2)
+            SELECT a.src, b.dst
+            FROM e a JOIN e b ON a.dst = b.src
+            GROUP BY 1, 2
         """,
         "kg_annotation_stats": f"""
             WITH {gaz},

@@ -408,3 +408,28 @@ def simhash_near_pairs(
     buckets = banded.groupby(["t", "key"]).aggregate(members_agg)
     cand = buckets.map_batches(expand, batch_format="pyarrow")
     return cand.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
+
+
+def dedup_documents_exact(docs: rd.Dataset, id_column: str = "doc_id") -> rd.Dataset:
+    """Exact dedup of INTERLEAVED documents: the span-sequence hash (the
+    pipeline invariant) doubles as the content fingerprint; keep the
+    min-id document per identical span sequence. One shuffle.
+    """
+    from ..functions.hashing import span_sequence_hash
+
+    def fp(batch: pa.Table) -> pa.Table:
+        hashes = []
+        for spans in batch["spans"].to_pylist():
+            spans = spans or []
+            hashes.append(span_sequence_hash(
+                [s["kind"] for s in spans],
+                [s["text"] for s in spans],
+                [s["media_ref"] for s in spans],
+            ))
+        return pa.table({id_column: batch[id_column],
+                         "fingerprint": pa.array(hashes, type=pa.string())})
+
+    survivors = docs.map_batches(fp, batch_format="pyarrow").groupby(
+        "fingerprint"
+    ).min(id_column).rename_columns({f"min({id_column})": id_column})
+    return survivors

@@ -60,3 +60,25 @@ def top_edges(edges: rd.Dataset, k: int = 10) -> rd.Dataset:
     return edges.sort(
         ["support", "src", "pred", "dst"], descending=[True, False, False, False]
     ).limit(k)
+
+
+def two_hop_pairs(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+    """Distinct (src, dst) pairs connected by exactly two directed hops —
+    one hash self-join (mid = first hop's dst = second hop's src) plus a
+    distinct groupby. The canonical graph-traversal building block; k-hop
+    iterates it.
+    """
+    left = edges.select_columns(["src", "dst"]).rename_columns(
+        {"dst": "mid"}
+    )
+    right = edges.select_columns(["src", "dst"]).rename_columns(
+        {"src": "mid", "dst": "dst2"}
+    )
+    joined = left.join(
+        right, join_type="inner", num_partitions=num_partitions, on=("mid",)
+    )
+    pairs = joined.map_batches(
+        lambda b: pa.table({"src": b["src"], "dst": b["dst2"]}),
+        batch_format="pyarrow",
+    )
+    return pairs.groupby(["src", "dst"]).count().drop_columns(["count()"])

@@ -158,3 +158,21 @@ def test_knn_ivf_recall():
             knn_topk_ivf(ds, queries, qids, k=5, num_centroids=8, nprobe=2).take_all()}
     recall = len(part & exact) / len(exact)
     assert recall >= 0.8, f"IVF nprobe=2 recall {recall}"
+
+
+def test_dedup_documents_exact_interleaved():
+    from saber_ray.sources.synthetic import generate_documents
+    from saber_ray.stages.dedup import dedup_documents_exact
+
+    table, _, _ = generate_documents(50, seed=44)
+    # duplicate two documents under new ids
+    import pyarrow as pa
+
+    dup = table.to_pylist()
+    dup.append({"doc_id": "zzz-copy-1", "spans": dup[3]["spans"]})
+    dup.append({"doc_id": "zzz-copy-2", "spans": dup[7]["spans"]})
+    ds = rd.from_arrow(pa.Table.from_pylist(dup, schema=table.schema))
+    survivors = {r["doc_id"] for r in dedup_documents_exact(ds).take_all()}
+    assert len(survivors) == 50
+    assert "zzz-copy-1" not in survivors and "zzz-copy-2" not in survivors
+    assert dup[3]["doc_id"] in survivors
