@@ -173,6 +173,10 @@ def test_dedup_documents_exact_interleaved():
     dup.append({"doc_id": "zzz-copy-2", "spans": dup[7]["spans"]})
     ds = rd.from_arrow(pa.Table.from_pylist(dup, schema=table.schema))
     survivors = {r["doc_id"] for r in dedup_documents_exact(ds).take_all()}
-    assert len(survivors) == 50
+    # expected uniques derived from the data (the generator itself can
+    # produce identical single-filler docs)
+    uniq = {tuple((s["kind"], s["text"], s["media_ref"]) for s in d["spans"])
+            for d in dup}
+    assert len(survivors) == len(uniq)
     assert "zzz-copy-1" not in survivors and "zzz-copy-2" not in survivors
     assert dup[3]["doc_id"] in survivors
