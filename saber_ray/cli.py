@@ -57,9 +57,11 @@ def cmd_run(args: argparse.Namespace) -> None:
             overrides["bundle_path"] = args.bundle
         config = load_config(args.config, **overrides)
     else:
-        config = KGConfig(num_salts=args.num_salts or 16,
-                          batch_size=args.batch_size or 256,
-                          bundle_path=args.bundle)
+        config = KGConfig(
+            num_salts=args.num_salts if args.num_salts is not None else 16,
+            batch_size=args.batch_size if args.batch_size is not None else 256,
+            bundle_path=args.bundle,
+        )
     summary = run_kg_job(
         args.input, args.out, config, partitions=args.partitions
     )
@@ -108,7 +110,13 @@ def main(argv=None) -> None:
     p_run.add_argument("--out", required=True)
     p_run.add_argument("--partitions", type=int, default=8)
     p_run.add_argument("--config", default="", help="INI config file (CLI flags override)")
-    p_run.add_argument("--num-salts", type=int, default=None)
+    def _positive(v):
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("must be >= 1")
+        return n
+
+    p_run.add_argument("--num-salts", type=_positive, default=None)
     p_run.add_argument("--batch-size", type=int, default=None)
     p_run.add_argument("--bundle", default="", help="model bundle dir → neural tagger path")
     p_run.set_defaults(fn=cmd_run)

@@ -43,6 +43,11 @@ def dedup_exact(ds: rd.Dataset, id_column: str = "doc_id", column: str = "text")
         lambda b: fingerprint_batch(b, column).select([id_column, "fingerprint"]),
         batch_format="pyarrow",
     )
+    return _min_id_survivors(fps, id_column)
+
+
+def _min_id_survivors(fps: rd.Dataset, id_column: str) -> rd.Dataset:
+    """Shared survivor policy: keep the min-id row per fingerprint."""
     out = fps.groupby("fingerprint").min(id_column)
     return out.rename_columns({f"min({id_column})": id_column})
 
@@ -417,6 +422,15 @@ def dedup_documents_exact(docs: rd.Dataset, id_column: str = "doc_id") -> rd.Dat
     """
     from ..functions.hashing import span_sequence_hash
 
+    schema_names = docs.schema().names
+    if "span_hash" in schema_names:
+        # annotated documents already carry the invariant hash — reuse it
+        # instead of re-hashing every span
+        fps = docs.select_columns([id_column, "span_hash"]).rename_columns(
+            {"span_hash": "fingerprint"}
+        )
+        return _min_id_survivors(fps, id_column)
+
     def fp(batch: pa.Table) -> pa.Table:
         hashes = []
         for spans in batch["spans"].to_pylist():
@@ -429,7 +443,4 @@ def dedup_documents_exact(docs: rd.Dataset, id_column: str = "doc_id") -> rd.Dat
         return pa.table({id_column: batch[id_column],
                          "fingerprint": pa.array(hashes, type=pa.string())})
 
-    survivors = docs.map_batches(fp, batch_format="pyarrow").groupby(
-        "fingerprint"
-    ).min(id_column).rename_columns({f"min({id_column})": id_column})
-    return survivors
+    return _min_id_survivors(docs.map_batches(fp, batch_format="pyarrow"), id_column)

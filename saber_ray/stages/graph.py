@@ -77,8 +77,5 @@ def two_hop_pairs(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
     joined = left.join(
         right, join_type="inner", num_partitions=num_partitions, on=("mid",)
     )
-    pairs = joined.map_batches(
-        lambda b: pa.table({"src": b["src"], "dst": b["dst2"]}),
-        batch_format="pyarrow",
-    )
+    pairs = joined.drop_columns(["mid"]).rename_columns({"dst2": "dst"})
     return pairs.groupby(["src", "dst"]).count().drop_columns(["count()"])
