@@ -79,3 +79,34 @@ def two_hop_pairs(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
     )
     pairs = joined.drop_columns(["mid"]).rename_columns({"dst2": "dst"})
     return pairs.groupby(["src", "dst"]).count().drop_columns(["count()"])
+
+
+def k_hop_pairs(edges: rd.Dataset, k: int, num_partitions: int = 8) -> rd.Dataset:
+    """Distinct (src, dst) pairs connected by exactly k directed hops.
+
+    Iterates the self-join k-1 times. Between hops the frontier is
+    deduped, REPARTITIONED and materialized: Ray's hash join emits
+    schema-less empty partition blocks that poison a subsequent join,
+    and the repartition rebuilds clean uniform blocks (the frontier is
+    the deduped pair set — small relative to the corpus).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    frontier = edges.select_columns(["src", "dst"])
+    right = edges.select_columns(["src", "dst"]).rename_columns(
+        {"src": "mid", "dst": "dst2"}
+    )
+    for _ in range(k - 1):
+        left = frontier.rename_columns({"dst": "mid"})
+        joined = left.join(
+            right, join_type="inner", num_partitions=num_partitions, on=("mid",)
+        )
+        frontier = (
+            joined.drop_columns(["mid"]).rename_columns({"dst2": "dst"})
+            .groupby(["src", "dst"]).count().drop_columns(["count()"])
+            .repartition(max(2, num_partitions // 2))
+            .materialize()
+        )
+    if k == 1:
+        frontier = frontier.groupby(["src", "dst"]).count().drop_columns(["count()"])
+    return frontier

@@ -253,3 +253,21 @@ def test_node_degrees_and_top_edges(synthetic):
     supports = [t["support"] for t in top]
     assert supports == sorted(supports, reverse=True)
     assert len(top) == 5
+
+
+def test_k_hop_pairs():
+    from saber_ray.stages.graph import k_hop_pairs, two_hop_pairs
+
+    edges = rd.from_arrow(pa.table({
+        "src": ["a", "b", "c", "d", "a"],
+        "dst": ["b", "c", "d", "e", "c"],
+        "pred": ["p"] * 5, "support": [1] * 5,
+    }))
+    hop1 = {(r["src"], r["dst"]) for r in k_hop_pairs(edges, 1).take_all()}
+    assert hop1 == {("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c")}
+    hop2 = {(r["src"], r["dst"]) for r in k_hop_pairs(edges, 2).take_all()}
+    assert hop2 == {(r["src"], r["dst"]) for r in two_hop_pairs(edges).take_all()}
+    hop3 = {(r["src"], r["dst"]) for r in k_hop_pairs(edges, 3).take_all()}
+    assert hop3 == {("a", "d"), ("a", "e"), ("b", "e")}
+    with pytest.raises(ValueError):
+        k_hop_pairs(edges, 0)
