@@ -60,7 +60,11 @@ class Annotator:
             linker = ray.get(linker_ref)
         else:
             linker = linker_ref
-        self._labels = {k.lower(): v for k, v in surfaces.items()}
+        # normalized surface (trim + collapse + lower) → label, matching
+        # build_surface_pattern's normalization and the grounding keys
+        self._labels = {
+            _WS.sub(" ", k.strip().lower()): v for k, v in surfaces.items()
+        }
         if strategy == "auto":
             strategy = "trie" if len(surfaces) > self.TRIE_THRESHOLD else "regex"
         self.strategy = strategy  # introspectable

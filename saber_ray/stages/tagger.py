@@ -60,9 +60,23 @@ def build_surface_pattern(surfaces: dict[str, str]) -> re.Pattern:
     matches any whitespace RUN (canonical semantics shared with the
     token-trie strategy — functions/matching.py).
     """
-    alts = sorted(surfaces, key=lambda s: (-len(s), s))
-    body = "|".join(re.escape(s).replace(r"\ ", r"\s+") for s in alts)
-    return re.compile(rf"(?<![0-9a-zA-Z])(?:{body})(?![0-9a-zA-Z])", re.IGNORECASE)
+    # surfaces are normalized before compilation (trim + collapse
+    # whitespace runs): a surface "p53 " MEANS "p53" — both strategies
+    # and the grounding keys share this normalization
+    norm = {re.sub(r"\s+", " ", s.strip()) for s in surfaces}
+    norm.discard("")
+    alts = sorted(norm, key=lambda s: (-len(s), s))
+
+    def alt(s: str) -> str:
+        # token-accurate boundaries: an alnum-run edge must not extend
+        # ("p53" ≠ "p533"), but a punctuation edge is its own token and
+        # needs no guard ("1-" matches inside "1-1")
+        pre = r"(?<![0-9a-zA-Z])" if s[0].isalnum() else ""
+        suf = r"(?![0-9a-zA-Z])" if s[-1].isalnum() else ""
+        return pre + re.escape(s).replace(r"\ ", r"\s+") + suf
+
+    body = "|".join(alt(s) for s in alts)
+    return re.compile(rf"(?:{body})", re.IGNORECASE)
 
 
 class DictionaryTagger:
@@ -78,9 +92,11 @@ class DictionaryTagger:
     def __init__(self, surfaces: dict[str, str] | None = None):
         if surfaces is None:
             from ..gazetteer import SABER_SURFACES as surfaces  # noqa: N811
-        self._labels = {k.lower(): v for k, v in surfaces.items()}
-        self._pattern = build_surface_pattern(surfaces)
         self._ws = re.compile(r"\s+")
+        self._labels = {
+            self._ws.sub(" ", k.strip().lower()): v for k, v in surfaces.items()
+        }
+        self._pattern = build_surface_pattern(surfaces)
 
     def _label_of(self, matched: str) -> str:
         return self._labels[self._ws.sub(" ", matched.lower())]

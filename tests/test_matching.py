@@ -129,3 +129,28 @@ def test_trie_scales_to_large_gazetteer():
     assert per_call_ms < 20.0, f"trie match {per_call_ms:.1f} ms for 1.6KB"
     assert sum(1 for *_, lab in got if lab == "PRGE") == 40
     assert sum(1 for *_, lab in got if lab == "DISO") == 20
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abc12", min_size=1, max_size=4)
+_surface = st.builds(
+    lambda parts, seps: "".join(
+        p + s for p, s in zip(parts, seps + [""])
+    ),
+    st.lists(_word, min_size=1, max_size=3),
+    st.lists(st.sampled_from([" ", "-", ".", "  "]), min_size=0, max_size=2),
+).filter(lambda s: s.strip())
+_text = st.text(alphabet="abc12 -.\n\t", max_size=60)
+
+
+@given(st.dictionaries(_surface, st.sampled_from(["PRGE", "CHED"]),
+                       min_size=1, max_size=6), _text)
+@settings(max_examples=300, deadline=None)
+def test_trie_regex_parity_fuzz(surfaces, text):
+    """Randomized parity: both strategies must produce identical match
+    spans for ANY gazetteer/text over the shared alphabet."""
+    # regex path normalizes surfaces by the same lower rule the trie uses
+    surfaces = {k.lower(): v for k, v in surfaces.items()}
+    assert _trie_matches(surfaces, text) == _regex_matches(surfaces, text)
