@@ -204,11 +204,14 @@ def canonicalize_nodes(mentions, num_salts: int = 16):
     Salted two-level merge, both levels native ``groupby().aggregate``
     with a multiset-merging AggregateFn — no per-group Python/pandas.
     """
+    from ..functions.partitioning import shuffle_partitions
+
     partials = mentions.map_batches(
         lambda b: partial_nodes(b, num_salts), batch_format="pyarrow"
     )
-    # coalesce the (small) partial stream — see canonicalize_edges
-    partials = partials.repartition(num_salts)
+    # coalesce the (small) partial stream — see canonicalize_edges;
+    # partition count scales with the cluster, never a fixed constant
+    partials = partials.repartition(shuffle_partitions(num_salts, mentions))
     level1 = partials.groupby(["entity_id", "salt"]).aggregate(_node_state_agg())
     level2_in = level1.map_batches(_state_to_partials, batch_format="pyarrow")
     final = level2_in.groupby("entity_id").aggregate(_node_state_agg())
@@ -297,13 +300,16 @@ def canonicalize_edges(triples, num_salts: int = 16):
     """
     from ray.data.aggregate import Sum
 
+    from ..functions.partitioning import shuffle_partitions
+
     partials = triples.map_batches(
         lambda b: partial_edges(b, num_salts), batch_format="pyarrow"
     )
     # coalesce the (small) partial stream: sort-based Aggregate creates one
     # reduce partition per input block, and hundreds of near-empty reduce
-    # tasks cost more than the aggregation itself
-    partials = partials.repartition(num_salts)
+    # tasks cost more than the aggregation itself; the count scales with
+    # cluster width so a 4N-node run gets 4x the reduce partitions
+    partials = partials.repartition(shuffle_partitions(num_salts, triples))
     level1 = partials.groupby(["src", "pred", "dst", "salt"]).aggregate(
         Sum("support", alias_name="support"), _doc_sample_agg()
     )

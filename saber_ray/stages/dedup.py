@@ -198,9 +198,13 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         concurrency=concurrency or (1, 8),
     )
+    from ..functions.partitioning import shuffle_partitions
+
     bands = sigs.map_batches(
         lambda b: _band_rows(b, num_bands, id_column), batch_format="pyarrow"
-    ).repartition(num_bands)  # coalesce: see canonicalize.py on reduce-task overhead
+    ).repartition(  # coalesce: see canonicalize.py on reduce-task overhead
+        shuffle_partitions(num_bands, ds)
+    )
     buckets = bands.groupby(["band", "band_hash"]).aggregate(
         _bucket_members_agg(id_column, max_bucket)
     )
@@ -409,7 +413,11 @@ def simhash_near_pairs(
             }
         )
 
-    banded = sigs.map_batches(bands, batch_format="pyarrow").repartition(num_tables)
+    from ..functions.partitioning import shuffle_partitions
+
+    banded = sigs.map_batches(bands, batch_format="pyarrow").repartition(
+        shuffle_partitions(num_tables, ds)
+    )
     buckets = banded.groupby(["t", "key"]).aggregate(members_agg)
     cand = buckets.map_batches(expand, batch_format="pyarrow")
     return cand.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])

@@ -180,12 +180,10 @@ def broadcast_join(
 
     def join_batch(batch: pa.Table) -> pa.Table:
         small = ray.get(small_ref)
-        left_df = batch.to_pandas()
-        right_df = small.to_pandas()
-        out = left_df.merge(right_df, left_on=left_on, right_on=right_on, how="inner")
-        if right_on != left_on and right_on in out.columns:
-            out = out.drop(columns=[right_on])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # Arrow-native hash join on the batch (zero pandas round-trip);
+        # the right key column is coalesced away by Arrow's join
+        return batch.join(small, keys=left_on, right_keys=right_on,
+                          join_type="inner")
 
     return large.map_batches(join_batch, batch_format="pyarrow")
 

@@ -48,8 +48,24 @@ def _ents_parts(batch: pa.Table):
     return values, offsets
 
 
-def emit_triples(batch: pa.Table, same_sentence: bool = True) -> pa.Table:
-    """Annotated documents batch → TRIPLES-schema batch."""
+#: Per-scope mention cap for pair emission. A pathological document with
+#: 10^4 mentions in one sentence would otherwise expand to 10^8 pair
+#: iterations inside a single task; mentions past the cap (in positional
+#: order) are dropped from pairing WITH a log line, never silently.
+MAX_PAIR_MENTIONS = 1000
+
+
+def emit_triples(batch: pa.Table, same_sentence: bool = True,
+                 max_pair_mentions: int = MAX_PAIR_MENTIONS) -> pa.Table:
+    """Annotated documents batch → TRIPLES-schema batch.
+
+    Pairing is grouped by co-occurrence scope FIRST — (span_idx,
+    sent_idx) when ``same_sentence`` — so the O(m²) loop runs over
+    within-scope mention counts, not whole-document counts, and each
+    scope is capped at ``max_pair_mentions``.
+    """
+    import logging
+
     flat, offsets = _ents_parts(batch)
     doc_ids = batch["doc_id"].to_pylist()
     starts = flat.field("start").to_numpy(zero_copy_only=False)
@@ -59,29 +75,40 @@ def emit_triples(batch: pa.Table, same_sentence: bool = True) -> pa.Table:
     entities = flat.field("entity_id").to_pylist()
 
     rows: dict[str, list] = {name: [] for name in TRIPLES.names}
+    n_capped = 0
     for d, doc_id in enumerate(doc_ids):
         lo, hi = int(offsets[d]), int(offsets[d + 1])
         if hi - lo < 2:
             continue
         # positional order within the document: (span_idx, start)
         order = sorted(range(lo, hi), key=lambda i: (span_idxs[i], starts[i]))
+        if same_sentence:
+            # bound the pair loop to within-(span, sentence) groups;
+            # grouping keeps each member list in positional order
+            by_scope: dict[tuple, list[int]] = {}
+            for i in order:
+                by_scope.setdefault((span_idxs[i], sent_idxs[i]), []).append(i)
+            scopes = list(by_scope.values())
+        else:
+            scopes = [order]
         seen: dict[tuple, list] = {}
-        for ii in range(len(order)):
-            a = order[ii]
-            for jj in range(ii + 1, len(order)):
-                b = order[jj]
-                if same_sentence and (
-                    span_idxs[a] != span_idxs[b] or sent_idxs[a] != sent_idxs[b]
-                ):
-                    continue
-                if entities[a] == entities[b]:
-                    continue
-                key = (entities[a], predicate_for(labels[a], labels[b]), entities[b])
-                hit = seen.get(key)
-                if hit is not None:
-                    hit[0] += 1.0
-                else:
-                    seen[key] = [1.0, labels[a], labels[b], int(span_idxs[a])]
+        for scope in scopes:
+            if len(scope) > max_pair_mentions:
+                n_capped += len(scope) - max_pair_mentions
+                scope = scope[:max_pair_mentions]
+            for ii in range(len(scope)):
+                a = scope[ii]
+                for jj in range(ii + 1, len(scope)):
+                    b = scope[jj]
+                    if entities[a] == entities[b]:
+                        continue
+                    key = (entities[a], predicate_for(labels[a], labels[b]),
+                           entities[b])
+                    hit = seen.get(key)
+                    if hit is not None:
+                        hit[0] += 1.0
+                    else:
+                        seen[key] = [1.0, labels[a], labels[b], int(span_idxs[a])]
         for (subj, pred, obj), (score, subj_label, obj_label, span_idx) in seen.items():
             rows["doc_id"].append(doc_id)
             rows["subj"].append(subj)
@@ -91,6 +118,11 @@ def emit_triples(batch: pa.Table, same_sentence: bool = True) -> pa.Table:
             rows["obj_label"].append(obj_label)
             rows["evidence_span"].append(span_idx)
             rows["score"].append(score)
+    if n_capped:
+        logging.getLogger(__name__).warning(
+            "emit_triples: %d mentions beyond max_pair_mentions=%d were "
+            "excluded from pairing in this batch", n_capped, max_pair_mentions,
+        )
     return pa.Table.from_pydict(rows, schema=TRIPLES)
 
 
