@@ -121,10 +121,16 @@ def _q_dedup_exact(sf_dir: str):
 
 
 def _q_minhash_pairs(sf_dir: str):
+    # candidates from MinHash+LSH banding, then EXACT distributed Jaccard
+    # verification — the verified pair set is what the DuckDB oracle
+    # reproduces with an exact shingle-set join (the raw candidate set is
+    # banding-dependent and not SQL-expressible)
     from saber_ray.sources.testdata import read_documents_flat
-    from saber_ray.stages.dedup import minhash_lsh_pairs
+    from saber_ray.stages.dedup import minhash_lsh_pairs, verify_pairs_jaccard
 
-    return minhash_lsh_pairs(read_documents_flat(sf_dir))
+    docs = read_documents_flat(sf_dir)
+    cand = minhash_lsh_pairs(docs)
+    return verify_pairs_jaccard(cand, docs, min_jaccard=0.5)
 
 
 def _q_simhash_pairs(sf_dir: str):
@@ -138,7 +144,10 @@ def _q_embedding_dups(sf_dir: str):
     from saber_ray.sources.testdata import read_table
     from saber_ray.stages.similarity import embedding_dup_pairs
 
-    ds = embedding_dup_pairs(read_table(sf_dir, "embeddings"), threshold=0.5)
+    # method="lsh" exercises the SCALE path (banding + distributed cosine
+    # verify) — verified equal to the exact path on this data
+    ds = embedding_dup_pairs(read_table(sf_dir, "embeddings"), threshold=0.5,
+                             method="lsh")
     # near-dup pairs are tiny by definition; collect into a TYPED table so
     # an all-empty result still carries its schema (a fully-empty Dataset
     # drops columns on conversion)
@@ -341,6 +350,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------- oracle SQL ---
 
 
+def _lang_list(lang: str) -> str:
+    from saber_ray.stages.textstats import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang])) + "]"
+
+
 def _gaz_cte() -> str:
     from saber_ray.gazetteer import DEMO_GAZETTEER
 
@@ -452,6 +467,77 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS doc_id
             FROM documents
             GROUP BY 1
+        """,
+        "lang_id": f"""
+            WITH s AS (
+                SELECT doc_id, text,
+                       len(list_filter({TOKENS_SQL}, x ->
+                           list_contains({_lang_list('en')}, x))) AS s_en,
+                       len(list_filter({TOKENS_SQL}, x ->
+                           list_contains({_lang_list('es')}, x))) AS s_es,
+                       len(list_filter({TOKENS_SQL}, x ->
+                           list_contains({_lang_list('de')}, x))) AS s_de,
+                       len(list_filter({TOKENS_SQL}, x ->
+                           list_contains({_lang_list('fr')}, x))) AS s_fr
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR text = '' THEN 'und'
+                        WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                        WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                        WHEN s_de >= s_fr THEN 'de'
+                        ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
+        "dedup_minhash_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+                    FROM toks, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+                    WHERE len(toks) >= 3
+                    UNION ALL
+                    SELECT doc_id, array_to_string(toks, ' ')
+                    FROM toks WHERE len(toks) BETWEEN 1 AND 2
+                )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b,
+                   CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH th AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents)
+            ),
+            votes AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (h >> CAST(b AS UBIGINT)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS v
+                FROM th, unnest(generate_series(0, 63)) AS bits(b)
+                GROUP BY 1, 2
+            ),
+            bits AS (SELECT doc_id, b, (v > 0) AS bit FROM votes),
+            ham AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS d
+                FROM bits a JOIN bits b ON a.b = b.b AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b FROM ham WHERE d <= 3
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

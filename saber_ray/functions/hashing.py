@@ -23,6 +23,18 @@ def stable_u64(data: bytes | str) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
 
 
+def stable_u64_md5(data: bytes | str) -> int:
+    """First 8 bytes of md5 as unsigned int (big-endian).
+
+    md5 (not blake2b) so a DuckDB oracle can reproduce it exactly:
+    ``('0x' || substr(md5(tok), 1, 16))::UBIGINT`` — used by SimHash so
+    the hamming-distance oracle is SQL-checkable end to end.
+    """
+    if isinstance(data, str):
+        data = data.encode("utf-8", "surrogatepass")
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
+
+
 def stable_hex(data: bytes | str, size: int = 16) -> str:
     if isinstance(data, str):
         data = data.encode("utf-8", "surrogatepass")

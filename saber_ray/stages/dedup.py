@@ -244,6 +244,27 @@ def jaccard_for_pairs(
     return out
 
 
+def _shingle_hash_arrays(batch: pa.Table, shingle_k: int,
+                         id_column: str, column: str) -> pa.Table:
+    """[id, text] batch → [id, shingles] where ``shingles`` is the
+    SORTED DISTINCT int64 shingle-hash array of each document (the
+    Arrow-storable stand-in for the shingle string set; 64-bit
+    collisions are negligible at per-doc shingle counts)."""
+    out = []
+    for text in batch[column].to_pylist():
+        hs = sorted(
+            {int(h) - ((int(h) >> 63) << 64)  # uint64 → int64 wraparound
+             for h in (stable_u64(s) for s in _shingle_set(text, shingle_k))}
+        )
+        out.append(hs)
+    return pa.table(
+        {
+            id_column: batch[id_column],
+            "shingles": pa.array(out, type=pa.list_(pa.int64())),
+        }
+    )
+
+
 def verify_pairs_jaccard(
     pairs: rd.Dataset,
     docs: rd.Dataset,
@@ -251,81 +272,75 @@ def verify_pairs_jaccard(
     id_column: str = "doc_id",
     column: str = "text",
     min_jaccard: float = 0.0,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Distributed exact-Jaccard verification of candidate pairs.
 
-    Broadcast semi-join: the candidate id set (near-dup pairs are a tiny
-    fraction of any real corpus) is collected once, the corpus is
-    filtered to candidate docs with a streaming ``is_in`` mask, their
-    shingle sets are ``ray.put`` as one broadcast dict, and each pair
-    batch scores against it — the full corpus STREAMS (one filtered
-    pass), only the candidate texts ever occupy memory. Returns
-    (id_a, id_b, jaccard) with jaccard >= min_jaccard.
-
-    (A two-sided ``Dataset.join`` would express this too, but chained
-    hash joins currently emit schema-less empty partitions that poison
-    the second join — and the broadcast plan moves strictly less data.)
+    The corpus streams once through a candidate-id mask (no corpus
+    shuffle); candidate docs are shingle-hashed IN the stream; two hash
+    joins attach each side's sorted shingle-hash array to the pair rows
+    (see stages/pairs.py — only ids ever touch the driver); scoring is a
+    per-row sorted-array intersection. Returns (id_a, id_b, jaccard)
+    with jaccard >= min_jaccard.
     """
-    import pyarrow.compute as pc
+    import numpy as np
 
-    import ray
+    from .pairs import attach_pair_payload
 
-    pair_rows = pairs.select_columns(["id_a", "id_b"]).take_all()
-    cand_ids = sorted({r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows})
-    id_set = pa.array(cand_ids)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch[id_column], value_set=id_set))
-
-    cand_docs = docs.select_columns([id_column, column]).map_batches(
-        keep, batch_format="pyarrow"
-    ).take_all()
-    # shingle each candidate doc ONCE; pairs only intersect sets
-    shingles = {
-        r[id_column]: _shingle_set(r[column], shingle_k) for r in cand_docs
-    }
-    shingles_ref = ray.put(shingles)
+    id_type = dict(zip(docs.schema().names, docs.schema().types))[id_column]
+    attached = attach_pair_payload(
+        pairs, docs, id_column, "shingles",
+        raw_columns=[column],
+        payload_builder=lambda b: _shingle_hash_arrays(b, shingle_k, id_column, column),
+        num_partitions=num_partitions,
+    )
 
     def score(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(shingles_ref)
         out_a, out_b, out_j = [], [], []
-        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            sa, sb = lookup.get(a), lookup.get(b)
-            if sa is None or sb is None:
-                continue
-            denom = len(sa | sb)
-            j = len(sa & sb) / denom if denom else 0.0
+        for a, b, sa, sb in zip(
+            batch["id_a"].to_pylist(), batch["id_b"].to_pylist(),
+            batch["payload_a"].to_pylist(), batch["payload_b"].to_pylist(),
+        ):
+            sa = np.asarray(sa, dtype=np.int64)
+            sb = np.asarray(sb, dtype=np.int64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            denom = len(sa) + len(sb) - inter
+            j = inter / denom if denom else 0.0
             if j >= min_jaccard:
                 out_a.append(a)
                 out_b.append(b)
                 out_j.append(j)
         return pa.table(
             {
-                "id_a": pa.array(out_a, type=id_set.type),
-                "id_b": pa.array(out_b, type=id_set.type),
+                "id_a": pa.array(out_a, type=id_type),
+                "id_b": pa.array(out_b, type=id_type),
                 "jaccard": pa.array(out_j, type=pa.float64()),
             }
         )
 
-    return pairs.map_batches(score, batch_format="pyarrow")
+    return attached.map_batches(score, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------- simhash ----
 
 
 def simhash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
-    """Append ``simhash`` — 64-bit SimHash over token hashes (vectorized
-    bit-vote accumulation per document)."""
-    from ..functions.hashing import simhash64
+    """Append ``simhash`` — 64-bit SimHash over md5 token hashes
+    (vectorized bit-vote accumulation per document).
+
+    Token hashes are md5-derived (``stable_u64_md5``) so a DuckDB oracle
+    reproduces the bit votes — and thus pairwise hamming distances —
+    exactly. Token-less documents get a NULL simhash (an all-zero
+    "empty" hash would pair every empty doc with every other)."""
+    from ..functions.hashing import simhash64, stable_u64_md5
 
     out = []
     for text in batch[column].to_pylist():
         toks = _TOKEN_RE.findall(text.lower()) if text else []
         if not toks:
-            out.append(0)
+            out.append(None)
             continue
-        hashes = np.array([stable_u64(t) for t in toks], dtype=np.uint64)
+        hashes = np.array([stable_u64_md5(t) for t in toks], dtype=np.uint64)
         val = simhash64(hashes)  # single definition of the kernel
         out.append(val - (1 << 64) if val >= (1 << 63) else val)  # store as int64
     return batch.append_column("simhash", pa.array(out, type=pa.int64()))
@@ -350,6 +365,8 @@ def simhash_near_pairs(
     def bands(batch: pa.Table) -> pa.Table:
         ids, table_ids, keys, sims = [], [], [], []
         for rid, sh in zip(batch[id_column].to_pylist(), batch["simhash"].to_pylist()):
+            if sh is None:  # token-less doc: nothing to band
+                continue
             u = sh & ((1 << 64) - 1)
             for t in range(num_tables):
                 ids.append(rid)

@@ -321,21 +321,166 @@ def knn_topk_ivf(
 # ------------------------------------------------- embedding near-dup ---
 
 
+def _lsh_band_params(threshold: float, bits: int | None, num_tables: int | None,
+                     target_recall: float = 0.98) -> tuple[int, int]:
+    """Derive (bits, num_tables) for sign-LSH banding at a cosine
+    threshold: per-bit collision p = 1 - acos(t)/pi (Charikar 2002),
+    per-table p^bits, recall = 1 - (1 - p^bits)^L solved for L.
+
+    Low thresholds are intrinsically expensive for hyperplane LSH (the
+    per-bit signal fades as t -> 0), which is why the derived L is
+    capped — callers wanting exact answers at low thresholds should use
+    the all-pairs path.
+    """
+    bits = bits or 8
+    if num_tables is None:
+        p_bit = max(1e-6, 1.0 - float(np.arccos(min(1.0, threshold))) / np.pi)
+        p_table = p_bit ** bits
+        num_tables = int(np.ceil(np.log(1.0 - target_recall) / np.log(1.0 - p_table)))
+        num_tables = int(min(max(num_tables, 4), 128))
+    return bits, num_tables
+
+
+def verify_pairs_cosine(
+    pairs: rd.Dataset,
+    ds: rd.Dataset,
+    threshold: float,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Exact cosine verification of candidate (id_a, id_b) pairs —
+    distributed: two hash joins attach each side's vector to the pair
+    rows (stages/pairs.py; only ids touch the driver), then a vectorized
+    row-wise dot product filters by ``threshold``."""
+    from .pairs import attach_pair_payload
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
+    attached = attach_pair_payload(
+        pairs, ds, id_column, vector_column, num_partitions=num_partitions
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], type=id_type),
+                             "id_b": pa.array([], type=id_type),
+                             "cosine": pa.array([], type=pa.float64())})
+        va = _normalize(_stack(batch["payload_a"]))
+        vb = _normalize(_stack(batch["payload_b"]))
+        cos = np.einsum("ij,ij->i", va, vb)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "id_a": batch["id_a"].filter(pa.array(keep)),
+                "id_b": batch["id_b"].filter(pa.array(keep)),
+                "cosine": pa.array(cos[keep], type=pa.float64()),
+            }
+        )
+
+    return attached.map_batches(score, batch_format="pyarrow")
+
+
+def lsh_candidate_pairs(
+    ds: rd.Dataset,
+    threshold: float,
+    bits: int | None = None,
+    num_tables: int | None = None,
+    seed: int = 42,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    max_bucket: int = 1024,
+) -> rd.Dataset:
+    """Candidate near-dup pairs by multi-table sign-LSH banding: each
+    vector lands in one bucket per table (one matmul per batch for ALL
+    tables), pairs sharing any bucket become candidates — the only
+    shuffle is the bucket groupby, moving (id, table, key) rows, never
+    vectors. Oversize buckets are capped with a logged drop (dedup.py).
+    """
+    from .dedup import _bucket_members_agg, _expand_bucket_pairs
+    from ..functions.partitioning import shuffle_partitions
+
+    bits, num_tables = _lsh_band_params(threshold, bits, num_tables)
+    dim = len(ds.take(1)[0][vector_column])
+    planes = make_hyperplanes(dim, bits * num_tables, seed)  # [L*bits, d]
+    planes_ref = ray.put(planes)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_column: pa.array([], batch.schema.field(id_column).type),
+                             "t": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.int64())})
+        mat = _normalize(_stack(batch[vector_column]))
+        signs = (mat @ ray.get(planes_ref).T) > 0          # [n, L*bits]
+        keys = signs.reshape(len(mat), num_tables, bits) @ weights  # [n, L]
+        n = len(mat)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_column: pa.array(np.repeat(ids, num_tables)),
+                "t": pa.array(np.tile(np.arange(num_tables, dtype=np.int32), n)),
+                "key": pa.array(keys.reshape(-1).astype(np.int64)),
+            }
+        )
+
+    banded = ds.map_batches(band_rows, batch_format="pyarrow").repartition(
+        shuffle_partitions(16, ds)
+    )
+    buckets = banded.groupby(["t", "key"]).aggregate(
+        _bucket_members_agg(id_column, max_bucket)
+    )
+    cand = buckets.map_batches(
+        lambda b: _expand_bucket_pairs(b, max_bucket), batch_format="pyarrow"
+    )
+    return cand.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
+
+
+#: Above this row count ``embedding_dup_pairs`` switches from the exact
+#: all-pairs broadcast (O(n^2) work, corpus matrix in the object store)
+#: to LSH-bucketed candidates + distributed exact verification.
+EXACT_PAIRS_MAX_ROWS = 200_000
+
+
 def embedding_dup_pairs(
     ds: rd.Dataset,
     threshold: float = 0.9,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
+    method: str = "auto",
+    bits: int | None = None,
+    num_tables: int | None = None,
+    seed: int = 42,
+    max_bucket: int = 1024,
 ) -> rd.Dataset:
-    """Exact all-pairs cosine near-duplicates: (id_a, id_b) with
+    """Embedding-cosine near-duplicates: (id_a, id_b) with
     cosine >= threshold and id_a < id_b.
 
-    The corpus matrix is broadcast once (`ray.put`) and each batch
-    matmuls against it — O(n²/B) work split across tasks with no
-    shuffle. Fine when the matrix fits the object store (it does for
-    embedding tables up to ~10^7 × 64 f32); beyond that, swap in the
-    LSH-bucketed variant.
+    ``method="auto"`` dispatches on corpus size: up to
+    ``EXACT_PAIRS_MAX_ROWS`` rows the exact all-pairs path runs (the
+    corpus matrix is ``ray.put`` once, each batch matmuls against it —
+    exact, no shuffle); beyond that the scale path runs: multi-table
+    sign-LSH banding emits candidate pairs (the shuffle moves only
+    (id, table, key) rows) and exact cosine verification re-scores each
+    candidate distributedly, so precision is always 1.0 and recall
+    follows the banding parameters (derived from the threshold;
+    see ``_lsh_band_params``). ``method="exact"``/``"lsh"`` force a path.
     """
+    if method == "auto":
+        method = "exact" if ds.count() <= EXACT_PAIRS_MAX_ROWS else "lsh"
+    if method == "lsh":
+        cand = lsh_candidate_pairs(
+            ds, threshold, bits=bits, num_tables=num_tables, seed=seed,
+            id_column=id_column, vector_column=vector_column,
+            max_bucket=max_bucket,
+        )
+        verified = verify_pairs_cosine(
+            cand, ds, threshold, id_column=id_column,
+            vector_column=vector_column,
+        )
+        return verified.select_columns(["id_a", "id_b"])
+    if method != "exact":
+        raise ValueError(f"unknown method {method!r}")
+
     rows = ds.select_columns([id_column, vector_column]).take_all()
     if not rows:
         import ray.data as _rd

@@ -180,3 +180,62 @@ def test_dedup_documents_exact_interleaved():
     assert len(survivors) == len(uniq)
     assert "zzz-copy-1" not in survivors and "zzz-copy-2" not in survivors
     assert dup[3]["doc_id"] in survivors
+
+
+def test_embedding_dup_lsh_matches_exact_on_planted_dups():
+    """Scale path (LSH banding + distributed cosine verify) vs exact
+    all-pairs: precision 1.0 by construction, recall 1.0 on planted
+    near-duplicates at a realistic threshold."""
+    rng = np.random.RandomState(13)
+    base = rng.normal(size=(400, 32))
+    for j in range(10):  # planted near-dups: tiny perturbation
+        base[200 + j] = base[j] + rng.normal(scale=0.02, size=32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(400)),
+        "embedding": [r.tolist() for r in base],
+    })).materialize()
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_dup_pairs(ds, threshold=0.9, method="exact").take_all()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           embedding_dup_pairs(ds, threshold=0.9, method="lsh").take_all()}
+    assert exact, "fixture produced no near-dup pairs"
+    assert lsh == exact  # precision AND recall 1.0 here
+    assert all(a < b for a, b in lsh)
+
+
+def test_verify_pairs_large_candidate_set(dup_corpus):
+    """Distributed verification with a LARGE candidate set (every doc a
+    member of some pair): nothing but candidate IDS may touch the
+    driver, and scores must equal the driver-side kernel."""
+    from saber_ray.stages.dedup import jaccard_for_pairs
+
+    docs = dup_corpus.take_all()
+    ids = sorted(r["doc_id"] for r in docs)
+    # all consecutive pairs → candidate set == whole corpus
+    pair_list = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    pairs = rd.from_arrow(pa.table({
+        "id_a": [a for a, _ in pair_list],
+        "id_b": [b for _, b in pair_list],
+    }))
+    verified = verify_pairs_jaccard(pairs, dup_corpus, min_jaccard=0.0)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.take_all()}
+    assert len(got) == len(pair_list)
+    texts = {r["doc_id"]: r["text"] for r in docs}
+    for a, b, j in jaccard_for_pairs(texts, pair_list):
+        assert abs(got[(a, b)] - j) < 1e-12, (a, b)
+
+
+def test_attach_pair_payload_empty_pairs_keep_schema():
+    from saber_ray.stages.pairs import attach_pair_payload
+
+    items = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], type=pa.list_(pa.float64())),
+    }))
+    empty = rd.from_arrow(pa.table({
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64()),
+    }))
+    out = attach_pair_payload(empty, items, "vec_id", "embedding")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"id_a", "id_b", "payload_a", "payload_b"}

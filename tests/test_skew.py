@@ -66,3 +66,62 @@ def test_salts_spread_hot_key(skewed):
     hot_salts = {p["salt"] for p in partials
                  if p["entity_id"] == "PRGE:STRING:ENSP00000269305"}
     assert len(hot_salts) > 1, "hot key partials all landed on one salt"
+
+
+def test_emit_triples_bounded_on_pathological_doc():
+    """A 10^4-mention single-sentence document must complete in bounded
+    time: pairing is capped at MAX_PAIR_MENTIONS per (span, sentence)
+    scope with a logged (never silent) drop."""
+    import time
+
+    from saber_ray.stages.linker import GROUNDED_ENT_TYPE
+    from saber_ray.stages.triples import emit_triples
+
+    n = 10_000
+    ents = [
+        {"start": i * 5, "end": i * 5 + 3, "text": f"e{i % 7}", "label": "PRGE",
+         "span_idx": 0, "sent_idx": 0, "xrefs": [],
+         "entity_id": f"PRGE:surface:e{i % 7}"}
+        for i in range(n)
+    ]
+    batch = pa.table({
+        "doc_id": pa.array(["big"]),
+        "ents": pa.array([ents], type=pa.list_(GROUNDED_ENT_TYPE)),
+    })
+    t0 = time.time()
+    out = emit_triples(batch)
+    elapsed = time.time() - t0
+    assert elapsed < 10.0, f"pathological doc took {elapsed:.1f}s — cap not applied"
+    # all 7x6 ordered entity pairs still appear (the cap keeps the head)
+    assert out.num_rows == 42
+    # scores reflect only capped pairs, far below the uncapped ~5e7 scale
+    assert sum(out["score"].to_pylist()) <= 1000 * 999 / 2
+
+
+def test_emit_triples_cap_preserves_small_docs():
+    """Docs under the cap are byte-identical to the uncapped behavior."""
+    from saber_ray.stages.linker import GROUNDED_ENT_TYPE
+    from saber_ray.stages.triples import emit_triples
+
+    ents = [
+        {"start": s, "end": s + 3, "text": t, "label": lab,
+         "span_idx": sp, "sent_idx": se, "xrefs": [],
+         "entity_id": f"{lab}:surface:{t}"}
+        for s, t, lab, sp, se in [
+            (0, "p53", "PRGE", 0, 0), (10, "mdm2", "PRGE", 0, 0),
+            (20, "glucose", "CHED", 0, 1), (30, "p53", "PRGE", 0, 1),
+            (0, "cancer", "DISO", 1, 0),
+        ]
+    ]
+    batch = pa.table({
+        "doc_id": pa.array(["d"]),
+        "ents": pa.array([ents], type=pa.list_(GROUNDED_ENT_TYPE)),
+    })
+    capped = emit_triples(batch, max_pair_mentions=1000).to_pydict()
+    huge_cap = emit_triples(batch, max_pair_mentions=10**9).to_pydict()
+    assert capped == huge_cap
+    # only same-(span, sentence) pairs: (p53, mdm2) and (glucose, p53)
+    assert sorted(zip(capped["subj"], capped["obj"])) == sorted([
+        ("PRGE:surface:p53", "PRGE:surface:mdm2"),
+        ("CHED:surface:glucose", "PRGE:surface:p53"),
+    ])
