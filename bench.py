@@ -148,6 +148,42 @@ def run_neural_tag(num_docs: int) -> float:
         shutil.rmtree(bundle, ignore_errors=True)
 
 
+def run_bilstm_tag(num_docs: int) -> float:
+    """FULL recurrent path: char BiLSTM + word BiLSTM ×2 + dense + CRF
+    Viterbi, real numpy recurrence per timestep (reference architecture,
+    saber/models/multi_task_lstm_crf.py:62-145). Far heavier per doc
+    than the linear bundle — benched on a smaller corpus slice."""
+    import shutil
+    import tempfile
+
+    from saber_ray.sources.synthetic import synthetic_dataset
+    from saber_ray.stages.neural import NeuralTagger
+    from saber_ray.state.bundle import build_bilstm_bundle
+
+    words = ["<PAD>", "<UNK>"] + [f"w{i}" for i in range(200)]
+    chars = ["<PAD>", "<UNK>"] + sorted("abcdefghijklmnopqrstuvwxyz0123456789")
+    tags = ["<PAD>", "O", "B-PRGE", "I-PRGE", "B-CHED", "I-CHED",
+            "B-DISO", "I-DISO", "B-LIVB", "I-LIVB"]
+    bundle = build_bilstm_bundle(
+        tempfile.mkdtemp(prefix="bench_bilstm_"),
+        {w: i for i, w in enumerate(words)},
+        {c: i for i, c in enumerate(chars)}, tags, seed=42,
+    )
+    try:
+        t0 = time.perf_counter()
+        ds = synthetic_dataset(num_docs, seed=42).map_batches(
+            NeuralTagger,
+            fn_constructor_kwargs={"bundle_path": bundle},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(4, max(8, NUM_CPUS * 3 // 4)),
+        )
+        ds.count()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(bundle, ignore_errors=True)
+
+
 def run_bigdict_tag(num_docs: int, num_surfaces: int = 100_000) -> float:
     """Production-scale gazetteer: the annotator auto-switches to the
     token-trie strategy (regex alternation would be ~1000x slower here).
@@ -180,6 +216,7 @@ def main_bench() -> None:
     kg = run_synthetic_kg(SYNTH_DOCS)
     queries["synthetic_kg"] = round(kg["sec"], 3)
     queries["synthetic_neural_tag"] = round(run_neural_tag(SYNTH_DOCS), 3)
+    queries["synthetic_bilstm_tag"] = round(run_bilstm_tag(SYNTH_DOCS // 6), 3)
     queries["synthetic_bigdict_tag"] = round(run_bigdict_tag(SYNTH_DOCS), 3)
     total = time.perf_counter() - t0
     print(

@@ -10,10 +10,18 @@ contract exactly:
   MAX_CHAR_LEN=25 with pad id 0 (saber/preprocessor.py:139-193,
   saber/constants.py:62-64);
 * J2/J3 lookups: embedding row per word id, vocab dict lookups;
-* forward pass: ``logits = embeddings[ids] @ W + b`` — a linear
-  stand-in for the BiLSTM-CRF (no Keras in this environment); the
-  bundle format would carry real recurrent weights identically;
-* M9 decode: ``argmax(-1)`` over logits, idx→tag, strip predictions at
+* forward pass: when the bundle carries recurrent weights, the FULL
+  reference architecture runs in numpy — char BiLSTM over each word's
+  characters, word embedding ++ char feature, two sequence-returning
+  word BiLSTMs, time-distributed dense
+  (/root/reference/saber/models/multi_task_lstm_crf.py:62-145, via
+  functions/recurrent.py); legacy bundles with only (embeddings, W, b)
+  fall back to the linear emission ``emb[ids] @ W + b``;
+* CRF decode: a [T, T] transition matrix in the bundle turns the
+  per-token argmax into Viterbi decoding (the reference's CRF layer,
+  saber/models/multi_task_lstm_crf.py:96-103); absent → independent
+  argmax;
+* M9 decode: best tag per position, idx→tag, strip predictions at
   <PAD> positions (saber/saber.py:99-101);
 * M7/M8: BIO chunking over the flattened per-document tag sequence and
   projection onto char offsets, slicing mention text from the ORIGINAL
@@ -21,8 +29,13 @@ contract exactly:
   preserved, including the possibility of chunks crossing sentence
   boundaries).
 
-Prediction batch size mirrors the reference's PRED_BATCH_SIZE=256
-sentences (saber/constants.py:59-60) via the stage's ``batch_size``.
+Batch shape: ALL sentences of the Arrow batch are encoded into one
+tensor and run through the forward in PRED_BATCH_SIZE=256-sentence
+slices (saber/constants.py:59-60) — one encode + a handful of matmuls
+per batch, never a per-document model call. The ``spans`` column is
+decoded via ListArray offsets + flattened struct fields (zero-copy
+views) and mentions are rebuilt with the same flat-accumulator layout
+as the fused ``Annotator`` (stages/annotate.py).
 """
 
 from __future__ import annotations
@@ -30,12 +43,21 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..constants import MAX_CHAR_LEN, MAX_SENT_LEN, PAD_VALUE, UNK_VALUE
+from ..constants import (
+    MAX_CHAR_LEN,
+    MAX_SENT_LEN,
+    PAD_VALUE,
+    PRED_BATCH_SIZE,
+    UNK_VALUE,
+)
 from ..functions.chunking import chunk_entities
 from ..functions.hashing import span_sequence_hash
 from ..functions.text import split_sentences, tokenize_with_offsets
 from ..state.bundle import load_bundle
 from .tagger import _ENT_TYPE
+
+#: weights.npz keys whose presence selects the recurrent forward
+_RECURRENT_KEYS = ("char_embeddings", "char_fwd_W", "w1_fwd_W", "w2_fwd_W", "dense_W")
 
 
 def encode_sentences(
@@ -69,13 +91,12 @@ class NeuralTagger:
 
     def __init__(self, bundle_path: str):
         weights, vocab, config = load_bundle(bundle_path)
-        self._emb = weights["embeddings"]
-        self._w = weights["W"]
-        self._b = weights["b"]
-        # optional CRF head: a [T, T] transition score matrix turns the
-        # per-token argmax into Viterbi decoding (the reference's CRF
-        # layer, saber/models/multi_task_lstm_crf.py:96-103); absent →
-        # independent argmax, exactly the CRF-less decode
+        self._weights = weights
+        self._recurrent = all(k in weights for k in _RECURRENT_KEYS)
+        if not self._recurrent:
+            self._emb = weights["embeddings"]
+            self._w = weights["W"]
+            self._b = weights["b"]
         self._transitions = weights.get("transitions")
         self._word2idx = vocab["word2idx"]
         self._char2idx = vocab["char2idx"]
@@ -98,70 +119,133 @@ class NeuralTagger:
             path[t - 1] = back[t, path[t]]
         return path
 
+    def _emissions(self, sents: list[list[str]]) -> np.ndarray:
+        """Encode + forward for a slice of sentences → [n, S, T]."""
+        word_ids, char_ids = encode_sentences(sents, self._word2idx, self._char2idx)
+        if self._recurrent:
+            from ..functions.recurrent import bilstm_crf_emissions
+
+            # trim to the slice's real max sentence/word lengths: masking
+            # makes the result identical, but the recurrent loops and the
+            # char-path tensors shrink from the fixed (100, 25) pads to
+            # the actual data (typically ~10x less work)
+            s_max = max(1, int((word_ids != PAD_VALUE).sum(axis=1).max(initial=0)))
+            word_ids = word_ids[:, :s_max]
+            char_ids = char_ids[:, :s_max]
+            c_max = max(1, int((char_ids != PAD_VALUE).sum(axis=2).max(initial=0)))
+            char_ids = char_ids[:, :, :c_max]
+            return bilstm_crf_emissions(word_ids, char_ids, self._weights)
+        return self._emb[word_ids] @ self._w + self._b
+
     def _predict_tags(self, sents: list[list[str]]) -> list[list[str]]:
-        """Forward + M9 decode: per-sentence tag strings, pads stripped."""
-        if not sents:
-            return []
-        word_ids, _ = encode_sentences(sents, self._word2idx, self._char2idx)
-        logits = self._emb[word_ids] @ self._w + self._b       # [n, S, T]
-        out = []
-        for i, sent in enumerate(sents):
-            length = min(len(sent), logits.shape[1])
-            if self._transitions is not None and length:
-                pred = self._viterbi(logits[i, :length], length)
-            else:
-                pred = logits[i, :length].argmax(-1)
-            tags = [self._idx2tag[t] for t in pred]
-            out.append([t if t != self._pad_tag else "O" for t in tags])
+        """Forward + M9 decode: per-sentence tag strings, pads stripped.
+
+        Runs in PRED_BATCH_SIZE-sentence slices so one Arrow batch with
+        many sentences never materializes an oversized tensor."""
+        out: list[list[str]] = []
+        for lo in range(0, len(sents), PRED_BATCH_SIZE):
+            chunk = sents[lo:lo + PRED_BATCH_SIZE]
+            logits = self._emissions(chunk)                    # [n, S, T]
+            for i, sent in enumerate(chunk):
+                length = min(len(sent), logits.shape[1])
+                if self._transitions is not None and length:
+                    pred = self._viterbi(logits[i, :length], length)
+                else:
+                    pred = logits[i, :length].argmax(-1)
+                tags = [self._idx2tag[t] for t in pred]
+                out.append([t if t != self._pad_tag else "O" for t in tags])
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        spans_col = batch["spans"].to_pylist()
-        ents_col: list[list[dict]] = []
-        hashes: list[str] = []
-        for spans in spans_col:
-            ents: list[dict] = []
-            for span_idx, span in enumerate(spans):
-                if span["kind"] != "text" or not span["text"]:
-                    continue
-                text = span["text"]
-                toks = tokenize_with_offsets(text)
-                sents, offsets = split_sentences(toks)
-                tag_seqs = self._predict_tags(sents)
-                # reference flattens sentences before chunking
-                flat_tags = [t for seq in tag_seqs for t in seq]
-                # sentences beyond MAX_SENT_LEN are truncated by the model;
-                # keep offsets aligned with the predicted tags
-                flat_offsets = [
-                    o
-                    for seq, sent_off in zip(tag_seqs, offsets)
-                    for o in sent_off[: len(seq)]
-                ]
-                sent_of_token = [
-                    si for si, seq in enumerate(tag_seqs) for _ in seq
-                ]
-                for label, tok_start, tok_end in chunk_entities(flat_tags):
-                    start = flat_offsets[tok_start][0]
-                    end = flat_offsets[tok_end - 1][1]
-                    ents.append(
-                        {
-                            "start": start,
-                            "end": end,
-                            "text": text[start:end],
-                            "label": label,
-                            "span_idx": span_idx,
-                            "sent_idx": sent_of_token[tok_start],
-                        }
-                    )
-            ents_col.append(ents)
-            hashes.append(
-                span_sequence_hash(
-                    [s["kind"] for s in spans],
-                    [s["text"] for s in spans],
-                    [s["media_ref"] for s in spans],
-                )
-            )
-        out = batch.append_column("ents", pa.array(ents_col, type=pa.list_(_ENT_TYPE)))
+        # columnar decode of the spans column (offsets + flat fields),
+        # mirroring the fused Annotator
+        spans_col = batch["spans"].combine_chunks()
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.chunk(0)
+        doc_offsets = spans_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = spans_col.values
+        olo, ohi = int(doc_offsets[0]), int(doc_offsets[-1])
+        if olo != 0 or len(flat) != ohi - olo:
+            flat = flat.slice(olo, ohi - olo)
+            doc_offsets = doc_offsets - olo
+        kinds = flat.field("kind").to_pylist()
+        texts = flat.field("text").to_pylist()
+        media = flat.field("media_ref").to_pylist()
+        n_docs = batch.num_rows
+
+        # 1) gather EVERY sentence of the batch (with back-pointers)
+        sel = [i for i in range(len(kinds)) if kinds[i] == "text" and texts[i]]
+        all_sents: list[list[str]] = []
+        per_span: list[tuple[int, int, int, list]] = []  # (flat idx, lo, hi, offsets)
+        for i in sel:
+            toks = tokenize_with_offsets(texts[i])
+            sents, offsets = split_sentences(toks)
+            per_span.append((i, len(all_sents), len(all_sents) + len(sents), offsets))
+            all_sents.extend(sents)
+
+        # 2) ONE encode+forward pass over the whole batch's sentences
+        tag_seqs = self._predict_tags(all_sents)
+
+        # 3) per-span chunking into flat mention accumulators
+        m_start: list[int] = []
+        m_end: list[int] = []
+        m_text: list[str] = []
+        m_label: list[str] = []
+        m_sent_idx: list[int] = []
+        mention_flat_idx: list[int] = []
+        for i, s_lo, s_hi, offsets in per_span:
+            seqs = tag_seqs[s_lo:s_hi]
+            # reference flattens sentences before chunking; sentences
+            # beyond MAX_SENT_LEN are truncated by the model — keep
+            # offsets aligned with the predicted tags
+            flat_tags = [t for seq in seqs for t in seq]
+            flat_offsets = [
+                o for seq, sent_off in zip(seqs, offsets)
+                for o in sent_off[: len(seq)]
+            ]
+            sent_of_token = [si for si, seq in enumerate(seqs) for _ in seq]
+            text = texts[i]
+            for label, tok_start, tok_end in chunk_entities(flat_tags):
+                start = flat_offsets[tok_start][0]
+                end = flat_offsets[tok_end - 1][1]
+                m_start.append(start)
+                m_end.append(end)
+                m_text.append(text[start:end])
+                m_label.append(label)
+                m_sent_idx.append(sent_of_token[tok_start])
+                mention_flat_idx.append(i)
+
+        # 4) flat span index → (doc, span_idx); mentions arrive in flat
+        # order so per-doc runs are contiguous (same as annotate.py)
+        if mention_flat_idx:
+            flat_idx = np.asarray(mention_flat_idx, dtype=np.int64)
+            docs_of_mention = np.searchsorted(doc_offsets, flat_idx, side="right") - 1
+            m_span_idx = (flat_idx - doc_offsets[docs_of_mention]).astype(np.int32).tolist()
+            ents_offsets = np.searchsorted(
+                docs_of_mention, np.arange(n_docs + 1)
+            ).astype(np.int32)
+        else:
+            m_span_idx = []
+            ents_offsets = np.zeros(n_docs + 1, dtype=np.int32)
+
+        hashes = []
+        for d in range(n_docs):
+            lo, hi = doc_offsets[d], doc_offsets[d + 1]
+            hashes.append(span_sequence_hash(kinds[lo:hi], texts[lo:hi], media[lo:hi]))
+
+        ent_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(m_start, type=pa.int32()),
+                pa.array(m_end, type=pa.int32()),
+                pa.array(m_text, type=pa.string()),
+                pa.array(m_label, type=pa.string()),
+                pa.array(m_span_idx, type=pa.int32()),
+                pa.array(m_sent_idx, type=pa.int32()),
+            ],
+            fields=list(_ENT_TYPE),
+        )
+        ents_arr = pa.ListArray.from_arrays(pa.array(ents_offsets), ent_struct)
+        out = batch.append_column("ents", ents_arr)
         if "span_hash" in batch.column_names:
             prior = batch["span_hash"].to_pylist()
             if prior != hashes:

@@ -87,6 +87,32 @@ def load_word2vec_text(path: str, word2idx: dict[str, int]) -> np.ndarray:
     return matrix
 
 
+def build_bilstm_bundle(
+    path: str,
+    word2idx: dict[str, int],
+    char2idx: dict[str, int],
+    tags: list[str],
+    seed: int = 42,
+    with_crf: bool = True,
+    **dims,
+) -> str:
+    """Bundle with FULL recurrent weights (char BiLSTM + word BiLSTM ×2 +
+    dense + optional CRF transitions) in the reference's architecture
+    (saber/models/multi_task_lstm_crf.py:62-145), deterministically
+    initialized from ``seed`` — the NeuralTagger selects the recurrent
+    forward when these keys are present. Trained Keras exports use the
+    same key layout (functions/recurrent.py)."""
+    from ..functions.recurrent import init_bilstm_weights
+
+    weights = init_bilstm_weights(
+        len(word2idx), len(char2idx), len(tags), seed=seed,
+        with_crf=with_crf, **dims,
+    )
+    vocab = {"word2idx": word2idx, "char2idx": char2idx, "idx2tag": tags}
+    save_bundle(path, weights, vocab, {"kind": "bilstm-crf", "seed": seed})
+    return path
+
+
 def build_gazetteer_bundle(path: str, surfaces: dict[str, str], labels=None) -> str:
     """Distill a gazetteer into a tiny linear tagger bundle.
 

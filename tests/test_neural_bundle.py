@@ -222,3 +222,148 @@ def test_crf_viterbi_decoding(tmp_path):
     assert plain(batch)["ents"].to_pylist()[0] == []
     ents = crf(batch)["ents"].to_pylist()[0]
     assert [(e["text"], e["label"]) for e in ents] == [("a b", "X")]
+
+
+# -------------------------------------------------- recurrent forward ----
+
+
+_BL_WORDS = ["<PAD>", "<UNK>", "p53", "activates", "mdm2", "in", "cells", "glucose"]
+_BL_CHARS = ["<PAD>", "<UNK>"] + sorted(set("".join(_BL_WORDS[2:])))
+_BL_TAGS = ["<PAD>", "O", "B-PRGE", "I-PRGE", "B-CHED", "I-CHED"]
+
+
+@pytest.fixture(scope="module")
+def bilstm_weights():
+    from saber_ray.functions.recurrent import init_bilstm_weights
+
+    return init_bilstm_weights(len(_BL_WORDS), len(_BL_CHARS), len(_BL_TAGS),
+                               seed=123)
+
+
+def _bl_encode(sents):
+    w2i = {w: i for i, w in enumerate(_BL_WORDS)}
+    c2i = {c: i for i, c in enumerate(_BL_CHARS)}
+    return encode_sentences(sents, w2i, c2i)
+
+
+def test_bilstm_fixed_weight_golden(bilstm_weights):
+    """Deterministic forward: exact expected argmax tags for seed 123.
+
+    Guards the full recurrent stack (char BiLSTM final states, two word
+    BiLSTMs, dense) against silent numerical/kernel changes."""
+    from saber_ray.functions.recurrent import bilstm_crf_emissions
+
+    sents = [["p53", "activates", "mdm2", "in", "cells"], ["glucose"]]
+    em = bilstm_crf_emissions(*_bl_encode(sents), bilstm_weights)
+    assert em.shape == (2, MAX_SENT_LEN, len(_BL_TAGS))
+    got = [[_BL_TAGS[t] for t in em[i, :len(s)].argmax(-1)]
+           for i, s in enumerate(sents)]
+    assert got == [
+        ["<PAD>", "<PAD>", "<PAD>", "B-PRGE", "B-CHED"],
+        ["I-CHED"],
+    ]
+
+
+def test_bilstm_masking_invariance(bilstm_weights):
+    """A sentence's emissions must not depend on what else is in the
+    tensor batch (mask_zero semantics: pads never leak into states)."""
+    from saber_ray.functions.recurrent import bilstm_crf_emissions
+
+    long = ["p53", "activates", "mdm2", "in", "cells"]
+    together = bilstm_crf_emissions(*_bl_encode([long, ["glucose"]]), bilstm_weights)
+    alone = bilstm_crf_emissions(*_bl_encode([long]), bilstm_weights)
+    np.testing.assert_allclose(together[0, :5], alone[0, :5], atol=1e-12)
+    alone_short = bilstm_crf_emissions(*_bl_encode([["glucose"]]), bilstm_weights)
+    np.testing.assert_allclose(together[1, :1], alone_short[0, :1], atol=1e-12)
+
+
+def test_bilstm_char_path_consumed(bilstm_weights):
+    """Two OOV words (same <UNK> word id) with different IN-vocab chars
+    must produce different emissions — proof the char BiLSTM features
+    actually reach the word layers (the round-1 gap: char_ids computed
+    then discarded)."""
+    from saber_ray.functions.recurrent import bilstm_crf_emissions
+
+    ea = bilstm_crf_emissions(*_bl_encode([["cat", "in"]]), bilstm_weights)
+    eb = bilstm_crf_emissions(*_bl_encode([["mat", "in"]]), bilstm_weights)
+    assert not np.allclose(ea[0, :2], eb[0, :2])
+    # while identical char sequences agree exactly
+    ec = bilstm_crf_emissions(*_bl_encode([["cat", "in"]]), bilstm_weights)
+    np.testing.assert_array_equal(ea, ec)
+
+
+def test_neural_tagger_recurrent_viterbi_end_to_end(tmp_path):
+    """NeuralTagger over a recurrent bundle: Viterbi decode over BiLSTM
+    emissions, exact golden spans, span-hash invariant, and parity with
+    a hand-run forward."""
+    from saber_ray.functions.recurrent import bilstm_crf_emissions
+    from saber_ray.state.bundle import build_bilstm_bundle
+
+    w2i = {w: i for i, w in enumerate(_BL_WORDS)}
+    c2i = {c: i for i, c in enumerate(_BL_CHARS)}
+    path = build_bilstm_bundle(str(tmp_path / "bl"), w2i, c2i, _BL_TAGS, seed=123)
+    tagger = NeuralTagger(path)
+    assert tagger._recurrent
+
+    text = "p53 activates mdm2 in cells"
+    batch = pa.Table.from_pylist(
+        [{"doc_id": "d0",
+          "spans": [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]}],
+        schema=DOCUMENTS,
+    )
+    out = tagger(batch)
+    ents = out["ents"].to_pylist()[0]
+
+    # hand-run the same forward + viterbi for parity
+    weights, vocab, _ = load_bundle(path)
+    em = bilstm_crf_emissions(*_bl_encode([text.split()]), weights)[0, :5]
+    pred = tagger._viterbi(em, 5)
+    tags = [_BL_TAGS[t] if _BL_TAGS[t] != "<PAD>" else "O" for t in pred]
+    from saber_ray.functions.chunking import chunk_entities
+
+    expected = chunk_entities(tags)
+    assert len(ents) == len(expected)
+    toks = text.split()
+    starts = [0, 4, 14, 19, 22]
+    for ent, (label, lo, hi) in zip(ents, expected):
+        assert ent["label"] == label
+        assert ent["start"] == starts[lo]
+        assert ent["text"] == " ".join(toks[lo:hi])
+    # viterbi differs from argmax here (transitions change the path)
+    argmax_tags = [_BL_TAGS[t] for t in em.argmax(-1)]
+    assert tags != [t if t != "<PAD>" else "O" for t in argmax_tags]
+
+
+def test_neural_tagger_columnar_batch_parity(tmp_path):
+    """Multi-doc, multi-span, media/empty-span batch through the
+    columnar path: ents land on the right (doc, span) and match a
+    doc-at-a-time run."""
+    from saber_ray.state.bundle import build_bilstm_bundle
+
+    w2i = {w: i for i, w in enumerate(_BL_WORDS)}
+    c2i = {c: i for i, c in enumerate(_BL_CHARS)}
+    path = build_bilstm_bundle(str(tmp_path / "bl2"), w2i, c2i, _BL_TAGS, seed=123)
+    tagger = NeuralTagger(path)
+
+    docs = [
+        {"doc_id": "a", "spans": [
+            {"kind": "text", "text": "p53 activates mdm2.", "media_ref": "", "offset": 0},
+            {"kind": "image", "text": "", "media_ref": "m://1", "offset": 0},
+            {"kind": "text", "text": "glucose in cells", "media_ref": "", "offset": 20},
+        ]},
+        {"doc_id": "b", "spans": []},
+        {"doc_id": "c", "spans": [
+            {"kind": "text", "text": "mdm2 cells glucose p53", "media_ref": "", "offset": 0},
+        ]},
+    ]
+    batch = pa.Table.from_pylist(docs, schema=DOCUMENTS)
+    together = tagger(batch)["ents"].to_pylist()
+    singles = [
+        tagger(pa.Table.from_pylist([d], schema=DOCUMENTS))["ents"].to_pylist()[0]
+        for d in docs
+    ]
+    assert together == singles
+    assert together[1] == []
+    for ents, d in zip(together, docs):
+        for e in ents:
+            assert d["spans"][e["span_idx"]]["kind"] == "text"
