@@ -55,12 +55,20 @@ def cmd_run(args: argparse.Namespace) -> None:
             overrides["batch_size"] = args.batch_size
         if args.bundle:
             overrides["bundle_path"] = args.bundle
+        if args.dedup is not None:
+            overrides["dedup"] = args.dedup
+        if args.dedup_min_jaccard is not None:
+            overrides["dedup_min_jaccard"] = args.dedup_min_jaccard
         config = load_config(args.config, **overrides)
     else:
         config = KGConfig(
             num_salts=args.num_salts if args.num_salts is not None else 16,
             batch_size=args.batch_size if args.batch_size is not None else 256,
             bundle_path=args.bundle,
+            dedup=args.dedup or "",
+            dedup_min_jaccard=(
+                args.dedup_min_jaccard if args.dedup_min_jaccard is not None else 0.8
+            ),
         )
     summary = run_kg_job(
         args.input, args.out, config, partitions=args.partitions
@@ -119,6 +127,10 @@ def main(argv=None) -> None:
     p_run.add_argument("--num-salts", type=_positive, default=None)
     p_run.add_argument("--batch-size", type=int, default=None)
     p_run.add_argument("--bundle", default="", help="model bundle dir → neural tagger path")
+    p_run.add_argument("--dedup", choices=["", "exact", "minhash"], default=None,
+                       help="checkpointed dedup stage between annotate and graph")
+    p_run.add_argument("--dedup-min-jaccard", type=float, default=None,
+                       help="near-dup verification threshold (minhash)")
     p_run.set_defaults(fn=cmd_run)
 
     p_synth = sub.add_parser("synth", help="generate a synthetic corpus")

@@ -41,6 +41,10 @@ def load_config(path: str, **overrides) -> KGConfig:
         if "batch_size" in sec:
             raw = sec.get("batch_size")
             kwargs["batch_size"] = None if raw in ("", "none", "None") else int(raw)
+        if "dedup" in sec:
+            kwargs["dedup"] = sec.get("dedup")
+        if "dedup_min_jaccard" in sec:
+            kwargs["dedup_min_jaccard"] = sec.getfloat("dedup_min_jaccard")
     if parser.has_section("gazetteer") and parser["gazetteer"]:
         kwargs["surfaces"] = {
             surface: label.strip().upper()
@@ -59,6 +63,8 @@ def save_config(config: KGConfig, path: str) -> str:
         "same_sentence": str(config.same_sentence).lower(),
         "num_salts": str(config.num_salts),
         "batch_size": "" if config.batch_size is None else str(config.batch_size),
+        "dedup": config.dedup,
+        "dedup_min_jaccard": str(config.dedup_min_jaccard),
     }
     parser["gazetteer"] = {s: l for s, l in sorted(config.surfaces.items())}
     with open(path, "w") as f:

@@ -39,6 +39,8 @@ class KGConfig:
     tagger_concurrency: Any = None  # None → autoscale pool sized to cluster CPUs
     linker_concurrency: Any = None
     batch_size: int | None = 256   # mirrors the reference's PRED_BATCH_SIZE
+    dedup: str = ""                # run_kg_job dedup stage: "", "exact", "minhash"
+    dedup_min_jaccard: float = 0.8  # near-dup verification threshold (minhash)
 
 
 def _default_pool() -> tuple[int, int]:

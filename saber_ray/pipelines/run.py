@@ -135,9 +135,11 @@ def run_kg_job(
             continue
         if max_partitions is not None and len(ran) >= max_partitions:
             continue
-        # this partition WILL re-run: the previously aggregated graph is
-        # now stale — invalidate its record persistently BEFORE doing any
-        # work, so a crash mid-way cannot leave a trusted stale graph
+        # this partition WILL re-run: the previously aggregated dedup
+        # drop-list and graph are now stale — invalidate their records
+        # persistently BEFORE doing any work, so a crash mid-way cannot
+        # leave a trusted stale aggregate
+        manifest.invalidate("dedup", 0)
         manifest.invalidate("graph", 0)
         with StageTimer() as timer:
             docs = rd.read_parquet(group)
@@ -207,7 +209,39 @@ def run_kg_job(
     valid_pids = set(ran) | {p for p in skipped if groups[p]}
     stale = _remove_stale_parts(out_dir, valid_pids)
     if stale:
+        manifest.invalidate("dedup", 0)
         manifest.invalidate("graph", 0)
+
+    # ---- dedup stage: global dup drop-list over staged documents ----
+    # (optional; checkpointed like the graph stage — any annotate
+    # partition re-run invalidated it above). The drop-list is written
+    # as partitioned parquet by the cluster, never materialized on the
+    # driver.
+    drop_dir = os.path.join(out_dir, "dedup", "dropped")
+    if config.dedup:
+        if not manifest.is_done("dedup", 0):
+            manifest.invalidate("graph", 0)  # graph derives from the drop-list
+            with StageTimer() as timer:
+                shutil.rmtree(os.path.join(out_dir, "dedup"), ignore_errors=True)
+                ann = rd.read_parquet(os.path.join(out_dir, "annotated"))
+                _dropped_ids(ann, config).write_parquet(drop_dir)
+            manifest.write(
+                PartitionRecord(
+                    stage="dedup",
+                    partition_id=0,
+                    input_fragments=["annotated/"],
+                    rows_in=_written_rows_tree(os.path.join(out_dir, "annotated")),
+                    rows_out=_written_rows(drop_dir),
+                    span_hash="",
+                    wall_ms=timer.wall_ms,
+                    status="done",
+                    config_hash=cfg_hash,
+                    extra={"method": config.dedup},
+                )
+            )
+            summary["dedup"] = "ran"
+        else:
+            summary["dedup"] = "skipped"
 
     # ---- graph stage: global canonicalization over all staged outputs ----
     # (re-run partitions already invalidated the graph record above)
@@ -217,6 +251,22 @@ def run_kg_job(
                 shutil.rmtree(d, ignore_errors=True)
             mentions = rd.read_parquet(os.path.join(out_dir, "mentions"))
             triples = rd.read_parquet(os.path.join(out_dir, "triples"))
+            drop_set = _read_drop_ids(drop_dir) if config.dedup else None
+            if drop_set is not None and len(drop_set):
+                # the drop-list (dup doc ids) is orders of magnitude
+                # smaller than the corpus — broadcast anti-semi-join:
+                # one is_in mask per batch, mentions/triples stream with
+                # no shuffle. (A drop-list approaching corpus size would
+                # need the co-partitioned join in stages/pairs.py.)
+                def keep(batch, _ds=drop_set):
+                    import pyarrow.compute as _pc
+
+                    return batch.filter(
+                        _pc.invert(_pc.is_in(batch["doc_id"], value_set=_ds))
+                    )
+
+                mentions = mentions.map_batches(keep, batch_format="pyarrow")
+                triples = triples.map_batches(keep, batch_format="pyarrow")
             nodes_dir = os.path.join(out_dir, "nodes")
             edges_dir = os.path.join(out_dir, "edges")
             canonicalize_nodes(mentions, num_salts=config.num_salts).write_parquet(
@@ -261,6 +311,57 @@ def _remove_stale_parts(out_dir: str, valid_pids: set[int]) -> int:
     return removed
 
 
+def _doc_text(batch):
+    """Interleaved documents → (doc_id, text): the text-span contents
+    joined with spaces (media spans contribute nothing to shingles)."""
+    import pyarrow as pa
+
+    texts = []
+    for spans in batch["spans"].to_pylist():
+        texts.append(" ".join(
+            s["text"] for s in (spans or [])
+            if s["kind"] == "text" and s["text"]
+        ))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "text": pa.array(texts, type=pa.string()),
+    })
+
+
+def _dropped_ids(ann: rd.Dataset, config: KGConfig) -> rd.Dataset:
+    """The configured dedup flavor's drop-list over staged annotated docs."""
+    from ..stages.dedup import exact_dropped_ids, near_dup_dropped_ids
+
+    # quarantined (invalid) docs all share an empty span sequence — they
+    # must not collapse into one giant "dup group" (they contribute no
+    # mentions/triples anyway)
+    ann = ann.filter(expr="valid == True")
+    if config.dedup == "exact":
+        return exact_dropped_ids(ann)
+    if config.dedup == "minhash":
+        texts = ann.map_batches(_doc_text, batch_format="pyarrow")
+        return near_dup_dropped_ids(
+            texts, min_jaccard=config.dedup_min_jaccard
+        )
+    raise ValueError(
+        f"unknown dedup method {config.dedup!r} (expected '', 'exact', 'minhash')"
+    )
+
+
+def _read_drop_ids(drop_dir: str):
+    """Drop-list parquet dir → one combined doc_id array (None if absent).
+    An empty drop-list may have written zero files — that's 'no drops'."""
+    import pyarrow as pa
+
+    files = sorted(glob.glob(os.path.join(drop_dir, "*.parquet")))
+    if not files:
+        return None
+    cols = [pq.read_table(f, columns=["doc_id"])["doc_id"] for f in files]
+    return pa.concat_arrays(
+        [c for col in cols for c in col.chunks]
+    )
+
+
 def _written_rows_tree(path: str) -> int:
     total = 0
     for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
@@ -278,6 +379,8 @@ def asdict_like(config: KGConfig) -> dict:
         "same_sentence": config.same_sentence,
         "num_salts": config.num_salts,
         "batch_size": config.batch_size,
+        "dedup": config.dedup,
+        "dedup_min_jaccard": config.dedup_min_jaccard,
         # hash bundle CONTENTS, not the path: retrained weights at the
         # same path must invalidate completed partitions
         "bundle_digest": _bundle_digest(config.bundle_path),

@@ -440,21 +440,18 @@ def simhash_near_pairs(
     return cand.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
 
-def dedup_documents_exact(docs: rd.Dataset, id_column: str = "doc_id") -> rd.Dataset:
-    """Exact dedup of INTERLEAVED documents: the span-sequence hash (the
-    pipeline invariant) doubles as the content fingerprint; keep the
-    min-id document per identical span sequence. One shuffle.
-    """
+def _interleaved_fingerprints(docs: rd.Dataset, id_column: str) -> rd.Dataset:
+    """(id, fingerprint) rows for interleaved documents: reuse the
+    ``span_hash`` invariant column when present, else hash each row's
+    span sequence in-stream."""
     from ..functions.hashing import span_sequence_hash
 
-    schema_names = docs.schema().names
-    if "span_hash" in schema_names:
+    if "span_hash" in docs.schema().names:
         # annotated documents already carry the invariant hash — reuse it
         # instead of re-hashing every span
-        fps = docs.select_columns([id_column, "span_hash"]).rename_columns(
+        return docs.select_columns([id_column, "span_hash"]).rename_columns(
             {"span_hash": "fingerprint"}
         )
-        return _min_id_survivors(fps, id_column)
 
     def fp(batch: pa.Table) -> pa.Table:
         hashes = []
@@ -468,4 +465,93 @@ def dedup_documents_exact(docs: rd.Dataset, id_column: str = "doc_id") -> rd.Dat
         return pa.table({id_column: batch[id_column],
                          "fingerprint": pa.array(hashes, type=pa.string())})
 
-    return _min_id_survivors(docs.map_batches(fp, batch_format="pyarrow"), id_column)
+    return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def dedup_documents_exact(docs: rd.Dataset, id_column: str = "doc_id") -> rd.Dataset:
+    """Exact dedup of INTERLEAVED documents: the span-sequence hash (the
+    pipeline invariant) doubles as the content fingerprint; keep the
+    min-id document per identical span sequence. One shuffle.
+    """
+    return _min_id_survivors(_interleaved_fingerprints(docs, id_column), id_column)
+
+
+def _expand_dropped(batch: pa.Table, max_group: int) -> pa.Table:
+    """(fingerprint, members) rows → every member id except the min."""
+    import logging
+
+    out = []
+    for members in batch["members"].to_pylist():
+        if len(members) < 2:
+            continue
+        if len(members) > max_group:
+            # the aggregate collected max_group+1 of an oversize dup
+            # group: the uncollected duplicates SURVIVE (conservative —
+            # a drop-list must never drop a survivor), logged not silent
+            logging.getLogger(__name__).warning(
+                "exact-dup group exceeds max_group=%d; uncollected "
+                "duplicates are kept", max_group,
+            )
+        out.extend(sorted(members)[1:])
+    id_type = batch.schema.field("members").type.value_type
+    return pa.table({"doc_id": pa.array(out, type=id_type)})
+
+
+def exact_dropped_ids(
+    docs: rd.Dataset, id_column: str = "doc_id", max_group: int = 1024
+) -> rd.Dataset:
+    """DROP-list complement of ``dedup_documents_exact``: one ``doc_id``
+    row per document that an exact dedup would remove (everything but
+    the min-id survivor of each identical span sequence).
+
+    Same single keyed shuffle as the survivor query; per-fingerprint
+    member collection is capped (``max_group``) so a degenerate
+    fingerprint shared by millions of rows cannot build an unbounded
+    accumulator — the overflow duplicates are kept, with a warning.
+    Output column is always ``doc_id`` (the job runner's drop-list
+    schema) whatever ``id_column`` names the input.
+    """
+    from ..functions.partitioning import shuffle_partitions
+
+    fps = _interleaved_fingerprints(docs, id_column)
+    groups = fps.repartition(shuffle_partitions(8, docs)).groupby(
+        "fingerprint"
+    ).aggregate(_bucket_members_agg(id_column, max_group))
+    return groups.map_batches(
+        lambda b: _expand_dropped(b, max_group), batch_format="pyarrow"
+    )
+
+
+def near_dup_dropped_ids(
+    docs: rd.Dataset,
+    id_column: str = "doc_id",
+    column: str = "text",
+    min_jaccard: float = 0.8,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int = 64,
+) -> rd.Dataset:
+    """Near-duplicate DROP-list: MinHash+LSH candidates → distributed
+    exact-Jaccard verification → greedy keep-min policy (every verified
+    pair is emitted sorted ``id_a < id_b``; dropping the distinct
+    ``id_b`` set keeps the smallest id of each near-dup chain).
+
+    Greedy, not connected-components: for a chain a~b~c it drops b and
+    c even if a~c was never a candidate — the standard web-dedup policy
+    (transitive survivors would need an iterative union-find shuffle).
+    Output column is always ``doc_id``.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=num_perm, num_bands=num_bands, shingle_k=shingle_k,
+        column=column, id_column=id_column, max_bucket=max_bucket,
+    )
+    verified = verify_pairs_jaccard(
+        pairs, docs, shingle_k=shingle_k, id_column=id_column,
+        column=column, min_jaccard=min_jaccard,
+    )
+    return (
+        verified.groupby("id_b").count()
+        .drop_columns(["count()"])
+        .rename_columns({"id_b": "doc_id"})
+    )
