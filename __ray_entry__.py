@@ -242,6 +242,12 @@ def _q_tpch_q3(sf_dir: str):
     return top_revenue_orders(orders, lineitem, customer, segment="BUILDING", k=10)
 
 
+def _q_chunk_spans(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_chunk_spans
+
+    return demo_chunk_spans(sf_dir)
+
+
 def _q_kg_mentions(sf_dir: str):
     from saber_ray.pipelines.demo import demo_mentions
 
@@ -335,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
+        "chunk_spans": _q_chunk_spans,
         "kg_mentions": _q_kg_mentions,
         "kg_mention_counts": _q_kg_mention_counts,
         "kg_triples": _q_kg_triples,
@@ -646,6 +653,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN rev r ON r.l_orderkey = o.o_orderkey
             ORDER BY round(r.revenue, 2) DESC, o.o_orderkey
             LIMIT 10
+        """,
+        "chunk_spans": f"""
+            WITH {gaz},
+            occ AS (
+                SELECT doc_id, unnest({TOKENS_SQL}) AS tok,
+                       generate_subscripts({TOKENS_SQL}, 1) AS ord
+                FROM documents
+            ),
+            lab AS (
+                SELECT o.doc_id, o.ord, o.tok, g.label
+                FROM occ o JOIN gaz g ON o.tok = g.tok
+            ),
+            grp AS (
+                SELECT doc_id, ord, tok, label,
+                       ord - ROW_NUMBER() OVER (
+                           PARTITION BY doc_id, label ORDER BY ord
+                       ) AS island
+                FROM lab
+            ),
+            runs AS (
+                SELECT doc_id, label, island,
+                       min(ord) AS lo, max(ord) AS hi, count(*) AS len
+                FROM grp GROUP BY doc_id, label, island
+            )
+            -- the chunker's BIOES quirks, declaratively: a label run of
+            -- length >= 2 chunks as [B .. last I) — the E- token (run
+            -- max) is EXCLUDED — and length-1 runs (S-) chunk nothing
+            SELECT r.doc_id, r.label,
+                   CAST(r.lo - 1 AS BIGINT) AS tok_start,
+                   CAST(r.hi - 1 AS BIGINT) AS tok_end,
+                   (SELECT string_agg(l.tok, ' ' ORDER BY l.ord)
+                      FROM lab l
+                     WHERE l.doc_id = r.doc_id
+                       AND l.ord >= r.lo AND l.ord < r.hi) AS surface
+            FROM runs r
+            WHERE r.len >= 2
         """,
         "kg_mentions": f"""
             WITH {gaz},

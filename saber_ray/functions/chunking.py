@@ -16,6 +16,36 @@ saber/tests/test_preprocessor.py:82-100):
 from __future__ import annotations
 
 
+def bioes_tags(labels: list[str | None]) -> list[str]:
+    """Per-token entity labels (``None`` = outside) → BIOES tag sequence.
+
+    The inverse-direction kernel to ``chunk_entities``: maximal runs of
+    one label become ``B- I-… E-`` (length ≥ 2) or a single ``S-``
+    (length 1); everything else is ``O``. Matches the reference's tag
+    alphabet (saber/tests/test_preprocessor.py:82-100 fixtures).
+    """
+    n = len(labels)
+    tags: list[str] = []
+    i = 0
+    while i < n:
+        lab = labels[i]
+        if lab is None:
+            tags.append("O")
+            i += 1
+            continue
+        j = i + 1
+        while j < n and labels[j] == lab:
+            j += 1
+        if j - i == 1:
+            tags.append(f"S-{lab}")
+        else:
+            tags.append(f"B-{lab}")
+            tags.extend(f"I-{lab}" for _ in range(j - i - 2))
+            tags.append(f"E-{lab}")
+        i = j
+    return tags
+
+
 def chunk_entities(tags: list[str]) -> list[tuple[str, int, int]]:
     """Return ``[(entity_type, start, end_exclusive), ...]`` for a tag seq."""
     chunks: list[tuple[str, int, int]] = []

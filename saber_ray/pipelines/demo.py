@@ -103,3 +103,50 @@ def demo_nodes(sf_dir: str) -> rd.Dataset:
 def demo_edges(sf_dir: str) -> rd.Dataset:
     edges = demo_graph(sf_dir)["edges"]
     return edges.select_columns(["src", "pred", "dst", "support"])
+
+
+def demo_chunk_spans(sf_dir: str) -> rd.Dataset:
+    """(doc_id:int64, label, tok_start, tok_end, surface) — the BIO/BIOES
+    chunker (M7/M8) driven end-to-end over the testdata corpus.
+
+    Per document: tokenize (the oracle's token definition — lowercased
+    alnum runs), label each token through the demo gazetteer, encode the
+    label runs as BIOES (``bioes_tags``), then chunk with the REAL
+    reference-quirk kernel (``chunk_entities``,
+    saber/preprocessor.py:195-227): ``E-`` run ends fall OUTSIDE the
+    chunk and ``S-`` singletons produce no chunk — so the oracle is
+    "label runs of length >= 2, excluding the final token".
+    """
+    import re
+
+    from ..functions.chunking import bioes_tags, chunk_entities
+    from ..sources.testdata import read_documents_flat
+
+    token_re = re.compile(r"[0-9a-z]+")
+    gaz = dict(DEMO_GAZETTEER)
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "label": [], "tok_start": [], "tok_end": [],
+                "surface": []}
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = token_re.findall(text.lower()) if text else []
+            tags = bioes_tags([gaz.get(t) for t in toks])
+            for label, s, e in chunk_entities(tags):
+                rows["doc_id"].append(doc_id)
+                rows["label"].append(label)
+                rows["tok_start"].append(s)
+                rows["tok_end"].append(e)
+                rows["surface"].append(" ".join(toks[s:e]))
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+                "label": pa.array(rows["label"], type=pa.string()),
+                "tok_start": pa.array(rows["tok_start"], type=pa.int64()),
+                "tok_end": pa.array(rows["tok_end"], type=pa.int64()),
+                "surface": pa.array(rows["surface"], type=pa.string()),
+            }
+        )
+
+    return read_documents_flat(sf_dir).map_batches(chunks, batch_format="pyarrow")

@@ -114,3 +114,33 @@ def test_minhash_estimates_jaccard():
     sig2 = minhash_signature(h2, a, b)
     est = (sig1 == sig2).mean()
     assert abs(est - 1 / 3) < 0.08, f"minhash estimate {est} far from 1/3"
+
+
+def test_bioes_tags_encoding():
+    from saber_ray.functions.chunking import bioes_tags
+
+    assert bioes_tags([]) == []
+    assert bioes_tags([None, None]) == ["O", "O"]
+    assert bioes_tags(["PRGE"]) == ["S-PRGE"]
+    assert bioes_tags(["PRGE", "PRGE"]) == ["B-PRGE", "E-PRGE"]
+    assert bioes_tags([None, "DISO", "DISO", "DISO", None, "CHED"]) == [
+        "O", "B-DISO", "I-DISO", "E-DISO", "O", "S-CHED",
+    ]
+    # adjacent runs of DIFFERENT labels stay separate runs
+    assert bioes_tags(["PRGE", "PRGE", "DISO", "DISO"]) == [
+        "B-PRGE", "E-PRGE", "B-DISO", "E-DISO",
+    ]
+
+
+def test_bioes_chunk_roundtrip_quirks():
+    """bioes_tags -> chunk_entities reproduces the reference quirks: a
+    run of length k >= 2 chunks as [start, start+k-1) (E- excluded),
+    and singleton S- runs chunk nothing."""
+    from saber_ray.functions.chunking import bioes_tags, chunk_entities
+
+    labels = [None, "DISO", "DISO", "DISO", None, "CHED",
+              "PRGE", "PRGE", "DISO", "DISO"]
+    got = chunk_entities(bioes_tags(labels))
+    # length-2 runs chunk as just their B- token ([6,7), [8,9)) — the
+    # E- exclusion quirk at its sharpest
+    assert got == [("DISO", 1, 3), ("PRGE", 6, 7), ("DISO", 8, 9)]
