@@ -26,7 +26,15 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ..functions.partitioning import shuffle_partitions
+def _cluster_cpus() -> int:
+    import ray
+
+    try:
+        if ray.is_initialized():
+            return max(1, int(ray.cluster_resources().get("CPU", 1)))
+    except Exception:
+        pass
+    return 1
 
 
 def _list_parts(col):
@@ -90,16 +98,20 @@ def attach_pair_payload(
     """
     import pyarrow.compute as pc
 
-    n = num_partitions or shuffle_partitions(8)
     # clean uniform blocks before joining (empty-block join quirk), and
     # one driver pass over the (small) pair ids only
-    pairs = pairs.select_columns(["id_a", "id_b"]).repartition(
-        max(2, n // 2)
-    ).materialize()
+    pairs = pairs.select_columns(["id_a", "id_b"]).repartition(8).materialize()
     ids: set = set()
     for b in pairs.iter_batches(batch_format="pyarrow"):
         ids.update(b["id_a"].to_pylist())
         ids.update(b["id_b"].to_pylist())
+    # join fan-out sized to the CANDIDATE SET, capped by the cluster: a
+    # few hundred pairs join in 2 partitions (8/16/32 reduce tasks on
+    # near-empty shuffles measured 2-4x slower at sf0.1), millions of
+    # candidates fan out to 2 x cluster CPUs
+    n = num_partitions or max(
+        2, min(2 * _cluster_cpus(), len(ids) // 5000 + 2)
+    )
 
     item_types = dict(zip(items.schema().names, items.schema().types))
     id_type = item_types[id_column]

@@ -176,14 +176,31 @@ def broadcast_join(
     """
     if select_small:
         small_table = small_table.select(list(dict.fromkeys([right_on] + select_small)))
+
+    if small_table.column_names == [right_on]:
+        # key-only small side = a SEMI join: one vectorized is_in mask
+        # per batch beats spinning a hash-join per batch (tpch_q3's
+        # customer side takes this path)
+        key_ref = ray.put(small_table[right_on].combine_chunks().unique())
+
+        def semi_batch(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch[left_on], value_set=ray.get(key_ref))
+            )
+
+        return large.map_batches(semi_batch, batch_format="pyarrow")
+
     small_ref = ray.put(small_table)
 
     def join_batch(batch: pa.Table) -> pa.Table:
         small = ray.get(small_ref)
         # Arrow-native hash join on the batch (zero pandas round-trip);
-        # the right key column is coalesced away by Arrow's join
+        # the right key column is coalesced away by Arrow's join.
+        # use_threads=False: every map task would otherwise spin its own
+        # Acero thread pool and oversubscribe the node CPUs (measured
+        # ~25% slower on tpch_q3 at 32 concurrent tasks)
         return batch.join(small, keys=left_on, right_keys=right_on,
-                          join_type="inner")
+                          join_type="inner", use_threads=False)
 
     return large.map_batches(join_batch, batch_format="pyarrow")
 
@@ -213,6 +230,11 @@ def top_revenue_orders(
 
     revenue = (
         lineitem.map_batches(rev_partial, batch_format="pyarrow")
+        # NOT coalesced before the groupby: unlike the canonicalize
+        # partials (tiny rows, many near-empty blocks), the per-order
+        # partial stream is dense enough that an extra repartition
+        # shuffle costs more than the reduce-task overhead it saves
+        # (measured A/B: none 7.6-7.9s vs repartition(16) 8.0-9.3s warm)
         .groupby("l_orderkey")
         .sum("rev_sum")
         .rename_columns({"sum(rev_sum)": "revenue"})
