@@ -76,6 +76,30 @@ def cmd_run(args: argparse.Namespace) -> None:
     print(json.dumps(summary))
 
 
+def cmd_train(args: argparse.Namespace) -> None:
+    """Train the CRF-perceptron tagger over a CoNLL dataset folder
+    (reference: python -m saber.cli.train --dataset_folder ...,
+    saber/cli/train.py:1-30): train/valid/test prefixes select the
+    strategy exactly like the reference Trainer."""
+    _ensure_ray()
+    from .pipelines.train import TrainConfig, Trainer
+    from .sources.conll import read_conll_partitions
+
+    parts = read_conll_partitions(args.dataset_folder)
+    if "train" not in parts:
+        raise FileNotFoundError(f"no train.* file in {args.dataset_folder}")
+    trainer = Trainer(
+        parts["train"], valid=parts.get("valid"), test=parts.get("test"),
+        config=TrainConfig(epochs=args.epochs, k_folds=args.k_folds,
+                           shards=args.shards),
+    )
+    result = trainer.train()
+    if args.out:
+        trainer.save(args.out)
+        result["bundle"] = args.out
+    print(json.dumps(result))
+
+
 def cmd_synth(args: argparse.Namespace) -> None:
     _ensure_ray()
     from .sources.synthetic import synthetic_dataset
@@ -132,6 +156,15 @@ def main(argv=None) -> None:
     p_run.add_argument("--dedup-min-jaccard", type=float, default=None,
                        help="near-dup verification threshold (minhash)")
     p_run.set_defaults(fn=cmd_run)
+
+    p_train = sub.add_parser("train", help="train the tagger on a CoNLL folder")
+    p_train.add_argument("--dataset-folder", dest="dataset_folder", required=True,
+                         help="dir with train.*/valid.*/test.* CoNLL TSVs")
+    p_train.add_argument("--epochs", type=int, default=5)
+    p_train.add_argument("--k-folds", type=int, default=5)
+    p_train.add_argument("--shards", type=int, default=8)
+    p_train.add_argument("--out", default="", help="write the trained bundle here")
+    p_train.set_defaults(fn=cmd_train)
 
     p_synth = sub.add_parser("synth", help="generate a synthetic corpus")
     p_synth.add_argument("--docs", type=int, required=True)
