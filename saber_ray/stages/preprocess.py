@@ -9,6 +9,8 @@ salt list.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -131,27 +133,143 @@ def combine_annotations(*annotated: rd.Dataset) -> rd.Dataset:
 # ------------------------------------------------------------------- M4 ---
 
 
+#: third-person pronouns the rule resolver rewrites; possessives get an
+#: "'s" suffix on the antecedent (neuralcoref substitutes the cluster's
+#: main mention the same way — "his" → "Peter's")
+_PRONOUNS = {
+    "he": False, "him": False, "she": False, "it": False,
+    "they": False, "them": False,
+    "his": True, "her": True, "hers": True, "its": True,
+    "their": True, "theirs": True,
+}
+
+_CAP_TOKEN = re.compile(r"[A-Z][A-Za-z0-9]*")
+_WORD = re.compile(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")
+
+
+def resolve_coref_text(text: str) -> str:
+    """Deterministic rule-based coreference: rewrite third-person
+    pronouns to their most recent NAMED antecedent (a maximal run of
+    capitalized tokens that is not merely sentence-initial), the way
+    ``doc._.coref_resolved`` substitutes each mention with its
+    cluster's main mention (reference saber/preprocessor.py:54-57).
+
+    Recency-only resolution (Hobbs-lite): no gender/number agreement —
+    documented simplification; a pronoun before any antecedent is left
+    untouched, and a document with no antecedents returns unchanged
+    (neuralcoref's "empty string if no coreference found" → keep text).
+    """
+    return _resolve_carrying(text, None)[0]
+
+
+def _resolve_carrying(text: str, antecedent: str | None) -> tuple[str, str | None]:
+    """Core resolver with a carried antecedent — the discourse continues
+    across the text spans of one interleaved document."""
+    if not text:
+        return text, antecedent
+    # tokens with offsets; sentence-initial = first word token after
+    # ./!/? or start
+    tokens = [(m.group(), m.start(), m.end()) for m in _WORD.finditer(text)]
+    out: list[str] = []
+    last = 0
+    sent_initial = True
+    i = 0
+    while i < len(tokens):
+        tok, start, end = tokens[i]
+        lower = tok.lower()
+        if tok in {".", "!", "?"}:
+            sent_initial = True
+            i += 1
+            continue
+        if lower in _PRONOUNS and antecedent is not None:
+            # do not rewrite a sentence-initial capitalized pronoun that
+            # could itself be a name ("It" is safe; "He" is safe too —
+            # pronoun list wins over the capitalization heuristic)
+            out.append(text[last:start])
+            out.append(antecedent + ("'s" if _PRONOUNS[lower] else ""))
+            last = end
+        elif _CAP_TOKEN.fullmatch(tok) and lower not in _PRONOUNS:
+            # candidate antecedent: maximal run of capitalized tokens;
+            # a lone sentence-initial capitalized word only counts if it
+            # recurs capitalized mid-sentence somewhere in the document
+            j = i
+            while (j + 1 < len(tokens)
+                   and _CAP_TOKEN.fullmatch(tokens[j + 1][0])
+                   and tokens[j + 1][0].lower() not in _PRONOUNS):
+                j += 1
+            phrase = text[tokens[i][1]:tokens[j][2]]
+            if j > i or not sent_initial or _recurs_mid_sentence(tokens, tok):
+                antecedent = phrase
+            sent_initial = False
+            i = j + 1
+            continue
+        else:
+            sent_initial = False
+        i += 1
+    out.append(text[last:])
+    return "".join(out), antecedent
+
+
+def _recurs_mid_sentence(tokens, tok: str) -> bool:
+    prev_break = True
+    for t, _, _ in tokens:
+        if t in {".", "!", "?"}:
+            prev_break = True
+            continue
+        if t == tok and not prev_break:
+            return True
+        prev_break = False
+    return False
+
+
 class CorefResolver:
     """Optional coreference stage, OFF by default like the reference
-    (coref=False, saber/saber.py:52). The reference needs the
-    ``en_coref_md`` model; absent that dependency this stage raises —
-    mirroring the reference's hard dependency — unless ``passthrough``
-    keeps it as an explicit no-op for pipeline-shape tests."""
+    (coref=False, saber/saber.py:52).
 
-    def __init__(self, passthrough: bool = False):
-        if not passthrough:
+    ``mode``:
+      * ``"rule"`` (default) — the deterministic recency resolver above,
+        applied to every text span of the interleaved document (media
+        spans untouched);
+      * ``"neural"`` — the reference's neuralcoref path; raises in this
+        environment (model not installed), mirroring the reference's
+        hard dependency;
+      * ``"passthrough"`` — explicit no-op for pipeline-shape tests.
+    """
+
+    def __init__(self, mode: str = "rule", passthrough: bool = False):
+        if passthrough:  # back-compat constructor flag
+            mode = "passthrough"
+        if mode == "neural":
             try:
                 import neuralcoref  # noqa: F401
             except ImportError as e:
                 raise NotImplementedError(
-                    "coref needs the neuralcoref model (not in this "
-                    "environment); construct with passthrough=True to keep "
-                    "the stage as a no-op"
+                    "coref mode='neural' needs the neuralcoref model (not "
+                    "in this environment); use mode='rule' for the "
+                    "deterministic resolver"
                 ) from e
-        self._passthrough = passthrough
+        if mode not in ("rule", "neural", "passthrough"):
+            raise ValueError(f"unknown coref mode {mode!r}")
+        self._mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return batch
+        if self._mode == "passthrough":
+            return batch
+        spans_col = batch["spans"]
+        new_spans = []
+        for spans in spans_col.to_pylist():
+            row = []
+            antecedent = None  # discourse state carries ACROSS spans
+            for s in spans or []:
+                if s["kind"] == "text" and s["text"]:
+                    new_text, antecedent = _resolve_carrying(s["text"], antecedent)
+                    s = dict(s, text=new_text)
+                row.append(s)
+            new_spans.append(row)
+        idx = batch.column_names.index("spans")
+        return batch.set_column(
+            idx, "spans", pa.array(new_spans, type=spans_col.type)
+        )
 
 
 # ------------------------------------------------------------------- P6 ---

@@ -102,11 +102,48 @@ def test_combine_annotations_dedups(annotated):
 
 
 def test_coref_gate():
+    # the neuralcoref path stays gated (model not in this environment)
     with pytest.raises(NotImplementedError):
-        CorefResolver()
+        CorefResolver(mode="neural")
     stage = CorefResolver(passthrough=True)
     batch = pa.Table.from_pylist([_doc("d", ["she said p53"])], schema=DOCUMENTS)
     assert stage(batch) is batch
+
+
+def test_coref_rule_goldens():
+    from saber_ray.stages.preprocess import resolve_coref_text as r
+
+    # recency resolution, main-mention substitution
+    assert r("Peter Smith spoke. He was tired.") == \
+        "Peter Smith spoke. Peter Smith was tired."
+    # possessive → antecedent + 's
+    assert r("Peter Smith spoke. His voice carried.") == \
+        "Peter Smith spoke. Peter Smith's voice carried."
+    # most RECENT antecedent wins
+    assert r("Anna met Marcus Webb. He nodded.") == \
+        "Anna met Marcus Webb. Marcus Webb nodded."
+    # pronoun before any antecedent: untouched; no antecedent: unchanged
+    assert r("He ran. Anna waved.") == "He ran. Anna waved."
+    assert r("it was raining. nothing happened.") == \
+        "it was raining. nothing happened."
+    # lone sentence-initial capitalized word is NOT an antecedent unless
+    # it recurs mid-sentence
+    assert r("Results were good. They shipped.") == \
+        "Results were good. They shipped."
+    assert r("Kinase binds ATP. The Kinase is active. It phosphorylates.") == \
+        "Kinase binds ATP. The Kinase is active. The Kinase phosphorylates."
+    assert r("") == ""
+
+
+def test_coref_stage_rewrites_text_spans():
+    stage = CorefResolver()  # default mode="rule"
+    batch = pa.Table.from_pylist(
+        [_doc("d", ["Peter Smith spoke.", "He was tired."])], schema=DOCUMENTS
+    )
+    out = stage(batch)
+    spans = out["spans"].to_pylist()[0]
+    assert spans[0]["text"] == "Peter Smith spoke."
+    assert spans[1]["text"] == "Peter Smith was tired."
 
 
 def test_hot_keys(annotated):
