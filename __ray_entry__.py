@@ -242,6 +242,19 @@ def _q_tpch_q3(sf_dir: str):
     return top_revenue_orders(orders, lineitem, customer, segment="BUILDING", k=10)
 
 
+def _q_dedup_components(sf_dir: str):
+    # near-dup CLUSTERS: verified pair graph → connected components
+    # (distributed min-label propagation; the transitive survivor policy)
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+    from saber_ray.stages.graph import connected_components
+
+    docs = read_documents_flat(sf_dir)
+    cand = minhash_lsh_pairs(docs)
+    verified = verify_pairs_jaccard(cand, docs, min_jaccard=0.5)
+    return connected_components(verified).rename_columns({"node": "doc_id"})
+
+
 def _q_chunk_spans(sf_dir: str):
     from saber_ray.pipelines.demo import demo_chunk_spans
 
@@ -330,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_components": _q_dedup_components,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "embedding_dup_pairs": _q_embedding_dups,
         "knn_search": _q_knn,
@@ -524,6 +538,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.id_a
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+                    FROM toks, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+                    WHERE len(toks) >= 3
+                    UNION ALL
+                    SELECT doc_id, array_to_string(toks, ' ')
+                    FROM toks WHERE len(toks) BETWEEN 1 AND 2
+                )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT i.id_a, i.id_b
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b
+                WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+            ),
+            verts AS (SELECT id_a AS v FROM pairs UNION SELECT id_b FROM pairs),
+            edg AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(v, r) AS (
+                SELECT v, v FROM verts
+                UNION
+                SELECT e.v, r.r FROM reach r JOIN edg e ON e.u = r.v
+            )
+            -- component = min reachable id: DuckDB's recursive CTE is
+            -- the declarative twin of the engine's min-label propagation
+            SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
         """,
         "dedup_simhash_pairs": f"""
             WITH th AS (

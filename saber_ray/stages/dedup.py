@@ -531,16 +531,22 @@ def near_dup_dropped_ids(
     num_bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 64,
+    transitive: bool = False,
 ) -> rd.Dataset:
     """Near-duplicate DROP-list: MinHash+LSH candidates → distributed
-    exact-Jaccard verification → greedy keep-min policy (every verified
-    pair is emitted sorted ``id_a < id_b``; dropping the distinct
-    ``id_b`` set keeps the smallest id of each near-dup chain).
+    exact-Jaccard verification → keep-min survivor policy. Output
+    column is always ``doc_id``.
 
-    Greedy, not connected-components: for a chain a~b~c it drops b and
-    c even if a~c was never a candidate — the standard web-dedup policy
-    (transitive survivors would need an iterative union-find shuffle).
-    Output column is always ``doc_id``.
+    ``transitive=False`` (default, the cheap web-dedup policy): every
+    verified pair is emitted sorted ``id_a < id_b``; dropping the
+    distinct ``id_b`` set keeps the smallest id of each chain — for
+    a~b~c it drops b and c even if a~c was never a candidate, and for
+    a~c, b~c (no a~b) it keeps both a AND b.
+
+    ``transitive=True``: connected components over the verified pair
+    graph (iterative min-label propagation, ``graph.py``) — exactly one
+    survivor (the min id) per component, whatever the pair topology.
+    Costs O(component diameter) extra shuffles over the pair set only.
     """
     pairs = minhash_lsh_pairs(
         docs, num_perm=num_perm, num_bands=num_bands, shingle_k=shingle_k,
@@ -550,6 +556,18 @@ def near_dup_dropped_ids(
         pairs, docs, shingle_k=shingle_k, id_column=id_column,
         column=column, min_jaccard=min_jaccard,
     )
+    if transitive:
+        from .graph import connected_components
+
+        comp = connected_components(verified)
+
+        def non_min(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.invert(pc.equal(batch["node"], batch["component"]))
+            return pa.table({"doc_id": batch.filter(keep)["node"]})
+
+        return comp.map_batches(non_min, batch_format="pyarrow")
     return (
         verified.groupby("id_b").count()
         .drop_columns(["count()"])

@@ -110,3 +110,100 @@ def k_hop_pairs(edges: rd.Dataset, k: int, num_partitions: int = 8) -> rd.Datase
     if k == 1:
         frontier = frontier.groupby(["src", "dst"]).count().drop_columns(["count()"])
     return frontier
+
+
+def connected_components(
+    pairs: rd.Dataset,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Undirected pair Dataset → (node, component): min-label
+    propagation until fixed point — ``component`` is the smallest node
+    id reachable from ``node``.
+
+    The classic iterative-join components algorithm (one hash join +
+    one min-groupby per round, O(graph diameter) rounds); labels are
+    re-materialized each round (the chained-join empty-block quirk, see
+    ``k_hop_pairs``). Convergence is detected by a distributed label
+    signature (count + hash sum) — min-propagation is monotone, so an
+    unchanged signature IS the fixed point; nothing but the two scalar
+    aggregates ever reaches the driver. ``max_iters`` bounds pathological
+    diameters with a warning, never silently.
+
+    Scale note: each round shuffles (edges + labels) once. For near-dup
+    clustering the pair graph is a small fraction of the corpus; for
+    KG-sized graphs prefer fewer, bigger rounds via higher
+    ``num_partitions``.
+    """
+    import logging
+
+    from ..functions.hashing import stable_u64
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        # native id type preserved: min-label semantics must match the
+        # id domain (lexicographic for strings, numeric for ints)
+        a = batch[id_a].combine_chunks()
+        b = batch[id_b].combine_chunks()
+        return pa.table({
+            "u": pa.concat_arrays([a, b]),
+            "v": pa.concat_arrays([b, a]),
+        })
+
+    edges = (
+        pairs.map_batches(both_dirs, batch_format="pyarrow")
+        .repartition(max(2, num_partitions // 2))
+        .materialize()
+    )
+
+    labels = (
+        edges.groupby("u").count().drop_columns(["count()"])
+        .rename_columns({"u": "node"})
+        .map_batches(
+            lambda b: b.append_column("label", b["node"]),
+            batch_format="pyarrow",
+        )
+        .repartition(max(2, num_partitions // 2))
+        .materialize()
+    )
+
+    def signature(lab: rd.Dataset) -> tuple:
+        def h(batch: pa.Table) -> pa.Table:
+            s = 0
+            for n, l in zip(batch["node"].to_pylist(), batch["label"].to_pylist()):
+                s = (s + stable_u64(f"{n}\x1f{l}")) & ((1 << 63) - 1)
+            return pa.table({"h": pa.array([s], type=pa.int64()),
+                             "n": pa.array([batch.num_rows], type=pa.int64())})
+
+        agg = lab.map_batches(h, batch_format="pyarrow").sum(["h", "n"])
+        if agg is None:
+            return (0, 0)
+        return (agg["sum(h)"], agg["sum(n)"])
+
+    prev_sig = signature(labels)
+    for it in range(max_iters):
+        lab_u = labels.rename_columns({"node": "u"})
+        recv = (
+            edges.join(lab_u, join_type="inner", num_partitions=num_partitions,
+                       on=("u",))
+            .select_columns(["v", "label"])
+            .rename_columns({"v": "node"})
+        )
+        labels = (
+            labels.union(recv)
+            .groupby("node").min("label")
+            .rename_columns({"min(label)": "label"})
+            .repartition(max(2, num_partitions // 2))
+            .materialize()
+        )
+        sig = signature(labels)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        logging.getLogger(__name__).warning(
+            "connected_components hit max_iters=%d before the fixed "
+            "point; labels may span partial components", max_iters,
+        )
+    return labels.rename_columns({"label": "component"})

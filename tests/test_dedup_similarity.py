@@ -239,3 +239,77 @@ def test_attach_pair_payload_empty_pairs_keep_schema():
     out = attach_pair_payload(empty, items, "vec_id", "embedding")
     assert out.count() == 0
     assert set(out.schema().names) == {"id_a", "id_b", "payload_a", "payload_b"}
+
+
+def test_connected_components_shapes():
+    """Chains, cycles, stars, int ids — component = min reachable id."""
+    from saber_ray.stages.graph import connected_components
+
+    pairs = rd.from_arrow(pa.table({
+        "id_a": ["b", "c", "a", "x", "p", "p", "p", "cyc1", "cyc2", "cyc3"],
+        "id_b": ["c", "d", "b", "y", "q", "r", "s", "cyc2", "cyc3", "cyc1"],
+    }))
+    got = sorted((r["node"], r["component"])
+                 for r in connected_components(pairs).take_all())
+    assert got == [
+        ("a", "a"), ("b", "a"), ("c", "a"), ("cyc1", "cyc1"),
+        ("cyc2", "cyc1"), ("cyc3", "cyc1"), ("d", "a"),
+        ("p", "p"), ("q", "p"), ("r", "p"), ("s", "p"),
+        ("x", "x"), ("y", "x"),
+    ]
+    # int ids: NUMERIC min (10 < 2 lexicographically would be wrong)
+    ipairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([10, 2], type=pa.int64()),
+        "id_b": pa.array([2, 30], type=pa.int64()),
+    }))
+    got = sorted((r["node"], r["component"])
+                 for r in connected_components(ipairs).take_all())
+    assert got == [(2, 2), (10, 2), (30, 2)]
+
+
+def test_connected_components_matches_union_find():
+    """Property: distributed label propagation == driver union-find."""
+    import random
+
+    from saber_ray.stages.graph import connected_components
+
+    rng = random.Random(11)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    pairs = [(a, b) for a, b in
+             ((rng.choice(nodes), rng.choice(nodes)) for _ in range(80))
+             if a != b]
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {n for ab in pairs for n in ab}
+    expected = sorted((n, min(m for m in touched if find(m) == find(n)))
+                      for n in touched)
+    ds = rd.from_arrow(pa.table({
+        "id_a": [a for a, _ in pairs], "id_b": [b for _, b in pairs],
+    }))
+    got = sorted((r["node"], r["component"])
+                 for r in connected_components(ds).take_all())
+    assert got == expected
+
+
+def test_near_dup_transitive_policy(dup_corpus):
+    """transitive=True keeps exactly one survivor per component even
+    when the greedy pair policy would keep several."""
+    from saber_ray.stages.dedup import near_dup_dropped_ids
+
+    greedy = {r["doc_id"] for r in near_dup_dropped_ids(
+        dup_corpus, min_jaccard=0.5).take_all()}
+    transitive = {r["doc_id"] for r in near_dup_dropped_ids(
+        dup_corpus, min_jaccard=0.5, transitive=True).take_all()}
+    # both policies keep the min of every chain; transitive never keeps
+    # MORE docs than greedy
+    assert greedy <= transitive or greedy == transitive
