@@ -195,6 +195,22 @@ def _q_events_window(sf_dir: str):
     return tumbling_window_agg(read_table(sf_dir, "events"))
 
 
+def _q_events_asof(sf_dir: str):
+    # as-of join: each purchase gets the latest prior (or simultaneous)
+    # error's value for the same user — an operator Ray Data lacks,
+    # bucketed sort-merge in stages/relational.py:asof_join
+    from saber_ray.sources.testdata import read_events_filtered
+    from saber_ray.stages.relational import asof_join
+
+    purchases = read_events_filtered(
+        sf_dir, "purchase", columns=["event_id", "ts", "user_id", "value"]
+    )
+    errors = read_events_filtered(sf_dir, "error", columns=["ts", "user_id", "value"])
+    out = asof_join(purchases, errors, on="ts", by="user_id",
+                    right_columns={"value": "prior_error_value"})
+    return out.select_columns(["event_id", "user_id", "value", "prior_error_value"])
+
+
 def _q_events_filtered_window(sf_dir: str):
     from saber_ray.sources.testdata import read_events_filtered
     from saber_ray.stages.relational import tumbling_window_agg
@@ -351,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions_filtered": _q_kg_mentions_filtered,
         "events_window": _q_events_window,
         "events_sliding": _q_events_sliding,
+        "events_asof": _q_events_asof,
         "events_filtered_window": _q_events_filtered_window,
         "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
@@ -650,6 +667,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type = 'click'
             GROUP BY 1, 2
+        """,
+        "events_asof": """
+            SELECT l.event_id, l.user_id, l.value,
+                   r.value AS prior_error_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_sliding": """
             WITH bounds AS (

@@ -256,3 +256,94 @@ def top_revenue_orders(
         .sort(["revenue", "o_orderkey"], descending=[True, False])
         .limit(k)
     )
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str = "ts",
+    by: str = "user_id",
+    right_columns: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """As-of join (backward, inclusive): each left row gets the columns
+    of the LATEST right row with ``right.on <= left.on`` and the same
+    ``by`` key; unmatched left rows keep nulls (left-join semantics) —
+    DuckDB's ``ASOF LEFT JOIN``, which Ray Data has no native operator
+    for.
+
+    Scale shape: ONE hash shuffle. Both sides are tagged and unioned
+    under an aligned schema, bucketed by ``hash(by) % P`` (bucket count
+    from ``shuffle_partitions`` — every row of one key lands in one
+    bucket), and each bucket runs a vectorized ``pandas.merge_asof``
+    (sort + single merge pass, ``by=`` handles per-key alignment inside
+    the bucket). No per-key Python: buckets are the unit of work, not
+    keys, so millions of small keys don't become millions of groups.
+
+    ``right_columns`` maps right-side source columns to output names
+    (default ``{"value": "prior_value"}``).
+    """
+    from ..functions.partitioning import shuffle_partitions
+
+    right_columns = right_columns or {"value": "prior_value"}
+    n = num_partitions or shuffle_partitions(8, left)
+    left_names = [c for c in left.schema().names]
+    out_names = list(right_columns.values())
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in left_names}
+        for name in out_names:
+            cols[name] = pa.nulls(batch.num_rows, type=pa.float64())
+        cols["__side"] = pa.array(["L"] * batch.num_rows)
+        t = pa.table(cols)
+        return t
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in left_names:
+            if c in (by, on):
+                cols[c] = batch[c]
+            else:
+                cols[c] = pa.nulls(
+                    batch.num_rows, type=left.schema().types[left_names.index(c)]
+                )
+        for src, name in right_columns.items():
+            cols[name] = pc.cast(batch[src], pa.float64())
+        cols["__side"] = pa.array(["R"] * batch.num_rows)
+        return pa.table(cols)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.hashing import stable_u64
+
+        keys = batch[by].to_numpy(zero_copy_only=False)
+        if np.issubdtype(keys.dtype, np.integer):
+            b = (np.abs(keys.astype(np.int64)) % n).astype(np.int32)
+        else:
+            # process-stable hash: builtin hash() varies per worker
+            # (PYTHONHASHSEED) and would split one key across buckets
+            b = np.array([stable_u64(str(k)) % n for k in keys.tolist()],
+                         dtype=np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    ).map_batches(bucket, batch_format="pyarrow")
+
+    def merge(df):
+        import pandas as pd
+
+        l = df[df["__side"] == "L"].sort_values([on, by]).drop(
+            columns=["__side", "__bucket"] + out_names)
+        r = df[df["__side"] == "R"].sort_values([on, by])[[by, on] + out_names]
+        if not len(l):
+            return l
+        if not len(r):
+            out = l.copy()
+            for name in out_names:
+                out[name] = float("nan")
+            return out
+        return pd.merge_asof(l, r, on=on, by=by, direction="backward")
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")

@@ -1,0 +1,70 @@
+"""asof_join unit goldens: backward-inclusive match, left-join nulls,
+per-key isolation, string-key bucketing stability."""
+
+import datetime as dt
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from saber_ray.stages.relational import asof_join
+
+
+def _ts(minute: int):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def _left(rows):
+    return rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([_ts(r[1]) for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "value": pa.array([float(r[3]) for r in rows], type=pa.float64()),
+    }))
+
+
+def _right(rows):
+    return rd.from_arrow(pa.table({
+        "ts": pa.array([_ts(r[0]) for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "value": pa.array([float(r[2]) for r in rows], type=pa.float64()),
+    }))
+
+
+def test_asof_backward_inclusive_and_nulls():
+    left = _left([(1, 10, 7, 1.0), (2, 20, 7, 2.0), (3, 5, 8, 3.0)])
+    right = _right([(10, 7, 100.0), (15, 7, 150.0), (30, 8, 300.0)])
+    out = {r["event_id"]: r["prior_error_value"]
+           for r in asof_join(left, right, right_columns={"value": "prior_error_value"}).take_all()}
+    assert out[1] == 100.0       # equal ts matches (inclusive)
+    assert out[2] == 150.0       # latest prior, not first
+    assert out[3] is None or out[3] != out[3]  # no prior → null/NaN
+    # per-key isolation: user 8's rights never leak to user 7
+    assert out[2] != 300.0
+
+
+def test_asof_empty_right_keeps_lefts():
+    left = _left([(1, 10, 7, 1.0), (2, 20, 9, 2.0)])
+    right = _right([])
+    rows = asof_join(left, right, right_columns={"value": "prior_error_value"}).take_all()
+    assert {r["event_id"] for r in rows} == {1, 2}
+    for r in rows:
+        v = r["prior_error_value"]
+        assert v is None or v != v  # null/NaN
+
+
+def test_asof_string_keys_stable_bucketing():
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "ts": pa.array([_ts(10), _ts(20)], type=pa.timestamp("us")),
+        "user_id": pa.array(["alice", "bob"]),
+        "value": pa.array([1.0, 2.0]),
+    })).repartition(3)
+    right = rd.from_arrow(pa.table({
+        "ts": pa.array([_ts(5), _ts(6)], type=pa.timestamp("us")),
+        "user_id": pa.array(["alice", "bob"]),
+        "value": pa.array([50.0, 60.0]),
+    })).repartition(2)
+    out = {r["event_id"]: r["prior_error_value"]
+           for r in asof_join(left, right, num_partitions=4, right_columns={"value": "prior_error_value"}).take_all()}
+    assert out == {1: 50.0, 2: 60.0}
