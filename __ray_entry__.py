@@ -19,6 +19,13 @@ import numpy as np
 import pyarrow as pa
 
 TOKENS_SQL = "regexp_extract_all(lower(text), '[0-9a-z]+')"
+#: raw-case token array (counts match TOKENS_SQL; used where the engine
+#: counts tokens without lowering)
+_TOKENS_RAW_SQL = "regexp_extract_all(text, '[0-9a-zA-Z]+')"
+#: DuckDB replica of saber_ray.stages.sampling._key64 (md5 32-bit prefix)
+_HASHKEY = (
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+)
 
 
 # --------------------------------------------------------------- entry ---
@@ -319,7 +326,10 @@ def _q_kg_two_hop(sf_dir: str):
     from saber_ray.pipelines.demo import demo_edges
     from saber_ray.stages.graph import two_hop_pairs
 
-    return two_hop_pairs(demo_edges(sf_dir))
+    # materialize the (small, aggregated) edges table before the
+    # self-join: a lazy lineage is re-executed once per join branch, so
+    # without this the whole annotate pipeline runs twice concurrently
+    return two_hop_pairs(demo_edges(sf_dir).materialize())
 
 
 def _q_kg_annotation_stats(sf_dir: str):
@@ -346,6 +356,73 @@ def _q_kg_edges(sf_dir: str):
     from saber_ray.pipelines.demo import demo_edges
 
     return demo_edges(sf_dir)
+
+
+def _q_sample_hash(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.sampling import sample_hash
+
+    return sample_hash(read_documents_flat(sf_dir), pct=10)
+
+
+def _q_sample_stratified(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.sampling import stratified_sample
+
+    ds = read_documents_flat(sf_dir, columns=("doc_id", "lang"))
+    return stratified_sample(ds, stratum_column="lang", k=20)
+
+
+def _q_length_quantiles(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.sampling import exact_quantiles
+    from saber_ray.stages.textstats import token_count_batch
+
+    ds = read_documents_flat(sf_dir).map_batches(
+        lambda b: token_count_batch(b).select(["n_tokens"]),
+        batch_format="pyarrow",
+    )
+    return exact_quantiles(ds, [0.5, 0.9, 0.99], "n_tokens")
+
+
+def _q_decontaminate(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.decontam import decontaminate
+
+    docs = read_documents_flat(sf_dir)
+
+    # deterministic in-corpus "benchmark": every 97th doc plays the eval
+    # set; the rest is the training corpus to be cleaned
+    def split(want_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            is_eval = (ids % 97) == 0
+            return b.filter(pa.array(is_eval if want_eval else ~is_eval))
+
+        return f
+
+    evals = docs.map_batches(split(True), batch_format="pyarrow")
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    clean = decontaminate(train, evals, n=8)
+    return clean.select_columns(["doc_id"])
+
+
+def _q_repetition_stats(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import repetition_stats_batch
+
+    ds = read_documents_flat(sf_dir)
+    cols = ["doc_id", "n_lines", "dup_line_frac", "top_bigram_frac"]
+    return ds.map_batches(
+        lambda b: repetition_stats_batch(b).select(cols), batch_format="pyarrow"
+    )
+
+
+def _q_pack_sequences(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.packing import pack_sequences
+
+    return pack_sequences(read_documents_flat(sf_dir), budget=2048, bucket_count=8)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -382,6 +459,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_top_edges": _q_kg_top_edges,
         "kg_two_hop": _q_kg_two_hop,
         "kg_annotation_stats": _q_kg_annotation_stats,
+        "sample_hash": _q_sample_hash,
+        "sample_stratified": _q_sample_stratified,
+        "length_quantiles": _q_length_quantiles,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -837,5 +920,106 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, coalesce(c.n_ents, 0) AS n_ents
             FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+        """,
+        "sample_hash": f"""
+            SELECT doc_id, text
+            FROM documents
+            WHERE {_HASHKEY} % 100 < 10
+        """,
+        "sample_stratified": f"""
+            SELECT lang, doc_id
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY {_HASHKEY}, doc_id
+            ) <= 20
+        """,
+        "length_quantiles": f"""
+            WITH t AS (
+                SELECT CAST(len({_TOKENS_RAW_SQL}) AS BIGINT) AS v FROM documents
+            ),
+            cum AS (
+                SELECT v, sum(count(*)) OVER (ORDER BY v) AS c,
+                       (SELECT count(*) FROM t) AS n
+                FROM t GROUP BY v
+            )
+            SELECT CAST(q AS DOUBLE) AS q, CAST(min(v) AS BIGINT) AS value
+            FROM (VALUES (0.5), (0.9), (0.99)) qs(q), cum
+            WHERE cum.c >= CEIL(q * cum.n)
+            GROUP BY q
+        """,
+        "decontaminate": f"""
+            WITH toks AS (
+                SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s
+                FROM toks, LATERAL (
+                    SELECT UNNEST(range(1, len(t) - 7 + 1)) AS i
+                ) r
+            ),
+            banned AS (
+                SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+            ),
+            hit AS (
+                SELECT DISTINCT sh.doc_id
+                FROM sh JOIN banned ON sh.s = banned.s
+                WHERE sh.doc_id % 97 <> 0
+            )
+            SELECT d.doc_id
+            FROM documents d
+            WHERE d.doc_id % 97 <> 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+        """,
+        "repetition_stats": f"""
+            WITH lines AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+            ),
+            bg AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) < 2 THEN 0.0
+                            ELSE (
+                                SELECT max(c) FROM (
+                                    SELECT count(*) AS c
+                                    FROM LATERAL (
+                                        SELECT t[i.i] || ' ' || t[i.i + 1] AS b
+                                        FROM (SELECT UNNEST(range(1, len(t))) AS i) i
+                                    ) pairs
+                                    GROUP BY b
+                                ) cnts
+                            ) / CAST(len(t) - 1 AS DOUBLE)
+                       END AS top_bigram_frac
+                FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents) tk
+            )
+            SELECT l.doc_id,
+                   CAST(len(l.ls) AS BIGINT) AS n_lines,
+                   (len(l.ls) - len(list_distinct(l.ls)))
+                       / CAST(len(l.ls) AS DOUBLE) AS dup_line_frac,
+                   bg.top_bigram_frac
+            FROM lines l JOIN bg ON l.doc_id = bg.doc_id
+        """,
+        "pack_sequences": f"""
+            WITH RECURSIVE ordered AS (
+                SELECT doc_id,
+                       {_HASHKEY} % 8 AS bucket,
+                       CAST(len({_TOKENS_RAW_SQL}) AS BIGINT) AS n_tokens,
+                       row_number() OVER (
+                           PARTITION BY {_HASHKEY} % 8 ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            ),
+            packs AS (
+                SELECT doc_id, bucket, rn, n_tokens, n_tokens AS cum,
+                       CAST(0 AS BIGINT) AS pack_id
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.doc_id, o.bucket, o.rn, o.n_tokens,
+                       CASE WHEN p.cum + o.n_tokens > 2048
+                            THEN o.n_tokens ELSE p.cum + o.n_tokens END,
+                       CASE WHEN p.cum + o.n_tokens > 2048
+                            THEN p.pack_id + 1 ELSE p.pack_id END
+                FROM ordered o
+                JOIN packs p ON o.bucket = p.bucket AND o.rn = p.rn + 1
+            )
+            SELECT doc_id, bucket, pack_id, n_tokens FROM packs
         """,
     }

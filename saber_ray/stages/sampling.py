@@ -1,0 +1,148 @@
+"""Deterministic sampling operators for training-data curation.
+
+Random sampling is wrong for a resumable 100-TB pipeline: a re-run (or a
+straggler retry) must pick the SAME rows, and a sample drawn twice from
+two overlapping snapshots must agree on the overlap. Every sampler here
+is therefore a pure function of the row key — md5-based, seedable by a
+salt string — so sampling is idempotent, shard-order-independent, and
+reproducible across cluster sizes. (The reference's sampling needs are
+served by seeded RNG shuffles — saber/utils/data_utils.py — which
+``pipelines/splits.py:seeded_shuffle`` covers; these operators are the
+web-scale analogues.)
+
+Scale notes:
+* ``sample_hash`` is a stateless filter — streams, no shuffle;
+* ``stratified_sample`` pre-prunes to <= k candidate rows per stratum
+  per batch before the one (tiny) per-stratum merge, so the shuffle
+  moves O(k x batches) rows, never the corpus;
+* both ship only the key/stratum columns through the hash, the payload
+  stays in place.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+
+def _key64(values: list, salt: str = "") -> list[int]:
+    """md5-based uniform key in [0, 2^32): ``int(md5(salt + str(v))[:8], 16)``.
+
+    DuckDB reproduces it exactly:
+    ``CAST('0x' || substring(md5(salt || CAST(v AS VARCHAR)), 1, 8) AS BIGINT)``.
+    """
+    return [
+        int(hashlib.md5((salt + str(v)).encode("utf-8")).hexdigest()[:8], 16)
+        for v in values
+    ]
+
+
+def sample_hash_batch(
+    batch: pa.Table, pct: int, column: str = "doc_id", salt: str = ""
+) -> pa.Table:
+    """Keep rows whose hash key falls in the lowest ``pct`` of 100 hash
+    residue classes — a deterministic ~pct% Bernoulli sample."""
+    keys = _key64(batch[column].to_pylist(), salt)
+    mask = pa.array([k % 100 < pct for k in keys], type=pa.bool_())
+    return batch.filter(mask)
+
+
+def sample_hash(
+    ds: rd.Dataset, pct: int, column: str = "doc_id", salt: str = ""
+) -> rd.Dataset:
+    """Deterministic ~``pct``% sample: pure filter, streams, no shuffle.
+
+    Unlike ``Dataset.random_sample`` the result is a function of the key
+    alone — stable under retries, resumes, repartitioning and cluster
+    size, and two salted samples are independent of each other.
+    """
+    return ds.map_batches(
+        lambda b: sample_hash_batch(b, pct, column, salt), batch_format="pyarrow"
+    )
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    stratum_column: str,
+    k: int,
+    id_column: str = "doc_id",
+    salt: str = "",
+) -> rd.Dataset:
+    """Deterministic quota sample: the ``k`` rows with the smallest hash
+    keys per stratum (ties broken by id) — a balanced per-class sample
+    for curation ("k docs per language/source/quality bucket").
+
+    Two-phase top-k: each batch locally keeps at most ``k`` candidates
+    per stratum it sees, THEN one ``groupby(stratum).map_groups`` merges
+    candidates. The shuffle moves O(k x batches) id/stratum rows — the
+    document payload never moves; callers re-attach it by joining the
+    returned ids (broadcast: the result is k x strata rows, tiny).
+
+    Returns ``(stratum_column, id_column)`` sorted within stratum by id.
+    """
+
+    def local_candidates(batch: pa.Table) -> pa.Table:
+        sub = batch.select([stratum_column, id_column])
+        keys = pa.array(_key64(sub[id_column].to_pylist(), salt), type=pa.int64())
+        sub = sub.append_column("__key", keys)
+        idx = pc.sort_indices(
+            sub,
+            sort_keys=[(stratum_column, "ascending"), ("__key", "ascending"),
+                       (id_column, "ascending")],
+        )
+        sub = sub.take(idx)
+        strata = sub[stratum_column].to_pylist()
+        keep, seen = [], {}
+        for i, s in enumerate(strata):
+            c = seen.get(s, 0)
+            if c < k:
+                keep.append(i)
+                seen[s] = c + 1
+        return sub.take(pa.array(keep, type=pa.int64()))
+
+    def merge(df):
+        df = df.sort_values(["__key", id_column]).head(k)
+        return df.sort_values(id_column)[[stratum_column, id_column]]
+
+    cands = ds.map_batches(local_candidates, batch_format="pyarrow")
+    return cands.groupby(stratum_column).map_groups(merge, batch_format="pandas")
+
+
+def exact_quantiles(
+    ds: rd.Dataset, qs: list[float], column: str
+) -> pa.Table:
+    """EXACT distributed quantiles of an integer-valued column.
+
+    Sketch-free: one ``groupby(column).count()`` shuffle compresses the
+    corpus to one row per DISTINCT value (token/char lengths have ~10^4
+    distinct values no matter how many documents), then the cumulative
+    walk over that tiny table runs on the driver. Quantile rule (lower
+    discrete): smallest value v with cum_count >= ceil(q * n).
+
+    Returns an in-memory ``pa.Table (q:double, value:int64)`` — quantiles
+    are a scalar summary, not a dataset.
+    """
+    import math
+
+    counts = sorted(
+        (r[column], r["count()"]) for r in ds.groupby(column).count().take_all()
+    )
+    n = sum(c for _, c in counts)
+    out_q, out_v = [], []
+    for q in qs:
+        target = math.ceil(q * n)
+        cum = 0
+        val = counts[-1][0] if counts else None
+        for v, c in counts:
+            cum += c
+            if cum >= target:
+                val = v
+                break
+        out_q.append(q)
+        out_v.append(val)
+    return pa.table({"q": pa.array(out_q, type=pa.float64()),
+                     "value": pa.array(out_v, type=pa.int64())})

@@ -131,6 +131,35 @@ def lang_id_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
 
 
+def repetition_stats_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append Gopher-style repetition signals (Rae et al. 2021, §A1.1):
+
+    * ``n_lines`` / ``dup_line_frac`` — fraction of newline-split lines
+      that repeat an earlier line (boilerplate / scraped-menu detector);
+    * ``top_bigram_frac`` — share of all token bigrams taken by the most
+      frequent one (degenerate-repetition detector).
+
+    Newline splitting matches ``string_split(text, chr(10))`` and Python
+    ``str.split('\\n')`` exactly (empty segments kept) so a DuckDB oracle
+    reproduces the fractions bit-for-bit.
+    """
+    n_lines, dup_frac, top_bg = [], [], []
+    for text in batch[column].to_pylist():
+        lines = (text or "").split("\n")
+        n_lines.append(len(lines))
+        dup_frac.append((len(lines) - len(set(lines))) / len(lines))
+        toks = _TOKEN_RE.findall(text.lower()) if text else []
+        if len(toks) < 2:
+            top_bg.append(0.0)
+        else:
+            counts = Counter(zip(toks, toks[1:]))
+            top_bg.append(max(counts.values()) / (len(toks) - 1))
+    out = batch.append_column("n_lines", pa.array(n_lines, type=pa.int64()))
+    out = out.append_column("dup_line_frac", pa.array(dup_frac, type=pa.float64()))
+    out = out.append_column("top_bigram_frac", pa.array(top_bg, type=pa.float64()))
+    return out
+
+
 # ---------------------------------------------------------- aggregates ---
 
 

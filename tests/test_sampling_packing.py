@@ -1,0 +1,163 @@
+"""Sampling, quantiles, decontamination, packing, repetition stats."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from saber_ray.stages.decontam import decontaminate, eval_shingle_set, shingle_hashes
+from saber_ray.stages.packing import assign_buckets, greedy_pack, pack_sequences
+from saber_ray.stages.sampling import (
+    _key64,
+    exact_quantiles,
+    sample_hash,
+    stratified_sample,
+)
+from saber_ray.stages.textstats import repetition_stats_batch
+
+
+def _docs(rows):
+    return rd.from_arrow(pa.table(rows))
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_key64_matches_md5_prefix():
+    assert _key64([42]) == [int(hashlib.md5(b"42").hexdigest()[:8], 16)]
+    assert _key64([42], salt="s") == [int(hashlib.md5(b"s42").hexdigest()[:8], 16)]
+
+
+def test_sample_hash_deterministic_and_subsety():
+    ds = _docs({"doc_id": list(range(1000)), "text": ["x"] * 1000})
+    s10 = sorted(r["doc_id"] for r in sample_hash(ds, 10).take_all())
+    s10b = sorted(r["doc_id"] for r in sample_hash(ds, 10).take_all())
+    s30 = set(r["doc_id"] for r in sample_hash(ds, 30).take_all())
+    assert s10 == s10b                       # idempotent
+    assert set(s10) <= s30                   # nested: lower pct is a subset
+    assert 40 <= len(s10) <= 180             # ~10% of 1000
+    # salt decorrelates
+    salted = set(r["doc_id"] for r in sample_hash(ds, 10, salt="v2").take_all())
+    assert salted != set(s10)
+
+
+def test_stratified_sample_quota_and_determinism():
+    ids = list(range(300))
+    langs = ["en", "de", "fr"] * 100
+    ds = _docs({"doc_id": ids, "lang": langs})
+    out = stratified_sample(ds, "lang", k=7).take_all()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert set(by_lang) == {"en", "de", "fr"}
+    assert all(len(v) == 7 for v in by_lang.values())
+    # pure function of (id, stratum): block layout must not matter
+    out2 = stratified_sample(ds.repartition(7), "lang", k=7).take_all()
+    assert sorted((r["lang"], r["doc_id"]) for r in out) == sorted(
+        (r["lang"], r["doc_id"]) for r in out2
+    )
+    # quota larger than stratum: returns the whole stratum
+    small = _docs({"doc_id": [1, 2], "lang": ["xx", "xx"]})
+    assert len(stratified_sample(small, "lang", k=10).take_all()) == 2
+
+
+def test_exact_quantiles():
+    vals = list(range(1, 101))  # 1..100
+    ds = _docs({"v": vals})
+    t = exact_quantiles(ds, [0.5, 0.9, 1.0], "v")
+    got = dict(zip(t["q"].to_pylist(), t["value"].to_pylist()))
+    assert got == {0.5: 50, 0.9: 90, 1.0: 100}
+    # skewed multiset
+    ds2 = _docs({"v": [1] * 99 + [1000]})
+    t2 = exact_quantiles(ds2, [0.5, 0.99, 1.0], "v")
+    got2 = dict(zip(t2["q"].to_pylist(), t2["value"].to_pylist()))
+    assert got2 == {0.5: 1, 0.99: 1, 1.0: 1000}
+
+
+# ------------------------------------------------------------- decontam
+
+
+def test_shingle_hashes_windows():
+    assert shingle_hashes("a b c d", 3) == {
+        int(hashlib.md5(b"a b c").hexdigest()[:16], 16),
+        int(hashlib.md5(b"b c d").hexdigest()[:16], 16),
+    }
+    assert shingle_hashes("a b", 3) == set()
+
+
+def test_decontaminate_drops_overlapping_docs():
+    bench = _docs({"doc_id": [100], "text": ["the quick brown fox jumps over lazy dogs"]})
+    train = _docs(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                # contains the full 8-gram from the benchmark doc
+                "prefix words the quick brown fox jumps over lazy dogs suffix",
+                "completely unrelated content about ray data pipelines here",
+                # shares only a 4-gram, below n=8 -> clean
+                "the quick brown fox stays here",
+            ],
+        }
+    )
+    clean = sorted(r["doc_id"] for r in decontaminate(train, bench, n=8).take_all())
+    assert clean == [2, 3]
+    # eval shingle set size: 8 tokens -> exactly 1 shingle of 8
+    assert len(eval_shingle_set(bench, 8)) == 1
+
+
+# --------------------------------------------------------------- packing
+
+
+def test_greedy_pack_rules():
+    assert greedy_pack([3, 4, 5, 2], 8) == [0, 0, 1, 1]
+    # oversized doc occupies its own pack, never dropped
+    assert greedy_pack([9, 1], 8) == [0, 1]
+    assert greedy_pack([1, 9, 1], 8) == [0, 1, 2]
+    assert greedy_pack([], 8) == []
+
+
+def test_pack_sequences_budget_and_determinism():
+    texts = [f"tok " * (i % 40 + 1) for i in range(200)]
+    ds = _docs({"doc_id": list(range(200)), "text": texts})
+    out = pack_sequences(ds, budget=64, bucket_count=4).take_all()
+    assert len(out) == 200
+    # every (bucket, pack) fits the budget unless it is a single oversize doc
+    sums = {}
+    for r in out:
+        sums.setdefault((r["bucket"], r["pack_id"]), []).append(r["n_tokens"])
+    for members in sums.values():
+        assert sum(members) <= 64 or len(members) == 1
+    # block layout must not change the packing
+    out2 = pack_sequences(ds.repartition(9), budget=64, bucket_count=4).take_all()
+    key = lambda r: (r["doc_id"], r["bucket"], r["pack_id"], r["n_tokens"])
+    assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+def test_assign_buckets_matches_md5():
+    b = assign_buckets(pa.table({"doc_id": [42]}), 8)
+    assert b["bucket"][0].as_py() == int(hashlib.md5(b"42").hexdigest()[:8], 16) % 8
+
+
+# ------------------------------------------------------------ repetition
+
+
+def test_repetition_stats():
+    batch = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a\nb\na\na",          # 4 lines, 2 dup of earlier
+                "x y x y x y",         # bigram (x,y) x3 of 5 bigrams
+                "",                    # degenerate
+            ],
+        }
+    )
+    out = repetition_stats_batch(batch)
+    assert out["n_lines"].to_pylist() == [4, 1, 1]
+    assert out["dup_line_frac"].to_pylist() == [0.5, 0.0, 0.0]
+    frac = out["top_bigram_frac"].to_pylist()
+    assert frac[0] == pytest.approx(1 / 3)  # bigrams ab, ba, aa — all unique
+    assert frac[1] == pytest.approx(3 / 5)
+    assert frac[2] == 0.0
