@@ -385,6 +385,18 @@ def _q_length_quantiles(sf_dir: str):
     return exact_quantiles(ds, [0.5, 0.9, 0.99], "n_tokens")
 
 
+def _q_grouped_quantiles(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.sampling import grouped_quantiles
+    from saber_ray.stages.textstats import token_count_batch
+
+    ds = read_documents_flat(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
+        lambda b: token_count_batch(b).select(["lang", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    return grouped_quantiles(ds, [0.5, 0.9], "n_tokens", "lang")
+
+
 def _q_decontaminate(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.decontam import decontaminate
@@ -462,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
         "length_quantiles": _q_length_quantiles,
+        "grouped_quantiles": _q_grouped_quantiles,
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "pack_sequences": _q_pack_sequences,
@@ -946,6 +959,25 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0.5), (0.9), (0.99)) qs(q), cum
             WHERE cum.c >= CEIL(q * cum.n)
             GROUP BY q
+        """,
+        "grouped_quantiles": f"""
+            WITH t AS (
+                SELECT lang,
+                       CAST(len({_TOKENS_RAW_SQL}) AS BIGINT) AS v
+                FROM documents
+            ),
+            cum AS (
+                SELECT lang, v,
+                       sum(count(*)) OVER (
+                           PARTITION BY lang ORDER BY v
+                       ) AS c,
+                       sum(count(*)) OVER (PARTITION BY lang) AS n
+                FROM t GROUP BY lang, v
+            )
+            SELECT lang, CAST(q AS DOUBLE) AS q, CAST(min(v) AS BIGINT) AS value
+            FROM (VALUES (0.5), (0.9)) qs(q), cum
+            WHERE cum.c >= CEIL(q * cum.n)
+            GROUP BY lang, q
         """,
         "decontaminate": f"""
             WITH toks AS (

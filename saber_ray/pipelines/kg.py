@@ -43,24 +43,60 @@ class KGConfig:
     dedup_min_jaccard: float = 0.8  # near-dup verification threshold (minhash)
 
 
-def _default_pool() -> tuple[int, int]:
-    """Autoscaling actor-pool bounds sized to the cluster, so the same
-    pipeline saturates 8 or 256 CPUs without config changes.
-
-    Capped at 3/4 of cluster CPUs — the annotate pool must leave slots
-    for the downstream stateless task operators (triple emission,
-    writes); measured on the 8M-doc job this beats both a full-width
-    pool and a half-width pool. The warm floor is 2 on big clusters and
-    1 below 16 CPUs (see comment in the body).
-    """
+def _pool_width(n_pools: int = 1) -> int:
+    """3/4 of cluster CPUs split across ``n_pools`` chained pools — the
+    annotate stage must leave slots for the downstream stateless task
+    operators (triple emission, writes); measured on the 8M-doc job 3/4
+    beats both a full-width pool and a half-width pool."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    # floor of 1 on small clusters: two chained pools each pinning 2
-    # actors can reserve every CPU of a 4-cpu cluster and deadlock the
-    # task operators between them
-    return (1 if cpus < 16 else 2, max(2, (cpus * 3) // 4))
+    return max(1 if cpus < 16 else 2, (cpus * 3) // 4 // n_pools)
+
+
+def _default_pool(n_pools: int = 1) -> tuple[int, int]:
+    """AUTOSCALING actor-pool bounds — the deadlock-safe default for
+    ad-hoc queries whose DAG shape is unknown.
+
+    A Dataset DAG with two branches over the same annotate lineage (a
+    self-join re-executes the upstream per branch — Ray Data has no
+    common-subexpression reuse) runs two pools CONCURRENTLY, plus the
+    join's own hash-shuffle aggregator actors. Pools sized min == 3/4
+    cluster would then demand 1.5x the cluster and gridlock (idle actors
+    HOLD their CPUs; measured: the two-hop query hangs indefinitely with
+    pinned pools at 8 cpus). Autoscaling pools start small and only grow
+    into free CPUs, so branches degrade instead of deadlocking.
+
+    The cost of autoscaling is ramp speed: Ray's actor autoscaler adds
+    ONE actor per scaling event and holds while any actor is pending
+    (~1 actor/s), so a long single-branch ingest job should use
+    ``dedicated_pool()`` instead — pinned width, launched in one batch.
+    """
+    width = _pool_width(n_pools)
+    return (1 if width < 12 else max(2, width // 4), width)
+
+
+def dedicated_pool(n_pools: int = 1) -> tuple[int, int]:
+    """PINNED actor-pool bounds (min == max) for a single-branch
+    pipeline that owns the cluster (the ingest jobs: ``run_kg_job``,
+    the scaling benchmark).
+
+    Ray's autoscaling pool upscales roughly one actor per second
+    (autoscaler: delta=1 per event, no-op while an actor is pending),
+    so a ``(2, 24)`` pool spends the first ~20 s of every job mostly
+    idle — measured on this host a trivial 4-s-ideal pool job took
+    17.6 s autoscaled vs 7.0 s pinned, and the 6M-doc scaling run went
+    from 0.44 to 0.94 efficiency largely from this. Actor setup is cheap
+    (``Annotator.__init__`` ~70 ms), and min-size actors are launched in
+    ONE batch.
+
+    Only for single-branch DAGs: a pinned 3/4-cluster pool in each
+    branch of a self-join demands 1.5x the cluster and deadlocks (see
+    ``_default_pool``).
+    """
+    width = _pool_width(n_pools)
+    return (width, width)
 
 
 def annotate(documents: rd.Dataset, config: KGConfig | None = None) -> rd.Dataset:
@@ -85,14 +121,14 @@ def annotate(documents: rd.Dataset, config: KGConfig | None = None) -> rd.Datase
             fn_constructor_kwargs={"bundle_path": config.bundle_path},
             batch_format="pyarrow",
             batch_size=config.batch_size,
-            concurrency=config.tagger_concurrency or _default_pool(),
+            concurrency=config.tagger_concurrency or _default_pool(n_pools=2),
         )
         return tagged.map_batches(
             EntityLinker,
             fn_constructor_kwargs={"linker_ref": linker_ref},
             batch_format="pyarrow",
             batch_size=config.batch_size,
-            concurrency=config.linker_concurrency or _default_pool(),
+            concurrency=config.linker_concurrency or _default_pool(n_pools=2),
         )
     return documents.map_batches(
         Annotator,

@@ -43,7 +43,25 @@ from ..state.manifest import Manifest, PartitionRecord, StageTimer, config_hash
 from ..stages.canonicalize import canonicalize_edges, canonicalize_nodes
 from ..stages.preprocess import validate_documents
 from ..stages.triples import emit_triples, explode_mentions
-from .kg import KGConfig, annotate
+from .kg import KGConfig, annotate, dedicated_pool
+
+
+def _staged_read(path) -> rd.Dataset:
+    """Re-read a staged table in ~cluster-CPU-count blocks.
+
+    Staged dirs hold one small file per upstream block; re-reading them
+    1:1 yields sub-100ms tasks, and the driver dispatches only ~100
+    tasks/s — the downstream stage then runs ~10-wide no matter how many
+    CPUs exist (measured: canonicalize 5.2 s -> 2.7 s at 2M docs /
+    32 cpus after coalescing the read).
+    """
+    import ray
+
+    try:
+        nb = max(16, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        nb = 16
+    return rd.read_parquet(path, override_num_blocks=nb)
 
 
 def _partition_inputs(paths: list[str], partitions: int) -> list[list[str]]:
@@ -105,6 +123,16 @@ def run_kg_job(
     processes (used by tests to simulate an interrupted run).
     """
     config = config or KGConfig()
+    if config.tagger_concurrency is None and not config.bundle_path:
+        # the job runner owns the cluster and every stage is
+        # single-branch, so the annotate pool can be pinned at width —
+        # autoscaling would ramp ~1 actor/s at every partition start
+        # (kg.dedicated_pool). The config identity hash below uses
+        # asdict_like, which excludes pool sizing, so resume records
+        # stay valid across cluster sizes.
+        from dataclasses import replace
+
+        config = replace(config, tagger_concurrency=dedicated_pool())
     # partition count is part of the job identity: a different grouping
     # maps fragments to different part dirs, so mixing is invalidated
     cfg_hash = config_hash(
@@ -163,15 +191,15 @@ def run_kg_job(
             # twice.
             flagged = docs.map_batches(validate_documents, batch_format="pyarrow")
             annotate(flagged, config).write_parquet(ann_dir)
-            staged = rd.read_parquet(ann_dir)
+            staged = _staged_read(ann_dir)
             staged.filter(expr="valid == False").drop_columns(
                 ["ents", "span_hash"]
             ).write_parquet(quarantine_dir)
             n_quarantined = _written_rows(quarantine_dir)
-            rd.read_parquet(ann_dir).map_batches(
+            _staged_read(ann_dir).map_batches(
                 explode_mentions, batch_format="pyarrow"
             ).write_parquet(mentions_dir)
-            rd.read_parquet(ann_dir).map_batches(
+            _staged_read(ann_dir).map_batches(
                 lambda b: emit_triples(b, same_sentence=config.same_sentence),
                 batch_format="pyarrow",
             ).write_parquet(triples_dir)
@@ -223,7 +251,7 @@ def run_kg_job(
             manifest.invalidate("graph", 0)  # graph derives from the drop-list
             with StageTimer() as timer:
                 shutil.rmtree(os.path.join(out_dir, "dedup"), ignore_errors=True)
-                ann = rd.read_parquet(os.path.join(out_dir, "annotated"))
+                ann = _staged_read(os.path.join(out_dir, "annotated"))
                 _dropped_ids(ann, config).write_parquet(drop_dir)
             manifest.write(
                 PartitionRecord(
@@ -249,8 +277,8 @@ def run_kg_job(
         with StageTimer() as timer:
             for d in (os.path.join(out_dir, "nodes"), os.path.join(out_dir, "edges")):
                 shutil.rmtree(d, ignore_errors=True)
-            mentions = rd.read_parquet(os.path.join(out_dir, "mentions"))
-            triples = rd.read_parquet(os.path.join(out_dir, "triples"))
+            mentions = _staged_read(os.path.join(out_dir, "mentions"))
+            triples = _staged_read(os.path.join(out_dir, "triples"))
             drop_set = _read_drop_ids(drop_dir) if config.dedup else None
             if drop_set is not None and len(drop_set):
                 # the drop-list (dup doc ids) is orders of magnitude

@@ -68,7 +68,11 @@ def apply_stage(ds: rd.Dataset, name: str, **overrides) -> rd.Dataset:
         if val:
             kwargs[res] = val
     if spec.is_actor:
-        kwargs["concurrency"] = overrides.get("concurrency", spec.concurrency) or (1, 4)
+        from .functions.partitioning import pinned_pool
+
+        kwargs["concurrency"] = (
+            overrides.get("concurrency", spec.concurrency) or pinned_pool(4)
+        )
         ctor = dict(spec.fn_constructor_kwargs)
         ctor.update(overrides.get("fn_constructor_kwargs", {}))
         if ctor:

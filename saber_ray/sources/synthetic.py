@@ -188,15 +188,22 @@ def synthetic_dataset(
         )
 
     if override_num_blocks is None:
-        # enough blocks that a 4x-larger actor pool still load-balances
-        # (range() alone would pick ~64 blocks regardless of cluster size)
+        # Block sizing trades load-balance against dispatch overhead: the
+        # streaming executor dispatches O(100) tasks/s from a single
+        # driver loop, so 2000-doc blocks (~100 ms of work) cap effective
+        # parallelism at ~10 tasks regardless of cluster size (measured:
+        # 2M-doc generate 8.8 s at 1001 blocks vs 3.7 s at 96 blocks on
+        # 32 cpus). ~20k docs per block keeps tasks in the seconds range
+        # — long enough to amortize dispatch, short enough that 4x the
+        # CPUs still load-balance (the cpus*4 floor guarantees >= 4
+        # blocks per core on the cluster that generated them).
         try:
             import ray
 
             cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         except Exception:
             cpus = 8
-        override_num_blocks = max(cpus * 8, min(num_docs, num_docs // 2000 + 1))
+        override_num_blocks = max(cpus * 4, min(num_docs, num_docs // 20_000 + 1))
     base = rd.range(num_docs, override_num_blocks=override_num_blocks)
     return base.map_batches(gen_batch, batch_format="pyarrow")
 

@@ -27,6 +27,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..functions.partitioning import pinned_pool
+
 from ..functions.hashing import make_minhash_params, minhash_signature, stable_u64
 from .textstats import _TOKEN_RE, fingerprint_batch
 
@@ -196,7 +198,7 @@ def minhash_lsh_pairs(
             "column": column, "id_column": id_column,
         },
         batch_format="pyarrow",
-        concurrency=concurrency or (1, 8),
+        concurrency=concurrency or pinned_pool(8),
     )
     from ..functions.partitioning import shuffle_partitions
 

@@ -67,6 +67,12 @@ def two_hop_pairs(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
     one hash self-join (mid = first hop's dst = second hop's src) plus a
     distinct groupby. The canonical graph-traversal building block; k-hop
     iterates it.
+
+    Pass a materialized or file-backed ``edges`` table: Ray Data has no
+    common-subexpression reuse, so a lazily DERIVED lineage re-executes
+    once per join branch — doubling the upstream work and, if upstream
+    holds an actor pool, running two pools concurrently (which can
+    oversubscribe a small cluster).
     """
     left = edges.select_columns(["src", "dst"]).rename_columns(
         {"dst": "mid"}

@@ -146,3 +146,39 @@ def exact_quantiles(
         out_v.append(val)
     return pa.table({"q": pa.array(out_q, type=pa.float64()),
                      "value": pa.array(out_v, type=pa.int64())})
+
+
+def grouped_quantiles(
+    ds: rd.Dataset, qs: list[float], column: str, group_column: str
+) -> pa.Table:
+    """Per-group exact quantiles, same value-count compression as
+    ``exact_quantiles``: ONE ``groupby((group, value)).count()`` shuffle
+    — the reduced table has one row per (group, distinct value), tiny no
+    matter the corpus — then the cumulative walk per group on the
+    driver. Returns ``(group, q, value)`` sorted by (group, q)."""
+    import math
+    from collections import defaultdict
+
+    rows = ds.groupby([group_column, column]).count().take_all()
+    by_group: dict = defaultdict(list)
+    for r in rows:
+        by_group[r[group_column]].append((r[column], r["count()"]))
+    out_g, out_q, out_v = [], [], []
+    for g in sorted(by_group):
+        counts = sorted(by_group[g])
+        n = sum(c for _, c in counts)
+        for q in qs:
+            target = math.ceil(q * n)
+            cum = 0
+            val = counts[-1][0]
+            for v, c in counts:
+                cum += c
+                if cum >= target:
+                    val = v
+                    break
+            out_g.append(g)
+            out_q.append(q)
+            out_v.append(val)
+    return pa.table({group_column: out_g,
+                     "q": pa.array(out_q, type=pa.float64()),
+                     "value": pa.array(out_v, type=pa.int64())})

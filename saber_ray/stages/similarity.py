@@ -27,6 +27,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..functions.partitioning import pinned_pool
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     mat = np.asarray(mat, dtype=np.float64)
@@ -116,7 +118,7 @@ def knn_topk(
             "id_column": id_column, "vector_column": vector_column,
         },
         batch_format="pyarrow",
-        concurrency=concurrency or (1, 8),
+        concurrency=concurrency or pinned_pool(8),
     )
     return cands.groupby("query_id").map_groups(
         _merge_topk(k, exclude_self, keep_scores), batch_format="pandas"
@@ -188,7 +190,7 @@ def _masked_topk(ds, queries, query_ids, k, assign_fn, probe_bool,
             "id_column": id_column, "vector_column": vector_column,
         },
         batch_format="pyarrow",
-        concurrency=concurrency or (1, 8),
+        concurrency=concurrency or pinned_pool(8),
     )
     return cands.groupby("query_id").map_groups(
         _merge_topk(k, exclude_self), batch_format="pandas"

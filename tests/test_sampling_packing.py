@@ -12,6 +12,7 @@ from saber_ray.stages.packing import assign_buckets, greedy_pack, pack_sequences
 from saber_ray.stages.sampling import (
     _key64,
     exact_quantiles,
+    grouped_quantiles,
     sample_hash,
     stratified_sample,
 )
@@ -74,6 +75,17 @@ def test_exact_quantiles():
     t2 = exact_quantiles(ds2, [0.5, 0.99, 1.0], "v")
     got2 = dict(zip(t2["q"].to_pylist(), t2["value"].to_pylist()))
     assert got2 == {0.5: 1, 0.99: 1, 1.0: 1000}
+
+
+def test_grouped_quantiles():
+    ds = _docs({"g": ["a"] * 100 + ["b"] * 10,
+                "v": list(range(1, 101)) + [5] * 10})
+    t = grouped_quantiles(ds, [0.5, 1.0], "v", "g")
+    got = {(g, q): v for g, q, v in zip(t["g"].to_pylist(),
+                                        t["q"].to_pylist(),
+                                        t["value"].to_pylist())}
+    assert got == {("a", 0.5): 50, ("a", 1.0): 100,
+                   ("b", 0.5): 5, ("b", 1.0): 5}
 
 
 # ------------------------------------------------------------- decontam
