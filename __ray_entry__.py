@@ -180,6 +180,25 @@ def _q_knn(sf_dir: str):
     return knn_topk(ds, queries, [r["vec_id"] for r in qrows], k=10)
 
 
+def _q_knn_ivf(sf_dir: str):
+    """ANN scale path through the driver gate (rows-only: k-means
+    centroid assignment is seeded-numpy, not SQL-expressible; recall
+    vs the exact path is pytest-gated in test_dedup_similarity.py)."""
+    from saber_ray.stages.similarity import knn_topk_ivf
+    from saber_ray.sources.testdata import read_table
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in ds.filter(expr="vec_id < 5").take_all()),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    return knn_topk_ivf(
+        ds, queries, [r["vec_id"] for r in qrows], k=10,
+        num_centroids=16, nprobe=4, seed=42,
+    )
+
+
 def _q_hot_tokens(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.textstats import token_frequency
@@ -263,6 +282,109 @@ def _q_tpch_q3(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
     return top_revenue_orders(orders, lineitem, customer, segment="BUILDING", k=10)
+
+
+def _q_tpch_q4(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import order_priority_counts
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    lineitem = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    return order_priority_counts(
+        orders, lineitem, date_lo="1996-01-01", date_hi="1997-01-01",
+        returnflag="R",
+    )
+
+
+def _q_top_events_per_type(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.sampling import top_n_per_group
+
+    events = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return top_n_per_group(
+        events, "event_type", "value", n=3, id_column="event_id"
+    )
+
+
+def _q_tpch_q5(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import local_supplier_volume
+
+    lineitem = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    customer = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    return local_supplier_volume(
+        lineitem, orders, customer,
+        pq.read_table(f"{sf_dir}/supplier.parquet",
+                      columns=["s_suppkey", "s_nationkey"]),
+        pq.read_table(f"{sf_dir}/nation.parquet"),
+        pq.read_table(f"{sf_dir}/region.parquet"),
+        region="ASIA", date_lo="1996-01-01", date_hi="1997-01-01",
+    )
+
+
+def _q_tpch_q6(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import revenue_forecast
+
+    lineitem = read_table(
+        sf_dir, "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    return revenue_forecast(
+        lineitem, date_lo="1996-01-01", date_hi="1997-01-01",
+        disc_lo=0.02, disc_hi=0.06, max_qty=24.0,
+    )
+
+
+def _q_eval_confusion(sf_dir: str):
+    """A3 through the driver gate: distributed per-label confusion
+    counts between two deterministic mention views of the same corpus —
+    pred = the tagger stream minus one entity class, gold = the stream
+    minus every 10th document — so TP/FP/FN are all nontrivial. ONE
+    streaming pass over the annotated corpus emits both side markers
+    (no second annotate run), then the evaluator's single keyed
+    shuffle does the counting."""
+    import pyarrow.compute as pc
+
+    from saber_ray.pipelines.demo import demo_annotated
+    from saber_ray.stages.evaluate import confusion_table
+    from saber_ray.stages.triples import explode_mentions
+
+    ann = demo_annotated(sf_dir)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        m = explode_mentions(batch)
+        doc = pc.cast(m["doc_id"], pa.int64())
+        key = pa.array(
+            [f"{d}|{l}|{t}" for d, l, t in zip(
+                doc.to_pylist(), m["label"].to_pylist(), m["text"].to_pylist()
+            )],
+            type=pa.string(),
+        )
+        pred_n = pc.cast(pc.not_equal(m["label"], "LIVB"), pa.int64())
+        # doc_id % 10 != 0  (integer divide-multiply; Arrow has no modulo)
+        gold_n = pc.cast(
+            pc.not_equal(
+                pc.subtract(doc, pc.multiply(pc.divide(doc, 10), 10)), 0
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"label": m["label"], "key": key, "pred_n": pred_n, "gold_n": gold_n}
+        )
+
+    return confusion_table(ann.map_batches(keyed, batch_format="pyarrow"))
 
 
 def _q_dedup_components(sf_dir: str):
@@ -452,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "embedding_dup_pairs": _q_embedding_dups,
         "knn_search": _q_knn,
+        "knn_search_ivf": _q_knn_ivf,
         "hot_tokens": _q_hot_tokens,
         "kg_mentions_filtered": _q_kg_mentions_filtered,
         "events_window": _q_events_window,
@@ -461,6 +584,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "top_events_per_type": _q_top_events_per_type,
+        "eval_confusion": _q_eval_confusion,
         "chunk_spans": _q_chunk_spans,
         "kg_mentions": _q_kg_mentions,
         "kg_mention_counts": _q_kg_mention_counts,
@@ -828,6 +956,81 @@ def oracle_sql() -> dict[str, str]:
             JOIN rev r ON r.l_orderkey = o.o_orderkey
             ORDER BY round(r.revenue, 2) DESC, o.o_orderkey
             LIMIT 10
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "top_events_per_type": """
+            SELECT event_type, event_id, value
+            FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY value DESC, event_id
+                       ) AS rn
+                FROM events
+            )
+            WHERE rn <= 3
+        """,
+        "tpch_q5": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND c.c_nationkey = s.s_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+            ORDER BY revenue DESC, n.n_name
+        """,
+        "tpch_q6": """
+            SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 2)
+                       AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 24
+        """,
+        "eval_confusion": f"""
+            WITH {gaz},
+            toks AS (
+                SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+            ),
+            occ AS (
+                SELECT t.doc_id, g.label, t.tok,
+                       CASE WHEN g.label <> 'LIVB' THEN 1 ELSE 0 END AS pred_n,
+                       CASE WHEN t.doc_id % 10 <> 0 THEN 1 ELSE 0 END AS gold_n
+                FROM toks t JOIN gaz g ON t.tok = g.tok
+            ),
+            keyed AS (
+                SELECT doc_id, label, tok,
+                       sum(pred_n) AS pred_n, sum(gold_n) AS gold_n
+                FROM occ GROUP BY 1, 2, 3
+            )
+            -- membership semantics (saber/metrics.py): every pred
+            -- occurrence of a key present in gold is a TP; gold keys
+            -- with no pred occurrence are FNs
+            SELECT label,
+                   CAST(sum(CASE WHEN gold_n > 0 THEN pred_n ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN gold_n > 0 THEN 0 ELSE pred_n END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN pred_n = 0 THEN gold_n ELSE 0 END) AS BIGINT) AS fn
+            FROM keyed
+            GROUP BY label
         """,
         "chunk_spans": f"""
             WITH {gaz},

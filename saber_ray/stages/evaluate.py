@@ -120,6 +120,28 @@ def _scores(conf: dict[str, tuple[int, int, int]]) -> dict[str, tuple]:
     return scores
 
 
+def confusion_table(keyed: rd.Dataset) -> pa.Table:
+    """Per-label confusion counts as an exact-integer Arrow table
+    (label, tp, fp, fn) — the distributed half of A3 exposed in a shape
+    a SQL oracle can reproduce bit-for-bit (the P/R/F1 scalar math on
+    top is ``functions/metrics.py``, unit-tested against the reference).
+
+    ``keyed`` rows are (label, key, pred_n, gold_n) occurrence markers —
+    the same contract ``_confusion`` consumes (one row per occurrence;
+    the groupby sums multiplicities per key).
+    """
+    conf = _confusion(keyed)
+    labels = sorted(conf)
+    return pa.table(
+        {
+            "label": pa.array(labels, type=pa.string()),
+            "tp": pa.array([conf[l][0] for l in labels], type=pa.int64()),
+            "fp": pa.array([conf[l][1] for l in labels], type=pa.int64()),
+            "fn": pa.array([conf[l][2] for l in labels], type=pa.int64()),
+        }
+    )
+
+
 def evaluate_mentions(
     pred: rd.Dataset, gold: rd.Dataset, criteria: str = "exact"
 ) -> dict[str, tuple]:

@@ -258,6 +258,242 @@ def top_revenue_orders(
     )
 
 
+def revenue_forecast(
+    lineitem: rd.Dataset,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    disc_lo: float = 0.02,
+    disc_hi: float = 0.06,
+    max_qty: float = 24.0,
+) -> pa.Table:
+    """TPC-H Q6-shaped scalar aggregate: revenue from discounted small
+    lineitems shipped in a date window.
+
+    The filter + multiply runs vectorized per batch; each batch reduces
+    to ONE partial-sum row, so the driver combines #batches scalars —
+    no shuffle at all. At 100 TB this is the cheapest possible plan: a
+    column-pruned scan (callers pass ``columns=`` at the read) with a
+    streaming scalar reduce.
+    """
+    import datetime
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+                pc.less(batch["l_shipdate"], pa.scalar(hi)),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch["l_discount"], pa.scalar(disc_lo)),
+                    pc.less_equal(batch["l_discount"], pa.scalar(disc_hi)),
+                ),
+                pc.less(batch["l_quantity"], pa.scalar(max_qty)),
+            ),
+        )
+        f = batch.filter(mask)
+        rev = pc.sum(pc.multiply(f["l_extendedprice"], f["l_discount"]))
+        return pa.table({"rev_part": pa.array(
+            [rev.as_py() if rev.is_valid else 0.0], type=pa.float64())})
+
+    total = lineitem.map_batches(partial, batch_format="pyarrow").sum("rev_part")
+    # DuckDB round() is half-away-from-zero; Python's round() is
+    # half-to-even — use the Arrow kernel so value hashes agree exactly
+    rounded = pc.round(
+        pa.scalar(float(total or 0.0)), 2, round_mode="half_towards_infinity"
+    )
+    return pa.table({"revenue": pa.array([rounded.as_py()], type=pa.float64())})
+
+
+def local_supplier_volume(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    supplier_small: pa.Table,
+    nation_small: pa.Table,
+    region_small: pa.Table,
+    region: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> rd.Dataset:
+    """TPC-H Q5-shaped: revenue per nation where the customer and the
+    line's supplier share a nation inside one region.
+
+    Plan (scale shapes): region⨝nation collapse to a broadcast
+    nationkey→name dict; supplier (the smallest 1:SF table) broadcasts
+    as suppkey→nationkey; lineitem attaches ``s_nationkey`` per batch,
+    drops non-region rows AT THE SCAN, and pre-aggregates revenue per
+    (orderkey, nation) before anything shuffles. orders⨝customer is a
+    hash ``Dataset.join`` (customer is NOT broadcast here — at real SF
+    it is a large table), producing (orderkey, c_nationkey) for the date
+    window only. The final join matches the two shrunken per-order
+    streams and a tiny groupby(nation) finishes.
+    """
+    import datetime
+
+    from ..functions.partitioning import shuffle_partitions
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+
+    rkey = region_small.filter(pc.equal(region_small["r_name"], region))[
+        "r_regionkey"]
+    nat = nation_small.filter(
+        pc.is_in(nation_small["n_regionkey"], value_set=rkey.combine_chunks())
+    )
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    nat_of_supp = {
+        s: n
+        for s, n in zip(
+            supplier_small["s_suppkey"].to_pylist(),
+            supplier_small["s_nationkey"].to_pylist(),
+        )
+        if n in name_of
+    }
+    supp_ref = ray.put(nat_of_supp)
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lookup = ray.get(supp_ref)
+        supp = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        nkey = np.array([lookup.get(s, -1) for s in supp.tolist()], dtype=np.int64)
+        keep = nkey >= 0
+        if not keep.any():
+            return pa.table({
+                "l_orderkey": pa.array([], type=pa.int64()),
+                "s_nationkey": pa.array([], type=pa.int64()),
+                "rev": pa.array([], type=pa.float64()),
+            })
+        f = batch.filter(pa.array(keep))
+        rev = pc.multiply(
+            f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"])
+        )
+        t = pa.table({
+            "l_orderkey": f["l_orderkey"],
+            "s_nationkey": pa.array(nkey[keep]),
+            "rev": rev,
+        })
+        return t.group_by(["l_orderkey", "s_nationkey"]).aggregate([("rev", "sum")])
+
+    line_rev = lineitem.map_batches(line_partial, batch_format="pyarrow")
+
+    def order_window(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+            pc.less(batch["o_orderdate"], pa.scalar(hi)),
+        )
+        return batch.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    n_parts = shuffle_partitions(8, orders)
+    cust_nat = orders.map_batches(order_window, batch_format="pyarrow").join(
+        customer.select_columns(["c_custkey", "c_nationkey"]),
+        join_type="inner", num_partitions=n_parts,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    joined = line_rev.join(
+        cust_nat.select_columns(["o_orderkey", "c_nationkey"]),
+        join_type="inner", num_partitions=n_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def same_nation(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch["s_nationkey"], batch["c_nationkey"]))
+        names = pa.array(
+            [name_of[k] for k in f["s_nationkey"].to_pylist()], type=pa.string()
+        )
+        return pa.table({"n_name": names, "rev_sum": f["rev_sum"]})
+
+    agg = (
+        joined.map_batches(same_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .sum("rev_sum")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch["n_name"],
+            "revenue": pc.round(batch["sum(rev_sum)"], 2,
+                                round_mode="half_towards_infinity"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["revenue", "n_name"], descending=[True, False]
+    )
+
+
+def semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Distributed EXISTS semi-join: left rows with at least one match in
+    ``right`` — without broadcast (both sides may be large at 100 TB;
+    ``broadcast_join`` handles the small-side case).
+
+    The right side first reduces to DISTINCT keys (a keyed shuffle over
+    the key column ONLY — payload never moves), then an inner hash join
+    against unique keys is exactly semi-join semantics (no row
+    multiplication).
+    """
+    from ..functions.partitioning import shuffle_partitions
+
+    keys = (
+        right.select_columns([right_on])
+        .groupby(right_on)
+        .count()
+        .select_columns([right_on])
+    )
+    n = num_partitions or shuffle_partitions(8, left)
+    return left.join(
+        keys, join_type="inner", num_partitions=n,
+        on=(left_on,), right_on=(right_on,),
+    )
+
+
+def order_priority_counts(
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    returnflag: str = "R",
+) -> rd.Dataset:
+    """TPC-H Q4-shaped: count orders per priority having at least one
+    lineitem with the given return flag — date-window filter at the
+    scan, then ``semi_join`` (distinct-key shuffle, no broadcast), then
+    a tiny groupby(priority) count."""
+    import datetime
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+
+    def order_window(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+            pc.less(batch["o_orderdate"], pa.scalar(hi)),
+        )
+        return batch.filter(mask).select(["o_orderkey", "o_orderpriority"])
+
+    def flagged(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch["l_returnflag"], returnflag)
+        ).select(["l_orderkey"])
+
+    win = orders.map_batches(order_window, batch_format="pyarrow")
+    flag = lineitem.map_batches(flagged, batch_format="pyarrow")
+    counts = (
+        semi_join(win, flag, "o_orderkey", "l_orderkey")
+        .groupby("o_orderpriority")
+        .count()
+    )
+    return counts.rename_columns({"count()": "n"}).sort("o_orderpriority")
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -182,3 +182,48 @@ def grouped_quantiles(
     return pa.table({group_column: out_g,
                      "q": pa.array(out_q, type=pa.float64()),
                      "value": pa.array(out_v, type=pa.int64())})
+
+
+def top_n_per_group(
+    ds: rd.Dataset,
+    group_column: str,
+    value_column: str,
+    n: int,
+    id_column: str = "doc_id",
+) -> rd.Dataset:
+    """Per-group top-``n`` by value (descending), ties broken by id
+    ascending — "keep the n highest-quality docs per domain", the
+    grouped-limit every curation pipeline needs and Ray Data has no
+    native operator for.
+
+    Same two-phase shape as ``stratified_sample``: each batch locally
+    prunes to <= n candidate rows per group it sees (vectorized sort +
+    one scan), then ONE ``groupby(group).map_groups`` merges candidates
+    — the shuffle moves O(n x batches) key rows, never the corpus.
+    Returns ``(group_column, id_column, value_column)``.
+    """
+
+    def local_candidates(batch: pa.Table) -> pa.Table:
+        sub = batch.select([group_column, id_column, value_column])
+        idx = pc.sort_indices(
+            sub,
+            sort_keys=[(group_column, "ascending"), (value_column, "descending"),
+                       (id_column, "ascending")],
+        )
+        sub = sub.take(idx)
+        groups = sub[group_column].to_pylist()
+        keep, seen = [], {}
+        for i, g in enumerate(groups):
+            c = seen.get(g, 0)
+            if c < n:
+                keep.append(i)
+                seen[g] = c + 1
+        return sub.take(pa.array(keep, type=pa.int64()))
+
+    def merge(df):
+        df = df.sort_values([value_column, id_column],
+                            ascending=[False, True]).head(n)
+        return df[[group_column, id_column, value_column]]
+
+    cands = ds.map_batches(local_candidates, batch_format="pyarrow")
+    return cands.groupby(group_column).map_groups(merge, batch_format="pandas")

@@ -144,3 +144,22 @@ def test_bioes_chunk_roundtrip_quirks():
     # length-2 runs chunk as just their B- token ([6,7), [8,9)) — the
     # E- exclusion quirk at its sharpest
     assert got == [("DISO", 1, 3), ("PRGE", 6, 7), ("DISO", 8, 9)]
+
+
+def test_confusion_table_membership_semantics():
+    # key A: 2 pred occurrences, key in gold -> both TP
+    # key B: pred-only -> FP; key C: gold-only (2 occ) -> 2 FN
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.evaluate import confusion_table
+
+    keyed = rd.from_arrow(pa.table({
+        "label": ["X"] * 6,
+        "key": ["A", "A", "A", "B", "C", "C"],
+        "pred_n": pa.array([1, 1, 0, 1, 0, 0], type=pa.int64()),
+        "gold_n": pa.array([0, 0, 1, 0, 1, 1], type=pa.int64()),
+    }))
+    t = confusion_table(keyed)
+    row = t.to_pylist()[0]
+    assert row == {"label": "X", "tp": 2, "fp": 1, "fn": 2}

@@ -68,3 +68,76 @@ def test_asof_string_keys_stable_bucketing():
     out = {r["event_id"]: r["prior_error_value"]
            for r in asof_join(left, right, num_partitions=4, right_columns={"value": "prior_error_value"}).take_all()}
     assert out == {1: 50.0, 2: 60.0}
+
+
+# ---------------------------------------------------------------- tpch ---
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation",
+              "region", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def test_tpch_q6_matches_duckdb():
+    import __ray_entry__ as e
+
+    got = e.queries()["tpch_q6"](SF).to_pandas()
+    want = _duck(e.oracle_sql()["tpch_q6"])
+    assert got["revenue"].iloc[0] == want["revenue"].iloc[0]
+
+
+def test_tpch_q5_matches_duckdb():
+    import __ray_entry__ as e
+
+    got = (
+        e.queries()["tpch_q5"](SF).to_pandas()
+        .sort_values(["n_name"]).reset_index(drop=True)
+    )
+    want = _duck(e.oracle_sql()["tpch_q5"]).sort_values(["n_name"]).reset_index(drop=True)
+    assert list(got["n_name"]) == list(want["n_name"])
+    assert list(got["revenue"]) == list(want["revenue"])
+
+
+def test_tpch_q4_matches_duckdb():
+    import __ray_entry__ as e
+
+    got = e.queries()["tpch_q4"](SF).to_pandas().reset_index(drop=True)
+    want = _duck(e.oracle_sql()["tpch_q4"])
+    assert list(got["o_orderpriority"]) == list(want["o_orderpriority"])
+    assert list(got["n"]) == list(want["n"])
+
+
+def test_top_events_per_type_matches_duckdb():
+    import __ray_entry__ as e
+
+    got = (
+        e.queries()["top_events_per_type"](SF).to_pandas()
+        .sort_values(["event_type", "event_id"]).reset_index(drop=True)
+    )
+    want = (
+        _duck(e.oracle_sql()["top_events_per_type"])
+        .sort_values(["event_type", "event_id"]).reset_index(drop=True)
+    )
+    assert list(got["event_id"]) == list(want["event_id"])
+    assert list(got["value"]) == list(want["value"])
+
+
+def test_semi_join_no_multiplication():
+    # right side has DUPLICATE keys: semi-join must not multiply lefts
+    from saber_ray.stages.relational import semi_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                                   "v": pa.array(["a", "b", "c"])}))
+    right = rd.from_arrow(pa.table({"rk": pa.array([2, 2, 2, 4], type=pa.int64())}))
+    rows = semi_join(left, right, "k", "rk", num_partitions=2).take_all()
+    assert [(r["k"], r["v"]) for r in rows] == [(2, "b")]
