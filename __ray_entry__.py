@@ -199,6 +199,62 @@ def _q_knn_ivf(sf_dir: str):
     )
 
 
+def _q_media_decode(sf_dir: str):
+    """Multimodal path through the driver gate, value-checked: every 5th
+    document gets one deterministic image span (``img://<doc_id>``),
+    then extract_media_spans → FakeMediaDecoder actor pool. The fake
+    decoder's dimensions are md5-derived, so DuckDB reproduces
+    (doc_id, media_ref, height, width, channels) exactly — the whole
+    inject → explode → actor-pool decode plumbing is oracle-verified
+    (pixel tensors are seeded-numpy, hence not selected)."""
+    import pyarrow.compute as pc
+
+    from saber_ray.sources.testdata import read_documents_interleaved
+    from saber_ray.stages.media import FakeMediaDecoder, extract_media_spans
+
+    docs = read_documents_interleaved(sf_dir)
+
+    def inject(batch: pa.Table) -> pa.Table:
+        out_ids, out_spans = [], []
+        for doc_id, spans in zip(
+            batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
+        ):
+            if int(doc_id) % 5 == 0:
+                spans = list(spans) + [{
+                    "kind": "image", "text": "",
+                    "media_ref": f"img://{doc_id}", "offset": len(spans),
+                }]
+            out_ids.append(doc_id)
+            out_spans.append(spans)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=batch.schema.field("doc_id").type),
+                "spans": pa.array(out_spans, type=batch.schema.field("spans").type),
+            }
+        )
+
+    media = extract_media_spans(
+        docs.map_batches(inject, batch_format="pyarrow")
+    )
+    decoded = media.map_batches(
+        FakeMediaDecoder,
+        batch_format="pyarrow",
+        batch_size=32,  # binary payload stage: small batches, let the store spill
+        concurrency=(2, 2),
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "media_ref": batch["media_ref"],
+            "height": pc.cast(batch["height"], pa.int64()),
+            "width": pc.cast(batch["width"], pa.int64()),
+            "channels": pc.cast(batch["channels"], pa.int64()),
+        })
+
+    return decoded.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_hot_tokens(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.textstats import token_frequency
@@ -575,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dups,
         "knn_search": _q_knn,
         "knn_search_ivf": _q_knn_ivf,
+        "media_decode": _q_media_decode,
         "hot_tokens": _q_hot_tokens,
         "kg_mentions_filtered": _q_kg_mentions_filtered,
         "events_window": _q_events_window,
@@ -956,6 +1013,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN rev r ON r.l_orderkey = o.o_orderkey
             ORDER BY round(r.revenue, 2) DESC, o.o_orderkey
             LIMIT 10
+        """,
+        "media_decode": """
+            WITH m AS (
+                SELECT doc_id, 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
+                       ('0x' || substr(md5('img://' || CAST(doc_id AS VARCHAR)),
+                                       1, 16))::UBIGINT AS h64
+                FROM documents
+                WHERE doc_id % 5 = 0
+            )
+            SELECT doc_id, media_ref,
+                   CAST(4 + h64 % 13 AS BIGINT) AS height,
+                   CAST(4 + (h64 >> 8) % 13 AS BIGINT) AS width,
+                   CAST(3 AS BIGINT) AS channels
+            FROM m
         """,
         "tpch_q4": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n

@@ -64,6 +64,9 @@ def run_synthetic_kg(num_docs: int, corpus_dir: str | None = None) -> dict:
     from saber_ray.sources.synthetic import synthetic_dataset
     from saber_ray.stages.canonicalize import canonicalize_edges
 
+    import ray
+
+    mode = os.environ.get("GRAFT_KG_MODE", "staged")
     t0 = time.perf_counter()
     if corpus_dir:
         docs = rd.read_parquet(corpus_dir)
@@ -74,25 +77,51 @@ def run_synthetic_kg(num_docs: int, corpus_dir: str | None = None) -> dict:
     out = build_graph(
         docs, KGConfig(batch_size=512, tagger_concurrency=dedicated_pool())
     )
-    # stage triples to storage (one streaming pass through tagger/linker),
-    # then aggregate edges from the staged table — the resumable layout;
-    # nothing upstream executes twice.
-    tmp = tempfile.mkdtemp(prefix="bench_triples_")
-    try:
-        import ray
+    if mode == "streaming":
+        # fully-streaming DAG: read → annotate → triples → canonicalize
+        # in ONE execution, no storage barrier. Triple rows are tallied
+        # by a pass-through counter actor (fire-and-forget adds), since
+        # nothing materializes the triples table.
+        @ray.remote(num_cpus=0)
+        class _Tally:
+            def __init__(self):
+                self.n = 0
 
-        out["triples"].write_parquet(tmp)
-        # re-read in ~cpu-count blocks: the staged files are many and tiny,
-        # and sub-100ms read tasks are dispatch-bound (~100 tasks/s from
-        # the driver loop), which idles the canonicalize phase — measured
-        # 5.2 s -> 2.7 s at 2M docs / 32 cpus with coalesced read blocks
-        nb = max(16, int(ray.cluster_resources().get("CPU", 8)))
-        staged = rd.read_parquet(tmp, override_num_blocks=nb)
-        n_triples = staged.count()
-        n_edges = canonicalize_edges(staged).count()
+            def add(self, k: int) -> None:
+                self.n += k
+
+            def total(self) -> int:
+                return self.n
+
+        tally = _Tally.remote()
+
+        def count_rows(b):
+            tally.add.remote(b.num_rows)
+            return b
+
+        counted = out["triples"].map_batches(count_rows, batch_format="pyarrow")
+        n_edges = canonicalize_edges(counted).count()
+        n_triples = ray.get(tally.total.remote())
         wall = time.perf_counter() - t0
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        # stage triples to storage (one streaming pass through
+        # tagger/linker), then aggregate edges from the staged table —
+        # the resumable layout; nothing upstream executes twice.
+        tmp = tempfile.mkdtemp(prefix="bench_triples_")
+        try:
+            out["triples"].write_parquet(tmp)
+            # re-read in ~cpu-count blocks: the staged files are many and
+            # tiny, and sub-100ms read tasks are dispatch-bound (~100
+            # tasks/s from the driver loop), which idles the canonicalize
+            # phase — measured 5.2 s -> 2.7 s at 2M docs / 32 cpus with
+            # coalesced read blocks
+            nb = max(16, int(ray.cluster_resources().get("CPU", 8)))
+            staged = rd.read_parquet(tmp, override_num_blocks=nb)
+            n_triples = staged.count()
+            n_edges = canonicalize_edges(staged).count()
+            wall = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     return {
         "docs": num_docs,
         "triples": n_triples,
@@ -299,9 +328,13 @@ def main_scaling(num_docs: int, low: int = 8, high: int = 32) -> None:
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     results = {}
     try:
-        for cpus in (low, high):
-            best = None
-            for _ in range(reps):
+        # INTERLEAVED rep order (8, 32, 8, 32, ...): host throughput on
+        # this shared box drifts on minute scales, so running all low-cpu
+        # reps then all high-cpu reps couples each leg to a different
+        # host phase and biases the ratio either direction; alternating
+        # legs sample the same phases
+        for _ in range(reps):
+            for cpus in (low, high):
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--scaling-worker",
                      str(cpus), str(num_docs)],
@@ -316,9 +349,9 @@ def main_scaling(num_docs: int, low: int = 8, high: int = 32) -> None:
                         f"scaling worker at {cpus} cpus produced no result"
                     )
                 rep = json.loads(line[-1][len("SCALING_RESULT "):])
+                best = results.get(cpus)
                 if best is None or rep["sec"] < best["sec"]:
-                    best = rep
-            results[cpus] = best
+                    results[cpus] = rep
     finally:
         if corpus_dir:
             shutil.rmtree(corpus_dir, ignore_errors=True)

@@ -23,7 +23,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ..functions.hashing import stable_u64
+from ..functions.hashing import stable_u64_md5
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -100,6 +100,13 @@ class FakeMediaDecoder:
     """Deterministic stand-in decoder: tensor content derived from the
     payload hash; dimensions bounded so batch memory stays predictable.
 
+    The hash is md5-based (``stable_u64_md5``) so a DuckDB oracle can
+    reproduce the decoded dimensions exactly:
+    ``('0x' || substr(md5(ref), 1, 16))::UBIGINT`` → ``4 + h % 13`` /
+    ``4 + (h // 256) % 13`` at the default ``max_side=16`` — the
+    ``media_decode`` driver query value-checks the whole
+    inject → extract → actor-pool decode path against SQL.
+
     Large binary payloads need small ``batch_size`` — callers should pass
     ``batch_size≈32`` and let the object store spill, exactly as a real
     decoder stage would.
@@ -115,7 +122,7 @@ class FakeMediaDecoder:
             batch["doc_id"].to_pylist(), batch["span_idx"].to_pylist(),
             batch["media_ref"].to_pylist(), batch["payload"].to_pylist(),
         ):
-            h64 = stable_u64(payload or b"")
+            h64 = stable_u64_md5(payload or b"")
             height = 4 + (h64 % (self._max_side - 3))
             width = 4 + ((h64 >> 8) % (self._max_side - 3))
             rng = np.random.RandomState(h64 % (2**32))
