@@ -510,6 +510,15 @@ def _q_kg_two_hop(sf_dir: str):
     return two_hop_pairs(demo_edges(sf_dir).materialize())
 
 
+def _q_kg_three_hop(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_edges
+    from saber_ray.stages.graph import k_hop_pairs
+
+    # materialized before the iterated self-join for the same
+    # no-common-subexpression reason as kg_two_hop
+    return k_hop_pairs(demo_edges(sf_dir).materialize(), k=3)
+
+
 def _q_kg_annotation_stats(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -655,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": _q_kg_degrees,
         "kg_top_edges": _q_kg_top_edges,
         "kg_two_hop": _q_kg_two_hop,
+        "kg_three_hop": _q_kg_three_hop,
         "kg_annotation_stats": _q_kg_annotation_stats,
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
@@ -1195,6 +1205,13 @@ def oracle_sql() -> dict[str, str]:
             e AS (SELECT subj AS src, obj AS dst FROM trip GROUP BY 1, 2)
             SELECT a.src, b.dst
             FROM e a JOIN e b ON a.dst = b.src
+            GROUP BY 1, 2
+        """,
+        "kg_three_hop": f"""
+            {triples_cte},
+            e AS (SELECT subj AS src, obj AS dst FROM trip GROUP BY 1, 2)
+            SELECT a.src, c.dst
+            FROM e a JOIN e b ON a.dst = b.src JOIN e c ON b.dst = c.src
             GROUP BY 1, 2
         """,
         "kg_annotation_stats": f"""

@@ -147,7 +147,7 @@ def run_suite(sf_dir: str) -> dict[str, float]:
     picks = [
         "kg_edges", "kg_triples", "token_frequency", "doc_stats",
         "dedup_exact", "dedup_minhash_pairs", "knn_search",
-        "events_window", "tpch_q1", "tpch_q3",
+        "events_window", "tpch_q1", "tpch_q3", "tpch_q5",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

@@ -211,3 +211,22 @@ def test_seeded_shuffle_deterministic():
     assert a == b
     assert sorted(a) == list(range(200))
     assert a != c
+
+
+def test_media_decode_query_matches_duckdb():
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        e.queries()["media_decode"](sf).to_pandas()
+        .sort_values(["doc_id"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(e.oracle_sql()["media_decode"]).df().sort_values(
+        ["doc_id"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for c in ("doc_id", "media_ref", "height", "width", "channels"):
+        assert list(got[c]) == list(want[c])
