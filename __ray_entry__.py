@@ -422,11 +422,11 @@ def _q_eval_confusion(sf_dir: str):
     def keyed(batch: pa.Table) -> pa.Table:
         m = explode_mentions(batch)
         doc = pc.cast(m["doc_id"], pa.int64())
-        key = pa.array(
-            [f"{d}|{l}|{t}" for d, l, t in zip(
-                doc.to_pylist(), m["label"].to_pylist(), m["text"].to_pylist()
-            )],
-            type=pa.string(),
+        key = pc.binary_join_element_wise(
+            pc.cast(doc, pa.string()).combine_chunks(),
+            pc.cast(m["label"], pa.string()).combine_chunks(),
+            pc.cast(m["text"], pa.string()).combine_chunks(),
+            "|",
         )
         pred_n = pc.cast(pc.not_equal(m["label"], "LIVB"), pa.int64())
         # doc_id % 10 != 0  (integer divide-multiply; Arrow has no modulo)

@@ -24,23 +24,28 @@ import ray.data as rd
 from ..functions.metrics import CRITERIA, precision_recall_f1_support
 
 
+def _join_cols(batch: pa.Table, names: list[str]) -> pa.Array:
+    """Vectorized '|'-joined string key over columns (no Python row loop)."""
+    import pyarrow.compute as pc
+
+    parts = [
+        pc.cast(batch[n], pa.string()).combine_chunks() for n in names
+    ]
+    return pc.binary_join_element_wise(*parts, "|")
+
+
 def _mention_key_batch(batch: pa.Table, criteria: str, side: str) -> pa.Table:
-    label = batch["label"].to_pylist()
-    doc = batch["doc_id"].to_pylist()
-    span = batch["span_idx"].to_pylist()
-    start = batch["start"].to_pylist()
-    end = batch["end"].to_pylist()
     if criteria == "exact":
-        key = [f"{d}|{sp}|{s}|{e}" for d, sp, s, e in zip(doc, span, start, end)]
+        key = _join_cols(batch, ["doc_id", "span_idx", "start", "end"])
     elif criteria == "left":
-        key = [f"{d}|{sp}|{s}" for d, sp, s in zip(doc, span, start)]
+        key = _join_cols(batch, ["doc_id", "span_idx", "start"])
     else:  # right
-        key = [f"{d}|{sp}|{e}" for d, sp, e in zip(doc, span, end)]
+        key = _join_cols(batch, ["doc_id", "span_idx", "end"])
     n = batch.num_rows
     return pa.table(
         {
-            "label": pa.array(label, type=pa.string()),
-            "key": pa.array(key, type=pa.string()),
+            "label": pa.compute.cast(batch["label"], pa.string()),
+            "key": key,
             "pred_n": pa.array([1 if side == "pred" else 0] * n, type=pa.int64()),
             "gold_n": pa.array([1 if side == "gold" else 0] * n, type=pa.int64()),
         }
@@ -48,18 +53,12 @@ def _mention_key_batch(batch: pa.Table, criteria: str, side: str) -> pa.Table:
 
 
 def _triple_key_batch(batch: pa.Table, side: str) -> pa.Table:
-    key = [
-        f"{d}|{s}|{p}|{o}"
-        for d, s, p, o in zip(
-            batch["doc_id"].to_pylist(), batch["subj"].to_pylist(),
-            batch["pred"].to_pylist(), batch["obj"].to_pylist(),
-        )
-    ]
+    key = _join_cols(batch, ["doc_id", "subj", "pred", "obj"])
     n = batch.num_rows
     return pa.table(
         {
             "label": pa.array(["triple"] * n, type=pa.string()),
-            "key": pa.array(key, type=pa.string()),
+            "key": key,
             "pred_n": pa.array([1 if side == "pred" else 0] * n, type=pa.int64()),
             "gold_n": pa.array([1 if side == "gold" else 0] * n, type=pa.int64()),
         }
