@@ -320,6 +320,89 @@ def knn_topk_ivf(
                         id_column, vector_column)
 
 
+def ivf_write_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    num_centroids: int = 16,
+    seed: int = 42,
+    vector_column: str = "embedding",
+) -> np.ndarray:
+    """Build and PERSIST an IVF index: the corpus is written as parquet
+    partitioned by nearest-centroid id (one directory per inverted
+    list), centroids saved alongside. This is the storage-scale ANN
+    path: a query then reads ONLY its ``nprobe`` probed partitions from
+    disk — partition pruning at the storage layer, not a full-corpus
+    masked scan — so query cost is O(corpus/num_centroids × nprobe)
+    bytes regardless of corpus size. Building is one streaming pass
+    (assign column + partitioned write); the index is resumable input
+    for any number of later query batches.
+    """
+    import os
+
+    centroids = train_ivf_centroids(
+        ds, num_centroids, seed=seed, vector_column=vector_column
+    )
+    assigned = ds.map_batches(
+        lambda b: ivf_assign_batch(b, centroids, vector_column),
+        batch_format="pyarrow",
+    )
+    # data under lists/ (pure hive layout — sidecar files would break
+    # partition inference on read), centroids beside it
+    assigned.write_parquet(
+        os.path.join(index_dir, "lists"), partition_cols=["centroid"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    return centroids
+
+
+def ivf_query_index(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> rd.Dataset:
+    """Top-k over a persisted IVF index (``ivf_write_index``): computes
+    the union of all queries' probed lists, reads ONLY those partitions
+    (hive-partition pruning — unprobed directories are never opened),
+    then runs the same masked single-pass scoring restricted to each
+    query's own probe set."""
+    import os
+
+    if centroids is None:
+        centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    queries = np.asarray(queries, dtype=np.float64)
+    qsims = _normalize(queries) @ centroids.T
+    order = np.argsort(-qsims, axis=1)[:, :nprobe]
+    probe = np.zeros((len(queries), len(centroids)), dtype=bool)
+    for i in range(len(queries)):
+        probe[i, order[i]] = True
+    # explicit storage-level pruning: pass ONLY the probed inverted-list
+    # directories to the reader — unprobed partitions are never listed,
+    # opened, or decoded (a partition-column `filter=` would also prune
+    # row groups, but Ray's fragment sampler can't evaluate filters on
+    # hive-only fields; enumerating paths is equivalent and explicit)
+    import glob
+
+    paths = [
+        f
+        for c in sorted({int(c) for row in order for c in row})
+        for f in sorted(
+            glob.glob(os.path.join(index_dir, "lists", f"centroid={c}", "*.parquet"))
+        )
+    ]
+    ds = rd.read_parquet(paths)
+
+    def assign(mat: np.ndarray) -> np.ndarray:
+        return (mat @ centroids.T).argmax(axis=1).astype(np.int64)
+
+    return _masked_topk(ds, queries, query_ids, k, assign, probe,
+                        id_column, vector_column)
+
+
 # ------------------------------------------------- embedding near-dup ---
 
 

@@ -313,3 +313,37 @@ def test_near_dup_transitive_policy(dup_corpus):
     # both policies keep the min of every chain; transitive never keeps
     # MORE docs than greedy
     assert greedy <= transitive or greedy == transitive
+
+
+def test_ivf_stored_index_matches_inmemory_ivf(tmp_path):
+    """Persisted-index query == in-memory IVF (same centroids, same
+    probes), and the partitioned layout exists on disk."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.similarity import (
+        ivf_query_index, ivf_write_index, knn_topk_ivf)
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    qrows = sorted(ds.filter(expr="vec_id < 3").take_all(),
+                   key=lambda r: r["vec_id"])
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [r["vec_id"] for r in qrows]
+
+    idx = str(tmp_path / "ivf")
+    centroids = ivf_write_index(ds, idx, num_centroids=8, seed=42)
+    # hive layout: one directory per inverted list
+    parts = [d for d in os.listdir(os.path.join(idx, "lists")) if d.startswith("centroid=")]
+    assert len(parts) >= 2
+
+    stored = ivf_query_index(idx, queries, qids, k=5, nprobe=2,
+                             centroids=centroids)
+    mem = knn_topk_ivf(ds, queries, qids, k=5, num_centroids=8, nprobe=2,
+                       seed=42)
+    key = lambda rows: sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                              for r in rows)
+    assert key(stored.take_all()) == key(mem.take_all())
