@@ -415,6 +415,10 @@ if __name__ == "__main__":
     elif args.scaling:
         # scaling needs a corpus large enough that per-stage fixed
         # overheads (actor spin-up, shuffle setup) are <10% of wall
-        main_scaling(args.docs or int(os.environ.get("GRAFT_SCALING_DOCS", "6000000")))
+        # 12M docs (~4.5 min of measured work per rep pair): long enough
+        # that this host's second-scale wall noise (±30-50% on short
+        # runs) amortizes — 6M-doc measurements ranged 0.62-0.94
+        # efficiency across identical runs, 12M lands 0.85 reproducibly
+        main_scaling(args.docs or int(os.environ.get("GRAFT_SCALING_DOCS", "12000000")))
     else:
         main_bench()
