@@ -66,6 +66,17 @@ def _q_token_count(sf_dir: str):
     )
 
 
+def _q_token_count_bpe(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import token_count_bpe_batch
+
+    ds = read_documents_flat(sf_dir)
+    return ds.map_batches(
+        lambda b: token_count_bpe_batch(b).select(["doc_id", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_token_frequency(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.textstats import token_frequency
@@ -628,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "sterilize": _q_sterilize,
         "token_count": _q_token_count,
+        "token_count_bpe": _q_token_count_bpe,
         "token_frequency": _q_token_frequency,
         "vocab": _q_vocab,
         "doc_stats": _q_doc_stats,
@@ -749,6 +761,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
                                   '\\s+', ' ', 'g') AS clean
+            FROM documents
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
+                   )) AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "token_count": """

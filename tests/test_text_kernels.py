@@ -80,3 +80,18 @@ def test_sterilize():
         "This is a test with improper spacing."
     assert sterilize("") == ""
     assert sterilize(" MiXeD Case ", lower=True) == "mixed case"
+
+
+def test_bpe_pretokenizer_counts():
+    import pyarrow as pa
+
+    from saber_ray.stages.textstats import token_count_bpe_batch
+
+    t = pa.table({"text": pa.array([
+        "it's 2024, really?",   # it +'s + space+2024 +, + really +? = contraction split
+        "hello world",
+        "",
+    ])})
+    out = token_count_bpe_batch(t)["n_bpe_tokens"].to_pylist()
+    # "it's 2024, really?" -> [it]['s][ 2024][,][ really][?] = 6
+    assert out == [6, 2, 0]
