@@ -101,8 +101,10 @@ def _register_builtins() -> None:
         doc_stats_batch,
         fingerprint_batch,
         lang_id_batch,
+        repetition_stats_batch,
         sterilize_batch,
         token_count_batch,
+        token_count_bpe_batch,
     )
     from .stages.triples import emit_triples, explode_mentions
 
@@ -113,6 +115,10 @@ def _register_builtins() -> None:
     register(StageSpec("doc_stats", doc_stats_batch, description="quality stats"))
     register(StageSpec("fingerprint", fingerprint_batch, description="md5 token fingerprint"))
     register(StageSpec("lang_id", lang_id_batch, description="language heuristic"))
+    register(StageSpec("token_count_bpe", token_count_bpe_batch,
+                       description="BPE-pretokenizer counts (training-cost estimate)"))
+    register(StageSpec("repetition_stats", repetition_stats_batch,
+                       description="dup-line / top-bigram boilerplate stats"))
     register(StageSpec("annotate", Annotator, is_actor=True, batch_size=256,
                        description="fused tagger+linker (T1+T3)"))
     register(StageSpec("dictionary_tagger", DictionaryTagger, is_actor=True,
