@@ -530,6 +530,13 @@ def _q_kg_three_hop(sf_dir: str):
     return k_hop_pairs(demo_edges(sf_dir).materialize(), k=3)
 
 
+def _q_kg_pagerank(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_edges
+    from saber_ray.stages.graph import pagerank
+
+    return pagerank(demo_edges(sf_dir).materialize(), iterations=5)
+
+
 def _q_kg_annotation_stats(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -677,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_top_edges": _q_kg_top_edges,
         "kg_two_hop": _q_kg_two_hop,
         "kg_three_hop": _q_kg_three_hop,
+        "kg_pagerank": _q_kg_pagerank,
         "kg_annotation_stats": _q_kg_annotation_stats,
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
@@ -747,6 +755,34 @@ _TRIPLES_CTE = f"""
         GROUP BY 1, 2, 3, 4
     )
 """
+
+
+def _pagerank_ctes(iterations: int = 5, damping: float = 0.85) -> str:
+    """One CTE per power iteration (DuckDB recursive CTEs disallow
+    aggregation in the recursive term, so the fixed iteration count
+    unrolls declaratively). Constants are written as the SAME float
+    expressions the engine evaluates — (1.0 - 0.85) is 0.15000000000000002
+    in IEEE doubles, NOT the literal 0.15 — so rounded values agree."""
+    parts = [
+        "verts AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1)",
+        "params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM verts)",
+    ]
+    for i in range(iterations):
+        parts.append(f"""r{i + 1} AS (
+            SELECT v.node,
+                   (1.0 - {damping}) / (SELECT n FROM params)
+                   + {damping} * coalesce(s.c, 0.0) AS rank
+            FROM verts v LEFT JOIN (
+                SELECT e.dst, sum(r.rank / CAST(d.outdeg AS DOUBLE)) AS c
+                FROM r{i} r
+                JOIN deg d ON d.src = r.node
+                JOIN e ON e.src = r.node
+                GROUP BY e.dst
+            ) s ON s.dst = v.node
+        )""")
+    return ",\n".join(parts) + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1232,6 +1268,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.src, c.dst
             FROM e a JOIN e b ON a.dst = b.src JOIN e c ON b.dst = c.src
             GROUP BY 1, 2
+        """,
+        "kg_pagerank": f"""
+            {triples_cte},
+            e AS (SELECT subj AS src, obj AS dst FROM trip GROUP BY 1, 2),
+            {_pagerank_ctes(iterations=5, damping=0.85)}
         """,
         "kg_annotation_stats": f"""
             WITH {gaz},

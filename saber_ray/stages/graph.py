@@ -213,3 +213,153 @@ def connected_components(
             "point; labels may span partial components", max_iters,
         )
     return labels.rename_columns({"label": "component"})
+
+
+def _pagerank_local(e: rd.Dataset, iterations: int, damping: float) -> rd.Dataset:
+    """Small-graph fast path: power-iterate the collected deduped edge
+    list with numpy scatter-adds (same synchronous update as the
+    distributed path, bit-identical after the 6-decimal round)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    rows = e.take_all()
+    src = [r["src"] for r in rows]
+    dst = [r["dst"] for r in rows]
+    nodes = sorted(set(src) | set(dst))
+    idx = {v: i for i, v in enumerate(nodes)}
+    si = np.array([idx[s] for s in src], dtype=np.int64)
+    di = np.array([idx[d] for d in dst], dtype=np.int64)
+    n = len(nodes)
+    outdeg = np.bincount(si, minlength=n).astype(np.float64)
+    rank = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = rank[si] / outdeg[si]
+        inflow = np.bincount(di, weights=contrib, minlength=n)
+        rank = base + damping * inflow
+    out = pa.table({
+        "node": pa.array(nodes, type=pa.string()),
+        "rank": pa.array(rank, type=pa.float64()),
+    })
+    out = out.set_column(
+        1, "rank", pc.round(out["rank"], 6, round_mode="half_towards_infinity")
+    )
+    return rd.from_arrow(out)
+
+
+def pagerank(
+    edges: rd.Dataset,
+    iterations: int = 5,
+    damping: float = 0.85,
+    num_partitions: int = 8,
+    local_threshold: int = 100_000,
+) -> rd.Dataset:
+    """PageRank over the directed (src, dst) edge table — ``iterations``
+    synchronous power steps, uniform init 1/N, dangling mass dropped
+    (rank renormalizes through the (1-d)/N term, matching the common
+    simplified formulation).
+
+    Distributed shape per iteration: ONE hash join (ranks ⨝ edges on
+    src — rank mass flows along edges) and ONE groupby(dst) sum. The
+    rank table is (node, rank) — never broadcast, so the same plan runs
+    when nodes outnumber driver memory; between iterations the small
+    rank table is repartitioned + materialized (the same empty-block
+    join hygiene as ``k_hop_pairs``).
+
+    When the DEDUPED edge list fits on the driver
+    (``local_threshold`` rows — the canonical KG's edge table, not the
+    corpus), the power iteration runs as local numpy instead: identical
+    math, none of the per-iteration join/actor overhead. Same output
+    either way.
+
+    Returns (node, rank) with rank rounded to 6 decimals — the chained-
+    CTE DuckDB oracle (one CTE per iteration) reproduces it exactly.
+    """
+    import pyarrow.compute as pc
+
+    e = edges.select_columns(["src", "dst"]).groupby(["src", "dst"]).count()
+    e = e.drop_columns(["count()"]).repartition(num_partitions).materialize()
+
+    if e.count() <= local_threshold:
+        return _pagerank_local(e, iterations, damping)
+
+    # repartition+materialize before every join input: Ray's hash join
+    # chokes on the schema-less empty blocks that groupby/join stages
+    # can emit (same hygiene as k_hop_pairs)
+    deg = (
+        e.groupby("src").count().rename_columns({"count()": "outdeg", "src": "dsrc"})
+        .repartition(max(2, num_partitions // 2)).materialize()
+    )
+    # edges ⨝ out-degree once, OUTSIDE the loop (loop-invariant):
+    # (src, dst, outdeg) — each iteration then needs a single join
+    e_deg = e.join(
+        deg, join_type="inner",
+        num_partitions=num_partitions, on=("src",), right_on=("dsrc",),
+    ).repartition(num_partitions).materialize()
+    # nodes = src ∪ dst, distinct
+    verts = (
+        e.map_batches(
+            lambda b: pa.table(
+                {"node": pa.concat_arrays([
+                    b["src"].combine_chunks(), b["dst"].combine_chunks()
+                ])}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node").count().drop_columns(["count()"])
+        .repartition(max(2, num_partitions // 2)).materialize()
+    )
+    n = verts.count()
+    base = (1.0 - damping) / n
+
+    # ranks ⨝ outdeg once up front: contribution factor rank/outdeg is
+    # recomputed per iteration from the joined table
+    ranks = verts.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array([1.0 / n] * b.num_rows, type=pa.float64())
+        ),
+        batch_format="pyarrow",
+    ).repartition(max(2, num_partitions // 2)).materialize()
+
+    for _ in range(iterations):
+        flowing = ranks.join(
+            e_deg, join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_on=("src",),
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "dst": batch["dst"],
+                "c": pc.divide(batch["rank"], pc.cast(batch["outdeg"], pa.float64())),
+            })
+
+        inflow = (
+            flowing.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst").sum("c")
+            .repartition(max(2, num_partitions // 2)).materialize()
+        )
+        # left-join back onto the full vertex set: sinks receive base only
+        ranks = verts.join(
+            inflow, join_type="left_outer", num_partitions=num_partitions,
+            on=("node",), right_on=("dst",),
+        ).map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "rank": pc.add(
+                    pa.scalar(base),
+                    pc.multiply(
+                        pa.scalar(damping),
+                        pc.coalesce(b["sum(c)"], pa.scalar(0.0)),
+                    ),
+                ),
+            }),
+            batch_format="pyarrow",
+        ).repartition(max(2, num_partitions // 2)).materialize()
+
+    return ranks.map_batches(
+        lambda b: pa.table({
+            "node": b["node"],
+            "rank": pc.round(b["rank"], 6, round_mode="half_towards_infinity"),
+        }),
+        batch_format="pyarrow",
+    )

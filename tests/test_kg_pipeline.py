@@ -271,3 +271,28 @@ def test_k_hop_pairs():
     assert hop3 == {("a", "d"), ("a", "e"), ("b", "e")}
     with pytest.raises(ValueError):
         k_hop_pairs(edges, 0)
+
+
+def test_pagerank_properties():
+    """Ranks sum to ~1 on a strongly-connected graph; a node with more
+    in-links outranks one with fewer; deterministic across runs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.graph import pagerank
+
+    # star into 'hub' plus a cycle so every node has out-degree
+    edges = rd.from_arrow(pa.table({
+        "src": ["a", "b", "c", "hub", "a", "b", "c"],
+        "dst": ["hub", "hub", "hub", "a", "b", "c", "a"],
+    }))
+    r1 = {r["node"]: r["rank"] for r in pagerank(edges, iterations=4).take_all()}
+    # distributed path (local_threshold=0 forces the join/groupby loop)
+    # must agree with the local fast path bit-for-bit after rounding
+    r2 = {r["node"]: r["rank"]
+          for r in pagerank(edges, iterations=4, local_threshold=0).take_all()}
+    assert r1 == r2
+    assert abs(sum(r1.values()) - 1.0) < 0.01
+    # hub collects half of a/b/c's rank each; b only gets a/2, c only
+    # b/2 ('a' legitimately tops hub: it receives hub's ENTIRE rank)
+    assert r1["hub"] > r1["b"] > r1["c"]
