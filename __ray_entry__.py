@@ -97,6 +97,13 @@ def _q_vocab(sf_dir: str):
     )
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(read_documents_flat(sf_dir), k=5)
+
+
 def _q_doc_stats(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.textstats import doc_stats_batch
@@ -650,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_frequency": _q_token_frequency,
         "vocab": _q_vocab,
         "doc_stats": _q_doc_stats,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "dedup_exact": _q_dedup_exact,
@@ -815,6 +823,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT unnest({TOKENS_SQL}) AS tok FROM documents)
             GROUP BY tok
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
+            ),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+                SELECT t.doc_id, t.token,
+                       t.tf * ln((SELECT n FROM n) / d.df) AS s
+                FROM tf t JOIN df d USING (token)
+            )
+            SELECT doc_id, token, round(s, 6) AS tfidf
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY s DESC, token
+                ) AS rn FROM scored
+            )
+            WHERE rn <= 5
         """,
         "vocab": f"""
             SELECT '<PAD>' AS token, CAST(0 AS BIGINT) AS id

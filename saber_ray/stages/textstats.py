@@ -205,3 +205,106 @@ def build_vocab(ds: rd.Dataset, column: str = "text") -> dict[str, int]:
     for tok in tokens:
         vocab[tok] = len(vocab)
     return vocab
+
+
+def tfidf_top_terms(
+    ds: rd.Dataset,
+    k: int = 5,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Per-document top-``k`` TF-IDF terms: ``tf * ln(N / df)`` where
+    ``tf`` is the in-document token count, ``df`` the number of docs
+    containing the token and ``N`` ALL corpus rows (including empty
+    docs — matching the SQL oracle's ``count(*)``).
+
+    Distributed shape: one flat map emits the postings table — one
+    (doc, token, tf) row per DISTINCT token per doc, pre-aggregated
+    inside the batch so hot tokens never ship per-occurrence; document
+    frequency is a token-keyed groupby over per-batch partial counts
+    (Arrow ``Table.group_by``, vectorized); idf attaches with ONE hash
+    join on token; the per-doc top-k reuses the two-phase grouped limit
+    (``top_n_per_group``: local prune to <= k rows per doc per batch →
+    tiny merge), so the final shuffle moves O(k × batches) rows, never
+    the postings. The postings table is materialized once because both
+    the df aggregate and the join consume it — re-deriving it would
+    re-tokenize the corpus.
+
+    Ranking uses the UNROUNDED score with token-ascending tie-breaks
+    (same ORDER BY as the oracle's row_number), so engine and oracle
+    select identical rows; the returned ``tfidf`` is rounded to 6
+    decimals for hash-stable comparison.
+    """
+    import numpy as np
+
+    from ..functions.partitioning import shuffle_partitions
+    from .sampling import top_n_per_group
+
+    n_docs = float(ds.count())
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids: list = []
+        toks: list[str] = []
+        tfs: list[int] = []
+        for doc_id, text in zip(
+            batch[id_column].to_pylist(), batch[column].to_pylist()
+        ):
+            if not text:
+                continue
+            c = Counter(_TOKEN_RE.findall(text.lower()))
+            for t in sorted(c):
+                ids.append(doc_id)
+                toks.append(t)
+                tfs.append(c[t])
+        return pa.table({
+            id_column: pa.array(ids, type=id_type),
+            "token": pa.array(toks, type=pa.string()),
+            "tf": pa.array(tfs, type=pa.int64()),
+        })
+
+    parts = num_partitions or shuffle_partitions(8, ds)
+    tf = (
+        ds.map_batches(postings, batch_format="pyarrow")
+        .repartition(parts)
+        .materialize()
+    )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["token"]).group_by("token").aggregate([([], "count_all")])
+        return agg.rename_columns(["token", "c"])
+
+    df = (
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token").sum("c")
+        .rename_columns({"sum(c)": "df"})
+        .repartition(max(2, parts // 2))
+        .materialize()
+    )
+
+    joined = tf.join(
+        df, join_type="inner", num_partitions=parts, on=("token",)
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            id_column: batch[id_column],
+            "token": batch["token"],
+            "tfidf": pa.array(tfv * np.log(n_docs / dfv), type=pa.float64()),
+        })
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    top = top_n_per_group(
+        scored, group_column=id_column, value_column="tfidf", n=k,
+        id_column="token",
+    )
+    return top.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("tfidf"), "tfidf",
+            pc.round(b["tfidf"], 6, round_mode="half_towards_infinity"),
+        ),
+        batch_format="pyarrow",
+    )

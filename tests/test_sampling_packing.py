@@ -173,3 +173,34 @@ def test_repetition_stats():
     assert frac[0] == pytest.approx(1 / 3)  # bigrams ab, ba, aa — all unique
     assert frac[1] == pytest.approx(3 / 5)
     assert frac[2] == 0.0
+
+
+def test_tfidf_top_terms():
+    """Hand-computed scores on a 3-doc corpus: a token in every doc has
+    idf = ln(3/3) = 0; rarer tokens score higher; k bounds per-doc rows
+    and ties break token-ascending."""
+    import math
+
+    from saber_ray.stages.textstats import tfidf_top_terms
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "apple banana apple",   # tf(apple)=2
+            "apple cherry",
+            "apple dog dog dog",
+        ],
+    }))
+    out = tfidf_top_terms(docs, k=2)
+    rows = {(r["doc_id"], r["token"]): r["tfidf"] for r in out.take_all()}
+    # apple appears in all 3 docs -> idf 0 -> never beats any rarer token
+    assert rows[(1, "banana")] == round(1 * math.log(3 / 1), 6)
+    assert rows[(3, "dog")] == round(3 * math.log(3 / 1), 6)
+    assert rows[(2, "cherry")] == round(1 * math.log(3 / 1), 6)
+    # doc 1 has only 2 distinct tokens; apple's zero score still ranks
+    # (top-k fills with what exists)
+    assert rows[(1, "apple")] == 0.0
+    per_doc = {}
+    for (d, _t) in rows:
+        per_doc[d] = per_doc.get(d, 0) + 1
+    assert all(v <= 2 for v in per_doc.values())
