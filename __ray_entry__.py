@@ -544,6 +544,13 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(demo_edges(sf_dir).materialize(), iterations=5)
 
 
+def _q_kg_triangles(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_edges
+    from saber_ray.stages.graph import triangles
+
+    return triangles(demo_edges(sf_dir).materialize())
+
+
 def _q_kg_annotation_stats(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -693,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": _q_kg_two_hop,
         "kg_three_hop": _q_kg_three_hop,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_triangles": _q_kg_triangles,
         "kg_annotation_stats": _q_kg_annotation_stats,
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
@@ -1301,6 +1309,18 @@ def oracle_sql() -> dict[str, str]:
             {triples_cte},
             e AS (SELECT subj AS src, obj AS dst FROM trip GROUP BY 1, 2),
             {_pagerank_ctes(iterations=5, damping=0.85)}
+        """,
+        "kg_triangles": f"""
+            {triples_cte},
+            e AS (SELECT subj AS src, obj AS dst FROM trip GROUP BY 1, 2),
+            ud AS (
+                SELECT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM e WHERE src <> dst GROUP BY 1, 2
+            )
+            SELECT x.u AS a, x.v AS b, y.v AS c
+            FROM ud x
+            JOIN ud y ON y.u = x.u AND y.v > x.v
+            JOIN ud z ON z.u = x.v AND z.v = y.v
         """,
         "kg_annotation_stats": f"""
             WITH {gaz},

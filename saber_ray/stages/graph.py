@@ -363,3 +363,51 @@ def pagerank(
         }),
         batch_format="pyarrow",
     )
+
+
+def triangles(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+    """Enumerate undirected triangles as (a, b, c) with a < b < c.
+
+    Compact-forward shape: edges are first undirected + deduped into
+    (u, v) with u < v (one groupby), then ONE self-join on the anchor u
+    builds wedges (u; v1 < v2) and ONE two-key join against the edge
+    set closes them — each triangle {x < y < z} is produced exactly
+    once, by the wedge anchored at its smallest vertex. Per-iteration
+    cost is the classic wedge count Σ deg(v)²; anchoring at the ordered
+    smaller endpoint halves it vs naive direction-blind wedging.
+
+    The joined sides are repartitioned + materialized first (the
+    hash-join empty-block hygiene described at ``k_hop_pairs``).
+    """
+    import pyarrow.compute as pc
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        src = batch["src"]
+        dst = batch["dst"]
+        keep = pc.not_equal(src, dst)
+        src, dst = src.filter(keep), dst.filter(keep)
+        return pa.table({
+            "u": pc.min_element_wise(src, dst),
+            "v": pc.max_element_wise(src, dst),
+        })
+
+    ud = (
+        edges.select_columns(["src", "dst"])
+        .map_batches(undirect, batch_format="pyarrow")
+        .groupby(["u", "v"]).count().drop_columns(["count()"])
+        .repartition(num_partitions).materialize()
+    )
+    w1 = ud.rename_columns({"u": "a", "v": "b"})
+    w2 = ud.rename_columns({"u": "a", "v": "c"})
+    wedges = (
+        w1.join(w2, join_type="inner", num_partitions=num_partitions, on=("a",))
+        .map_batches(
+            lambda t: t.filter(pc.less(t["b"], t["c"])), batch_format="pyarrow"
+        )
+        .repartition(num_partitions).materialize()
+    )
+    closed = wedges.join(
+        ud, join_type="inner", num_partitions=num_partitions,
+        on=("b", "c"), right_on=("u", "v"),
+    )
+    return closed.select_columns(["a", "b", "c"])

@@ -296,3 +296,20 @@ def test_pagerank_properties():
     # hub collects half of a/b/c's rank each; b only gets a/2, c only
     # b/2 ('a' legitimately tops hub: it receives hub's ENTIRE rank)
     assert r1["hub"] > r1["b"] > r1["c"]
+
+
+def test_triangles():
+    """Each undirected triangle appears exactly once as a < b < c,
+    regardless of edge direction or duplication; disconnected edges and
+    self-loops contribute nothing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.graph import triangles
+
+    edges = rd.from_arrow(pa.table({
+        "src": ["a", "b", "c", "a", "c", "d", "x", "e", "b", "a"],
+        "dst": ["b", "c", "a", "c", "d", "a", "y", "e", "a", "b"],
+    }))
+    out = sorted((r["a"], r["b"], r["c"]) for r in triangles(edges).take_all())
+    assert out == [("a", "b", "c"), ("a", "c", "d")]
