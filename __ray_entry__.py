@@ -295,6 +295,15 @@ def _q_events_window(sf_dir: str):
     return tumbling_window_agg(read_table(sf_dir, "events"))
 
 
+def _q_events_props_summary(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.semistruct import json_field_summary
+
+    return json_field_summary(
+        read_table(sf_dir, "events", columns=["props", "value"])
+    )
+
+
 def _q_events_asof(sf_dir: str):
     # as-of join: each purchase gets the latest prior (or simultaneous)
     # error's value for the same user — an operator Ray Data lacks,
@@ -680,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_sliding": _q_events_sliding,
         "events_asof": _q_events_asof,
+        "events_props_summary": _q_events_props_summary,
         "events_filtered_window": _q_events_filtered_window,
         "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
@@ -1049,6 +1059,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type = 'click'
             GROUP BY 1, 2
+        """,
+        "events_props_summary": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 6) AS total
+            FROM events GROUP BY 1
         """,
         "events_asof": """
             SELECT l.event_id, l.user_id, l.value,

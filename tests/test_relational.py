@@ -141,3 +141,29 @@ def test_semi_join_no_multiplication():
     right = rd.from_arrow(pa.table({"rk": pa.array([2, 2, 2, 4], type=pa.int64())}))
     rows = semi_join(left, right, "k", "rk", num_partitions=2).take_all()
     assert [(r["k"], r["v"]) for r in rows] == [(2, "b")]
+
+
+def test_extract_json_fields_paths_agree():
+    """Polars fast path and stdlib fallback produce identical typed
+    columns, including nulls for missing keys and malformed JSON."""
+    import pyarrow as pa
+
+    from saber_ray.stages import semistruct
+
+    batch = pa.table({
+        "id": [1, 2, 3, 4, 5],
+        "props": ['{"k": 7, "s": "x"}', '{"s": "y"}', "not json", None, '{"k": 0}'],
+    })
+    fields = {"k": pa.int64(), "s": pa.string()}
+    fast = semistruct.extract_json_fields(batch, "props", fields)
+    saved = semistruct.pl
+    semistruct.pl = None
+    try:
+        slow = semistruct.extract_json_fields(batch, "props", fields)
+    finally:
+        semistruct.pl = saved
+    assert fast.column("k").to_pylist() == [7, None, None, None, 0]
+    assert fast.column("s").to_pylist() == ["x", "y", None, None, None]
+    assert fast.equals(slow)
+    dropped = semistruct.extract_json_fields(batch, "props", fields, drop_source=True)
+    assert "props" not in dropped.column_names
