@@ -97,6 +97,13 @@ def _q_vocab(sf_dir: str):
     )
 
 
+def _q_approx_distinct_tokens(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.sketch import approx_distinct_tokens
+
+    return approx_distinct_tokens(read_documents_flat(sf_dir), p=12)
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.textstats import tfidf_top_terms
@@ -674,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab": _q_vocab,
         "doc_stats": _q_doc_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "approx_distinct_tokens": _q_approx_distinct_tokens,
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "dedup_exact": _q_dedup_exact,
@@ -783,6 +791,55 @@ _TRIPLES_CTE = f"""
 """
 
 
+def _hll_sql(p: int = 12) -> str:
+    """DuckDB replica of the ENTIRE HyperLogLog sketch
+    (saber_ray/stages/sketch.py): md5-prefix hash, register index, the
+    leading-zero rank as a generated comparison CASE (floor(log2(x))
+    on doubles mis-rounds just below powers of two, so the bit length
+    is decided by exact integer comparisons instead), harmonic-mean
+    estimate and small-range correction — an approximate algorithm the
+    oracle reproduces exactly because the hash is deterministic."""
+    shift = 64 - p
+    m = 1 << p
+    whens = " ".join(
+        f"WHEN rem >= {1 << (shift - r)} THEN {r}" for r in range(1, shift + 1)
+    )
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    return f"""
+            h AS (
+                SELECT ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv
+                FROM (SELECT DISTINCT tok FROM toks)
+            ),
+            regs AS (
+                SELECT CAST(hv >> {shift} AS BIGINT) AS register,
+                       CASE {whens} ELSE {shift + 1} END AS rank
+                FROM (
+                    SELECT hv,
+                           CAST(hv & CAST({(1 << shift) - 1} AS UBIGINT)
+                                AS UBIGINT) AS rem
+                    FROM h
+                )
+            ),
+            agg AS (SELECT register, max(rank) AS r FROM regs GROUP BY 1),
+            stats AS (
+                SELECT sum(pow(2.0, -r)) AS s_occ,
+                       count(*) AS occ
+                FROM agg
+            ),
+            est AS (
+                SELECT {alpha} * {m}.0 * {m}.0 / (s_occ + ({m} - occ)) AS raw,
+                       CAST({m} - occ AS DOUBLE) AS zeros, occ
+                FROM stats
+            )
+            SELECT round(CASE WHEN zeros > 0 AND raw <= 2.5 * {m}
+                              THEN {m}.0 * ln({m}.0 / zeros)
+                              ELSE raw END, 6) AS estimate,
+                   CAST(occ AS BIGINT) AS occupied,
+                   CAST({m} AS BIGINT) AS m
+            FROM est
+    """
+
+
 def _pagerank_ctes(iterations: int = 5, damping: float = 0.85) -> str:
     """One CTE per power iteration (DuckDB recursive CTEs disallow
     aggregation in the recursive term, so the fixed iteration count
@@ -841,6 +898,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT unnest({TOKENS_SQL}) AS tok FROM documents)
             GROUP BY tok
+        """,
+        "approx_distinct_tokens": f"""
+            WITH toks AS (
+                SELECT unnest({TOKENS_SQL}) AS tok FROM documents
+            ),
+            {_hll_sql(p=12)}
         """,
         "tfidf_top_terms": f"""
             WITH toks AS (
