@@ -104,6 +104,13 @@ def _q_approx_distinct_tokens(sf_dir: str):
     return approx_distinct_tokens(read_documents_flat(sf_dir), p=12)
 
 
+def _q_cms_hot_tokens(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.sketch import cms_hot_tokens
+
+    return cms_hot_tokens(read_documents_flat(sf_dir), lg_w=12, depth=4, k=20)
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.textstats import tfidf_top_terms
@@ -682,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
+        "cms_hot_tokens": _q_cms_hot_tokens,
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "dedup_exact": _q_dedup_exact,
@@ -840,6 +848,36 @@ def _hll_sql(p: int = 12) -> str:
     """
 
 
+def _cms_sql(lg_w: int = 12, depth: int = 4, k: int = 20) -> str:
+    """DuckDB replica of the Count-Min sketch (saber_ray/stages/sketch.py):
+    up to four u32 words of one md5 give the row hashes, counters are
+    GROUP-BY sums (addition commutes, so the sketch is partition-order
+    invariant), and the point query is the min over rows — an
+    approximate counter the oracle reproduces exactly."""
+    shift = 32 - lg_w
+    rows = ", ".join(str(i) for i in range(depth))
+    return f"""
+            counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            hashes AS (
+                SELECT tok, c, i,
+                       ('0x' || substr(md5(tok), 1 + 8 * i, 8))::UBIGINT
+                           >> {shift} AS register
+                FROM counts, (SELECT unnest([{rows}]) AS i)
+            ),
+            counters AS (
+                SELECT i, register, sum(c) AS total
+                FROM hashes GROUP BY 1, 2
+            ),
+            est AS (
+                SELECT h.tok AS token, CAST(min(ct.total) AS BIGINT) AS est
+                FROM hashes h JOIN counters ct USING (i, register)
+                GROUP BY 1
+            )
+            SELECT token, est FROM est
+            ORDER BY est DESC, token LIMIT {k}
+    """
+
+
 def _pagerank_ctes(iterations: int = 5, damping: float = 0.85) -> str:
     """One CTE per power iteration (DuckDB recursive CTEs disallow
     aggregation in the recursive term, so the fixed iteration count
@@ -904,6 +942,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest({TOKENS_SQL}) AS tok FROM documents
             ),
             {_hll_sql(p=12)}
+        """,
+        "cms_hot_tokens": f"""
+            WITH toks AS (
+                SELECT unnest({TOKENS_SQL}) AS tok FROM documents
+            ),
+            {_cms_sql(lg_w=12, depth=4, k=20)}
         """,
         "tfidf_top_terms": f"""
             WITH toks AS (

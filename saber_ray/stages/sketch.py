@@ -1,4 +1,4 @@
-"""Mergeable sketches: HyperLogLog approximate distinct counting.
+"""Mergeable sketches: HyperLogLog distinct counts, Count-Min frequencies.
 
 At 100 TB an exact ``COUNT(DISTINCT token)`` is a vocabulary-sized
 shuffle; the HLL sketch replaces it with a fixed 2^p-register state
@@ -21,9 +21,12 @@ an approximate algorithm, deterministically checkable.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from ..functions.hashing import stable_u64_md5
@@ -119,3 +122,128 @@ def approx_distinct_tokens(
     return merged.repartition(1).map_batches(
         finalize, batch_size=(1 << p) + 1, batch_format="pyarrow"
     )
+
+
+# ----------------------------------------------------------- Count-Min ---
+
+
+def cms_hashes(tokens: list[str], lg_w: int, depth: int) -> np.ndarray:
+    """(n, depth) register indexes: one md5 per token supplies up to four
+    independent big-endian u32 words (depth <= 4), each truncated to the
+    top ``lg_w`` bits — byte-for-byte the DuckDB expression
+    ``('0x' || substr(md5(tok), 1+8*i, 8))::UBIGINT >> (32-lg_w)``."""
+    if depth > 4:
+        raise ValueError("md5 supplies at most 4 u32 words (depth <= 4)")
+    digests = b"".join(
+        hashlib.md5(t.encode("utf-8", "surrogatepass")).digest()
+        for t in tokens
+    )
+    words = np.frombuffer(digests, dtype=">u4").reshape(len(tokens), 4)
+    return (words[:, :depth] >> np.uint32(32 - lg_w)).astype(np.int64)
+
+
+def count_min_sketch(
+    ds: rd.Dataset, column: str = "text", lg_w: int = 12, depth: int = 4
+) -> rd.Dataset:
+    """Count-Min token-frequency sketch: at most ``depth * 2^lg_w``
+    (row, register, cnt) rows. Counters merge by pure addition, so the
+    sketch is identical under ANY partitioning — unlike Misra-Gries,
+    whose merge is order-dependent — which is what makes an exact DuckDB
+    oracle possible for an approximate counter.
+
+    Each batch pre-sums its tokens into at most depth*2^lg_w partial
+    rows (np.bincount per row), and ONE groupby-sum merges the partials;
+    token strings never cross the shuffle, only fixed-size registers.
+    """
+    from .textstats import _TOKEN_RE
+
+    w = 1 << lg_w
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter[str] = Counter()
+        for text in batch[column].to_pylist():
+            if text:
+                counts.update(_TOKEN_RE.findall(text.lower()))
+        if not counts:
+            empty = pa.array([], type=pa.int64())
+            return pa.table({"row": empty, "register": empty, "cnt": empty})
+        toks = list(counts)
+        weights = np.array([counts[t] for t in toks], dtype=np.int64)
+        regs = cms_hashes(toks, lg_w, depth)
+        rows, registers, cnts = [], [], []
+        for i in range(depth):
+            dense = np.bincount(regs[:, i], weights=weights, minlength=w)
+            nz = np.nonzero(dense)[0]
+            rows.append(np.full(len(nz), i, dtype=np.int64))
+            registers.append(nz.astype(np.int64))
+            cnts.append(dense[nz].astype(np.int64))
+        return pa.table({
+            "row": np.concatenate(rows),
+            "register": np.concatenate(registers),
+            "cnt": np.concatenate(cnts),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["row", "register"]).sum("cnt")
+    )
+
+
+def cms_hot_tokens(
+    ds: rd.Dataset,
+    column: str = "text",
+    lg_w: int = 12,
+    depth: int = 4,
+    k: int = 20,
+) -> rd.Dataset:
+    """Top-``k`` tokens by Count-Min POINT-QUERY estimate (ties broken
+    by token): est(tok) = min over rows of counter[hash_i(tok)], the
+    classic CM upper bound (Cormode & Muthukrishnan 2005).
+
+    Two passes over the corpus: one builds the sketch, one enumerates
+    the probe set. Here the probes are the corpus' own distinct tokens
+    (a vocab-sized dedup shuffle — cheap for word-like keys); at 100 TB
+    you would instead probe an externally supplied candidate list and
+    skip that shuffle entirely. The sketch itself is materialized to the
+    driver deliberately: it is fixed-size state (<= depth * 2^lg_w rows,
+    KBs), independent of input size, broadcast once via ray.put.
+    """
+    from .textstats import _TOKEN_RE
+
+    w = 1 << lg_w
+    cms = np.zeros((depth, w), dtype=np.int64)
+    for r in count_min_sketch(ds, column, lg_w, depth).take_all():
+        cms[r["row"], r["register"]] = r["sum(cnt)"]
+    cms_ref = ray.put(cms)
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        toks: set[str] = set()
+        for text in batch[column].to_pylist():
+            if text:
+                toks.update(_TOKEN_RE.findall(text.lower()))
+        return pa.table({"token": pa.array(sorted(toks), type=pa.string())})
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        sketch = ray.get(cms_ref)
+        toks = batch["token"].to_pylist()
+        if not toks:
+            return pa.table({
+                "token": pa.array([], type=pa.string()),
+                "est": pa.array([], type=pa.int64()),
+            })
+        regs = cms_hashes(toks, lg_w, depth)
+        est = sketch[np.arange(depth)[None, :], regs].min(axis=1)
+        return pa.table({
+            "token": batch["token"],
+            "est": pa.array(est, type=pa.int64()),
+        })
+
+    probes = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("token").count()
+        .drop_columns(["count()"])
+        .map_batches(estimate, batch_format="pyarrow")
+    )
+    return probes.sort(["est", "token"], descending=[True, False]).limit(k)

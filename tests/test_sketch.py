@@ -1,4 +1,4 @@
-"""HyperLogLog sketch: partial pre-max, merge semantics, accuracy bound."""
+"""Sketches: HLL partial pre-max / merge / accuracy, Count-Min bounds."""
 
 import numpy as np
 import pyarrow as pa
@@ -7,6 +7,9 @@ import ray.data as rd
 
 from saber_ray.stages.sketch import (
     approx_distinct_tokens,
+    cms_hashes,
+    cms_hot_tokens,
+    count_min_sketch,
     hll_estimate,
     hll_partial_rows,
 )
@@ -57,6 +60,53 @@ def test_estimate_within_hll_error_bound(n):
     est = hll_estimate(_registers_from_rows(idx, rank, p))
     # standard error is 1.04/sqrt(m) ~ 1.6% at p=12; allow 5 sigma
     assert abs(est - n) / n < 5 * 1.04 / np.sqrt(1 << p)
+
+
+def _cms_array(ds, lg_w, depth):
+    cms = np.zeros((depth, 1 << lg_w), dtype=np.int64)
+    for r in count_min_sketch(ds, lg_w=lg_w, depth=depth).take_all():
+        cms[r["row"], r["register"]] = r["sum(cnt)"]
+    return cms
+
+
+def test_cms_partition_invariant_and_never_underestimates():
+    lg_w, depth = 10, 4
+    rows = [
+        {"text": " ".join(f"t{j % 97}" for j in range(i % 40 + 1))}
+        for i in range(300)
+    ]
+    table = pa.Table.from_pylist(rows)
+    one = _cms_array(rd.from_arrow(table).repartition(1), lg_w, depth)
+    many = _cms_array(rd.from_arrow(table).repartition(13), lg_w, depth)
+    # counters are sums — identical under any partitioning
+    assert np.array_equal(one, many)
+    # point query upper-bounds the true count, and total mass is exact
+    true = {}
+    for r in rows:
+        for t in r["text"].split():
+            true[t] = true.get(t, 0) + 1
+    assert one.sum(axis=1).tolist() == [sum(true.values())] * depth
+    toks = sorted(true)
+    regs = cms_hashes(toks, lg_w, depth)
+    est = one[np.arange(depth)[None, :], regs].min(axis=1)
+    for t, e in zip(toks, est):
+        assert e >= true[t]
+
+
+def test_cms_hot_tokens_exact_when_sparse():
+    # vocab of 50 tokens in a 2^14-register sketch: collisions are
+    # overwhelmingly unlikely, so estimates equal exact counts and the
+    # top-k ordering matches the exact frequency ranking
+    rows = [{"text": " ".join(f"w{j}" for j in range(i % 50 + 1))} for i in range(200)]
+    out = cms_hot_tokens(
+        rd.from_arrow(pa.Table.from_pylist(rows)), lg_w=14, depth=4, k=10
+    ).take_all()
+    true = {}
+    for r in rows:
+        for t in r["text"].split():
+            true[t] = true.get(t, 0) + 1
+    expect = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["token"], r["est"]) for r in out] == expect
 
 
 def test_approx_distinct_tokens_dataset():
