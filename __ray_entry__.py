@@ -334,6 +334,69 @@ def _q_events_asof(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "value", "prior_error_value"])
 
 
+def _q_events_range_join(sf_dir: str):
+    # range (band) join: each click gets the count of the same user's
+    # views in the strictly-preceding hour — SQL's inequality-band join,
+    # which Ray Data lacks; bucketed double merge_asof probe in
+    # stages/relational.py:window_count_join (no pair materialization)
+    from saber_ray.sources.testdata import read_events_filtered
+    from saber_ray.stages.relational import window_count_join
+
+    clicks = read_events_filtered(sf_dir, "click", columns=["event_id", "ts", "user_id"])
+    views = read_events_filtered(sf_dir, "view", columns=["ts", "user_id"])
+    out = window_count_join(clicks, views, before="60min",
+                            count_column="n_prior_views")
+    return out.select_columns(["event_id", "user_id", "n_prior_views"])
+
+
+def _q_customers_no_urgent(sf_dir: str):
+    # NOT-EXISTS anti-join (native left_anti hash shuffle; right side
+    # pruned to its key column at the join input)
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import anti_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    urgent = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(_pc().equal(b["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow",
+    )
+    return anti_join(cust, urgent, "c_custkey", "o_custkey")
+
+
+def _q_running_totals(sf_dir: str):
+    # cumulative window aggregate: per-user running sum in event-time
+    # order (SUM OVER PARTITION ... ROWS UNBOUNDED PRECEDING) — bucketed
+    # vectorized groupby-cumsum, one shuffle
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import running_totals
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = running_totals(ev)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            # DuckDB round() is half-away-from-zero (matches the other
+            # float-sum queries)
+            "running_value": pc.round(batch["running_value"], 2,
+                                      round_mode="half_towards_infinity"),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def _pc():
+    import pyarrow.compute as pc
+
+    return pc
+
+
 def _q_events_filtered_window(sf_dir: str):
     from saber_ray.sources.testdata import read_events_filtered
     from saber_ray.stages.relational import tumbling_window_agg
@@ -705,6 +768,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_sliding": _q_events_sliding,
         "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
+        "customers_no_urgent": _q_customers_no_urgent,
+        "running_totals": _q_running_totals,
         "events_props_summary": _q_events_props_summary,
         "events_filtered_window": _q_events_filtered_window,
         "events_sessions": _q_events_sessions,
@@ -1179,6 +1245,31 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') l
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
             ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_range_join": """
+            SELECT a.event_id, a.user_id,
+                   CAST(count(b.ts) AS BIGINT) AS n_prior_views
+            FROM (SELECT * FROM events WHERE event_type = 'click') a
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+              ON b.user_id = a.user_id
+             AND b.ts < a.ts AND b.ts >= a.ts - INTERVAL 60 MINUTE
+            GROUP BY 1, 2
+        """,
+        "customers_no_urgent": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+        """,
+        "running_totals": """
+            SELECT event_id, user_id,
+                   round(SUM(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_value
+            FROM events
         """,
         "events_sliding": """
             WITH bounds AS (

@@ -583,3 +583,179 @@ def asof_join(
         return pd.merge_asof(l, r, on=on, by=by, direction="backward")
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def _key_buckets(batch: pa.Table, by: str, n: int) -> pa.Array:
+    """Process-stable ``hash(by) % n`` bucket ids for a batch column."""
+    import numpy as np
+
+    from ..functions.hashing import stable_u64
+
+    keys = batch[by].to_numpy(zero_copy_only=False)
+    if np.issubdtype(keys.dtype, np.integer):
+        b = (np.abs(keys.astype(np.int64)) % n).astype(np.int32)
+    else:
+        b = np.array([stable_u64(str(k)) % n for k in keys.tolist()],
+                     dtype=np.int32)
+    return pa.array(b)
+
+
+def window_count_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str = "ts",
+    by: str = "user_id",
+    before: "pd.Timedelta | int | None" = None,
+    after: "pd.Timedelta | int | None" = None,
+    count_column: str = "n_range",
+) -> rd.Dataset:
+    """Range (band) join, count-aggregated: each left row gets the COUNT
+    of right rows with the same ``by`` key whose ``on`` value falls in
+    ``[left.on - before, left.on + after)``. ``before``/``after`` default
+    to 0 (e.g. ``before=1h, after=0`` counts the strictly-preceding
+    hour). A SQL range join ``ON a.key=b.key AND b.ts BETWEEN ... ``
+    has no Ray Data operator; emitting matched PAIRS would multiply
+    rows by the band width, so the operator returns the windowed count
+    (the aggregate pipelines actually need).
+
+    Scale shape: ONE hash shuffle. Both sides are tagged, unioned and
+    bucketed by ``hash(by) % P`` (asof_join's pattern — buckets are the
+    work unit, not keys). Per bucket the count is two vectorized
+    ``merge_asof`` probes against the right side's per-key cumulative
+    count: ``#{r.on < t + after} - #{r.on < t - before}`` — no per-key
+    Python loop, no pair materialization, cost O((L+R) log(L+R)) per
+    bucket regardless of band width.
+    """
+    import pandas as pd
+
+    before = pd.Timedelta(0) if before is None else pd.Timedelta(before)
+    after = pd.Timedelta(0) if after is None else pd.Timedelta(after)
+    from ..functions.partitioning import shuffle_partitions
+
+    n = shuffle_partitions(8, left)
+    left_names = list(left.schema().names)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__side", pa.array(["L"] * batch.num_rows)
+        ).append_column("__bucket", _key_buckets(batch, by, n))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in left_names:
+            if c in (by, on):
+                cols[c] = batch[c]
+            else:
+                cols[c] = pa.nulls(
+                    batch.num_rows, type=left.schema().types[left_names.index(c)]
+                )
+        cols["__side"] = pa.array(["R"] * batch.num_rows)
+        t = pa.table(cols)
+        return t.append_column("__bucket", _key_buckets(t, by, n))
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.select_columns(
+            [c for c in (by, on) if c in right.schema().names]
+        ).map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def count_in_band(df: "pd.DataFrame") -> "pd.DataFrame":
+        l = df[df["__side"] == "L"].drop(columns=["__side", "__bucket"])
+        r = df.loc[df["__side"] == "R", [by, on]]
+        if not len(l):
+            out = l.copy()
+            out[count_column] = pd.Series([], dtype="int64")
+            return out
+        if not len(r):
+            out = l.copy()
+            out[count_column] = 0
+            return out
+        r = r.sort_values([on, by]).reset_index(drop=True)
+        # per-key running count: value at each right row = #{rows of this
+        # key with on <= this row's on} (ties resolved by merge_asof
+        # taking the LAST qualifying row, which carries the max count)
+        r["__cum"] = r.groupby(by, sort=False).cumcount() + 1
+        r = r.sort_values(on, kind="mergesort")
+
+        def probe(at: "pd.Series") -> "pd.Series":
+            # timedelta arithmetic upcasts to ns; merge_asof requires
+            # exactly matching key dtypes (parquet timestamps are us)
+            lp = l.assign(__at=at.astype(r[on].dtype)).sort_values(
+                "__at", kind="mergesort")
+            m = pd.merge_asof(
+                lp, r, left_on="__at", right_on=on, by=by,
+                direction="backward", allow_exact_matches=False,
+                suffixes=("", "__r"),
+            )
+            return m["__cum"].fillna(0).astype("int64").set_axis(lp.index)
+
+        hi = probe(l[on] + after)   # #{r.on < t + after}
+        lo = probe(l[on] - before)  # #{r.on < t - before}
+        out = l.copy()
+        out[count_column] = (hi - lo).reindex(l.index)
+        return out
+
+    return tagged.groupby("__bucket").map_groups(
+        count_in_band, batch_format="pandas"
+    )
+
+
+def anti_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Distributed NOT-EXISTS anti-join: left rows with NO match in
+    ``right``. The complement of :func:`semi_join`, on Ray Data's native
+    hash-shuffle ``left_anti`` join; only the right KEY column is
+    shuffled (payload pruned at the join input), and anti semantics
+    never multiply rows, so no distinct pre-reduce is needed.
+    """
+    from ..functions.partitioning import shuffle_partitions
+
+    n = num_partitions or shuffle_partitions(8, left)
+    return left.join(
+        right.select_columns([right_on]),
+        join_type="left_anti", num_partitions=n,
+        on=(left_on,), right_on=(right_on,),
+    )
+
+
+def running_totals(
+    events: rd.Dataset,
+    by: str = "user_id",
+    ts_column: str = "ts",
+    value_column: str = "value",
+    tiebreak: str = "event_id",
+    out_column: str = "running_value",
+) -> rd.Dataset:
+    """Cumulative windowed aggregate: per ``by`` key, the running sum of
+    ``value_column`` in (``ts_column``, ``tiebreak``) order — SQL's
+    ``SUM(value) OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED
+    PRECEDING)``.
+
+    Scale shape: ONE hash shuffle on ``hash(by) % P`` buckets; inside a
+    bucket the cumsum is a single vectorized ``groupby(by).cumsum()``
+    over the sorted frame (keys never become Python-level groups). The
+    running sum is sequential per key by definition, so per-key work is
+    inherently ordered — but keys are independent, so bucket-level
+    parallelism is the correct (and maximal) distribution.
+    """
+    from ..functions.partitioning import shuffle_partitions
+
+    n = shuffle_partitions(8, events)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bucket", _key_buckets(batch, by, n))
+
+    def cum(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values([by, ts_column, tiebreak]).drop(columns="__bucket")
+        df[out_column] = df.groupby(by, sort=False)[value_column].cumsum()
+        return df
+
+    cols = [c for c in (by, ts_column, tiebreak, value_column)]
+    return events.select_columns(cols).map_batches(
+        bucket, batch_format="pyarrow"
+    ).groupby("__bucket").map_groups(cum, batch_format="pandas")

@@ -167,3 +167,65 @@ def test_extract_json_fields_paths_agree():
     assert fast.equals(slow)
     dropped = semistruct.extract_json_fields(batch, "props", fields, drop_source=True)
     assert "props" not in dropped.column_names
+
+
+def test_window_count_join_band_semantics():
+    from saber_ray.stages.relational import window_count_join
+
+    # user 7: views at minutes 10, 15, 40; clicks at 20 and 50
+    #  click@20 with before=30min counts views in [minute -10, 20) -> 2
+    #  click@50 counts views in [20, 50) -> 1
+    # user 8 has no views -> 0
+    left = _left([(1, 20, 7, 0.0), (2, 50, 7, 0.0), (3, 30, 8, 0.0)])
+    right = _right([(10, 7, 0.0), (15, 7, 0.0), (40, 7, 0.0)])
+    out = {r["event_id"]: r["n_range"] for r in window_count_join(
+        left, right, before="30min").take_all()}
+    assert out == {1: 2, 2: 1, 3: 0}
+
+
+def test_window_count_join_exclusive_bounds():
+    from saber_ray.stages.relational import window_count_join
+
+    # right exactly AT the left ts is excluded (after=0 means [t-b, t));
+    # right exactly at t - before is included
+    left = _left([(1, 30, 7, 0.0)])
+    right = _right([(30, 7, 0.0), (20, 7, 0.0), (10, 7, 0.0)])
+    out = window_count_join(left, right, before="20min").take_all()
+    assert out[0]["n_range"] == 2  # minutes 10 and 20; not 30
+
+
+def test_window_count_join_forward_band():
+    from saber_ray.stages.relational import window_count_join
+
+    # after>0 counts forward: [t, t+after) with before=0
+    left = _left([(1, 10, 7, 0.0)])
+    right = _right([(10, 7, 0.0), (15, 7, 0.0), (25, 7, 0.0)])
+    out = window_count_join(left, right, after="10min").take_all()
+    assert out[0]["n_range"] == 2  # minutes 10 (inclusive lower) and 15
+
+
+def test_anti_join_complement_of_semi():
+    from saber_ray.stages.relational import anti_join, semi_join
+
+    left = _left([(i, i, i % 5, 0.0) for i in range(1, 21)])
+    right = _right([(1, 0, 0.0), (2, 2, 0.0), (3, 2, 0.0)])  # users 0,2 matched
+    anti_ids = {r["event_id"] for r in anti_join(
+        left, right, "user_id", "user_id").take_all()}
+    semi_ids = {r["event_id"] for r in semi_join(
+        left, right, "user_id", "user_id", num_partitions=2).take_all()}
+    assert anti_ids | semi_ids == set(range(1, 21))
+    assert not (anti_ids & semi_ids)
+    assert all(r % 5 not in (0, 2) for r in anti_ids)
+
+
+def test_running_totals_order_and_isolation():
+    from saber_ray.stages.relational import running_totals
+
+    ev = _left([
+        (1, 10, 7, 1.5), (2, 20, 7, 2.5), (3, 15, 7, 4.0),   # user 7 by ts
+        (4, 10, 8, 10.0), (5, 10, 8, 1.0),                   # tie -> event_id order
+    ])
+    out = {r["event_id"]: r["running_value"]
+           for r in running_totals(ev).take_all()}
+    assert out[1] == 1.5 and out[3] == 5.5 and out[2] == 8.0
+    assert out[4] == 10.0 and out[5] == 11.0
