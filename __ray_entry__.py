@@ -397,6 +397,23 @@ def _pc():
     return pc
 
 
+def _q_tpch_q14(sf_dir: str):
+    # broadcast conditional aggregate: promo share of revenue — part's
+    # promo keys ray.put once, lineitem reduces to per-batch scalar
+    # partials (no shuffle)
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import promo_revenue
+
+    lineitem = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    return promo_revenue(lineitem, part)
+
+
 def _q_events_filtered_window(sf_dir: str):
     from saber_ray.sources.testdata import read_events_filtered
     from saber_ray.stages.relational import tumbling_window_agg
@@ -779,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
+        "tpch_q14": _q_tpch_q14,
         "top_events_per_type": _q_top_events_per_type,
         "eval_confusion": _q_eval_confusion,
         "chunk_spans": _q_chunk_spans,
@@ -1391,6 +1409,17 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.02 AND 0.06
               AND l_quantity < 24
+        """,
+        "tpch_q14": """
+            SELECT round(
+                100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0 END)
+                      / sum(l_extendedprice * (1 - l_discount)), 6)
+                AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-02-01'
         """,
         "eval_confusion": f"""
             WITH {gaz},

@@ -425,6 +425,58 @@ def local_supplier_volume(
     )
 
 
+def promo_revenue(
+    lineitem: rd.Dataset,
+    part_small: pa.Table,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-02-01",
+    promo_type: str = "PROMO",
+) -> pa.Table:
+    """TPC-H Q14-shaped: percentage of revenue from promo parts in a
+    ship-date window.
+
+    Scale shape: the part side collapses to a broadcast SET of promo
+    part keys (``ray.put`` once — at 100 TB the key set of the small
+    dimension table still fits in one object); each lineitem batch does
+    a vectorized ``is_in`` + two conditional sums and reduces to ONE
+    partial row, so nothing shuffles at all.
+    """
+    import datetime
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+    promo_keys = part_small.filter(
+        pc.equal(part_small["p_type"], promo_type)
+    )["p_partkey"].combine_chunks()
+    keys_ref = ray.put(promo_keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+            pc.less(batch["l_shipdate"], pa.scalar(hi)),
+        )
+        f = batch.filter(mask)
+        rev = pc.multiply(
+            f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"])
+        )
+        is_promo = pc.is_in(f["l_partkey"], value_set=ray.get(keys_ref))
+        promo = pc.sum(pc.if_else(is_promo, rev, pa.scalar(0.0)))
+        total = pc.sum(rev)
+        return pa.table({
+            "promo_part": pa.array(
+                [promo.as_py() if promo.is_valid else 0.0], type=pa.float64()),
+            "total_part": pa.array(
+                [total.as_py() if total.is_valid else 0.0], type=pa.float64()),
+        })
+
+    parts = lineitem.map_batches(partial, batch_format="pyarrow")
+    sums = parts.sum(["promo_part", "total_part"])
+    promo, total = sums["sum(promo_part)"], sums["sum(total_part)"]
+    pct = 100.0 * promo / total if total else 0.0
+    rounded = pc.round(pa.scalar(pct), 6, round_mode="half_towards_infinity")
+    return pa.table({"promo_revenue": pa.array([rounded.as_py()], type=pa.float64())})
+
+
 def semi_join(
     left: rd.Dataset,
     right: rd.Dataset,
