@@ -654,6 +654,13 @@ def _q_kg_triangles(sf_dir: str):
     return triangles(demo_edges(sf_dir).materialize())
 
 
+def _q_kg_clustering(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_edges
+    from saber_ray.stages.graph import clustering_coefficient
+
+    return clustering_coefficient(demo_edges(sf_dir).materialize())
+
+
 def _q_kg_annotation_stats(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -693,6 +700,60 @@ def _q_sample_stratified(sf_dir: str):
 
     ds = read_documents_flat(sf_dir, columns=("doc_id", "lang"))
     return stratified_sample(ds, stratum_column="lang", k=20)
+
+
+def _q_pack_interleaved(sf_dir: str):
+    # multimodal packing: every 5th doc gets one injected image span
+    # (the media_decode convention); the pack budget charges text spans
+    # their token count and each image a fixed 256-token allowance
+    import pyarrow.compute as pc
+
+    from saber_ray.sources.testdata import read_documents_interleaved
+    from saber_ray.stages.packing import pack_interleaved
+
+    docs = read_documents_interleaved(sf_dir)
+
+    def inject(batch: pa.Table) -> pa.Table:
+        out_ids, out_spans = [], []
+        for doc_id, spans in zip(
+            batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
+        ):
+            if int(doc_id) % 5 == 0:
+                spans = spans + [{
+                    "kind": "image", "text": "",
+                    "media_ref": f"img://{doc_id}",
+                    "offset": len(spans),
+                }]
+            out_ids.append(doc_id)
+            out_spans.append(spans)
+        return pa.table({
+            "doc_id": pa.array(out_ids, type=pa.string()),
+            "spans": pa.array(out_spans, type=batch["spans"].type),
+        })
+
+    packed = pack_interleaved(
+        docs.map_batches(inject, batch_format="pyarrow"),
+        budget=1024, bucket_count=8, media_costs={"image": 256},
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("doc_id"), "doc_id",
+            pc.cast(batch["doc_id"], pa.int64()),
+        )
+
+    return packed.map_batches(shape, batch_format="pyarrow")
+
+
+def _q_sample_mixture(sf_dir: str):
+    # per-stratum quota DICT = a training-data mixture spec ("30 en,
+    # 10 de, 5 fr"); strata outside the dict are excluded
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.sampling import stratified_sample
+
+    ds = read_documents_flat(sf_dir, columns=("doc_id", "lang"))
+    return stratified_sample(ds, stratum_column="lang",
+                             k={"en": 30, "de": 10, "fr": 5})
 
 
 def _q_length_quantiles(sf_dir: str):
@@ -811,14 +872,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_three_hop": _q_kg_three_hop,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
+        "kg_clustering": _q_kg_clustering,
         "kg_annotation_stats": _q_kg_annotation_stats,
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
+        "sample_mixture": _q_sample_mixture,
         "length_quantiles": _q_length_quantiles,
         "grouped_quantiles": _q_grouped_quantiles,
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "pack_sequences": _q_pack_sequences,
+        "pack_interleaved": _q_pack_interleaved,
     }
 
 
@@ -1565,6 +1629,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN ud y ON y.u = x.u AND y.v > x.v
             JOIN ud z ON z.u = x.v AND z.v = y.v
         """,
+        "kg_clustering": f"""
+            {triples_cte},
+            e AS (SELECT subj AS src, obj AS dst FROM trip GROUP BY 1, 2),
+            ud AS (
+                SELECT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM e WHERE src <> dst GROUP BY 1, 2
+            ),
+            tri AS (
+                SELECT x.u AS a, x.v AS b, y.v AS c
+                FROM ud x
+                JOIN ud y ON y.u = x.u AND y.v > x.v
+                JOIN ud z ON z.u = x.v AND z.v = y.v
+            ),
+            tric AS (
+                SELECT node_id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+                    SELECT a AS node_id FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY 1
+            ),
+            deg AS (
+                SELECT node_id, CAST(count(*) AS BIGINT) AS degree FROM (
+                    SELECT u AS node_id FROM ud UNION ALL SELECT v FROM ud
+                ) GROUP BY 1
+            )
+            SELECT d.node_id, d.degree, coalesce(t.n_tri, 0) AS n_tri,
+                   CASE WHEN d.degree > 1
+                        THEN round(2.0 * coalesce(t.n_tri, 0)
+                                   / (d.degree * (d.degree - 1)), 6)
+                        ELSE 0.0 END AS coefficient
+            FROM deg d LEFT JOIN tric t ON d.node_id = t.node_id
+        """,
         "kg_annotation_stats": f"""
             WITH {gaz},
             toks AS (SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents),
@@ -1587,6 +1683,42 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY lang ORDER BY {_HASHKEY}, doc_id
             ) <= 20
+        """,
+        "pack_interleaved": f"""
+            WITH RECURSIVE ordered AS (
+                SELECT doc_id,
+                       {_HASHKEY} % 8 AS bucket,
+                       CAST(len({_TOKENS_RAW_SQL})
+                            + CASE WHEN doc_id % 5 = 0 THEN 256 ELSE 0 END
+                            AS BIGINT) AS n_tokens,
+                       row_number() OVER (
+                           PARTITION BY {_HASHKEY} % 8
+                           ORDER BY CAST(doc_id AS VARCHAR)
+                       ) AS rn
+                FROM documents
+            ),
+            packs AS (
+                SELECT doc_id, bucket, rn, n_tokens, n_tokens AS cum,
+                       CAST(0 AS BIGINT) AS pack_id
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.doc_id, o.bucket, o.rn, o.n_tokens,
+                       CASE WHEN p.cum + o.n_tokens > 1024
+                            THEN o.n_tokens ELSE p.cum + o.n_tokens END,
+                       CASE WHEN p.cum + o.n_tokens > 1024
+                            THEN p.pack_id + 1 ELSE p.pack_id END
+                FROM ordered o
+                JOIN packs p ON o.bucket = p.bucket AND o.rn = p.rn + 1
+            )
+            SELECT doc_id, bucket, pack_id, n_tokens FROM packs
+        """,
+        "sample_mixture": f"""
+            SELECT lang, doc_id
+            FROM documents
+            WHERE lang IN ('en', 'de', 'fr')
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY {_HASHKEY}, doc_id
+            ) <= CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 10 ELSE 5 END
         """,
         "length_quantiles": f"""
             WITH t AS (

@@ -365,7 +365,32 @@ def pagerank(
     )
 
 
-def triangles(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+def undirected_edges(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+    """Undirect + dedup a directed edge table into (u, v) with u < v —
+    self-loops dropped; ONE groupby; repartitioned + MATERIALIZED for
+    the hash-join empty-block hygiene described at ``k_hop_pairs``."""
+    import pyarrow.compute as pc
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        src = batch["src"]
+        dst = batch["dst"]
+        keep = pc.not_equal(src, dst)
+        src, dst = src.filter(keep), dst.filter(keep)
+        return pa.table({
+            "u": pc.min_element_wise(src, dst),
+            "v": pc.max_element_wise(src, dst),
+        })
+
+    return (
+        edges.select_columns(["src", "dst"])
+        .map_batches(undirect, batch_format="pyarrow")
+        .groupby(["u", "v"]).count().drop_columns(["count()"])
+        .repartition(num_partitions).materialize()
+    )
+
+
+def triangles(edges: rd.Dataset, num_partitions: int = 8,
+              _ud: rd.Dataset | None = None) -> rd.Dataset:
     """Enumerate undirected triangles as (a, b, c) with a < b < c.
 
     Compact-forward shape: edges are first undirected + deduped into
@@ -381,22 +406,16 @@ def triangles(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
     """
     import pyarrow.compute as pc
 
-    def undirect(batch: pa.Table) -> pa.Table:
-        src = batch["src"]
-        dst = batch["dst"]
-        keep = pc.not_equal(src, dst)
-        src, dst = src.filter(keep), dst.filter(keep)
-        return pa.table({
-            "u": pc.min_element_wise(src, dst),
-            "v": pc.max_element_wise(src, dst),
-        })
+    ud = _ud if _ud is not None else undirected_edges(edges, num_partitions)
+    id_type = ud.schema().types[ud.schema().names.index("u")]
 
-    ud = (
-        edges.select_columns(["src", "dst"])
-        .map_batches(undirect, batch_format="pyarrow")
-        .groupby(["u", "v"]).count().drop_columns(["count()"])
-        .repartition(num_partitions).materialize()
-    )
+    def _empty_abc() -> rd.Dataset:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], type=id_type),
+            "b": pa.array([], type=id_type),
+            "c": pa.array([], type=id_type),
+        }))
+
     w1 = ud.rename_columns({"u": "a", "v": "b"})
     w2 = ud.rename_columns({"u": "a", "v": "c"})
     wedges = (
@@ -406,8 +425,90 @@ def triangles(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
         )
         .repartition(num_partitions).materialize()
     )
+    if wedges.count() == 0:
+        # a triangle-free graph leaves only schema-LESS empty blocks,
+        # which poison the closing hash join (FieldRef b unresolvable) —
+        # short-circuit with a typed empty result
+        return _empty_abc()
     closed = wedges.join(
         ud, join_type="inner", num_partitions=num_partitions,
         on=("b", "c"), right_on=("u", "v"),
     )
     return closed.select_columns(["a", "b", "c"])
+
+
+def clustering_coefficient(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+    """Per-node local clustering coefficient over the undirected KG:
+    ``c_v = 2·T_v / (d_v·(d_v−1))`` where T_v = triangles through v and
+    d_v = undirected degree (0 when d_v < 2).
+
+    Reuses ONE undirected-edge materialization for both the triangle
+    enumeration (``triangles``) and the degree count; per-node triangle
+    counts are a flat endpoint emission + one groupby; the final
+    degree⟕triangle combine is a hash join between two node-keyed
+    tables that are already tiny relative to the edge set.
+
+    Returns (node_id, degree, n_tri, coefficient) — coefficient rounded
+    to 6 decimals (half-away-from-zero, matching the SQL oracles).
+    """
+    import pyarrow.compute as pc
+
+    ud = undirected_edges(edges, num_partitions)
+    tri = triangles(edges, num_partitions, _ud=ud)
+
+    def tri_endpoints(batch: pa.Table) -> pa.Table:
+        cols = [batch[c].combine_chunks() if isinstance(batch[c], pa.ChunkedArray)
+                else batch[c] for c in ("a", "b", "c")]
+        return pa.table({"node_id": pa.concat_arrays(cols)})
+
+    tri_counts = (
+        tri.map_batches(tri_endpoints, batch_format="pyarrow")
+        .groupby("node_id").count()
+        .rename_columns({"count()": "n_tri"})
+        .repartition(num_partitions).materialize()
+    )
+    has_triangles = tri_counts.count() > 0
+
+    def ud_endpoints(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks() if isinstance(batch["u"], pa.ChunkedArray) else batch["u"]
+        v = batch["v"].combine_chunks() if isinstance(batch["v"], pa.ChunkedArray) else batch["v"]
+        return pa.table({"node_id": pa.concat_arrays([u, v])})
+
+    degrees = (
+        ud.map_batches(ud_endpoints, batch_format="pyarrow")
+        .groupby("node_id").count()
+        .rename_columns({"count()": "degree"})
+        .repartition(num_partitions).materialize()
+    )
+
+    if has_triangles:
+        joined = degrees.join(
+            tri_counts, join_type="left_outer", num_partitions=num_partitions,
+            on=("node_id",),
+        )
+    else:
+        # triangle-free: skip the join entirely (an all-empty right side
+        # carries schema-less blocks that break the hash join) — every
+        # node gets n_tri = 0 via the coalesce in finish()
+        joined = degrees.map_batches(
+            lambda b: b.append_column("n_tri", pa.nulls(b.num_rows, type=pa.int64())),
+            batch_format="pyarrow",
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        deg = pc.cast(batch["degree"], pa.float64())
+        ntri = pc.cast(pc.coalesce(batch["n_tri"], pa.scalar(0)), pa.float64())
+        denom = pc.multiply(deg, pc.subtract(deg, pa.scalar(1.0)))
+        coef = pc.if_else(
+            pc.greater(denom, pa.scalar(0.0)),
+            pc.divide(pc.multiply(ntri, pa.scalar(2.0)), denom),
+            pa.scalar(0.0),
+        )
+        return pa.table({
+            "node_id": batch["node_id"],
+            "degree": pc.cast(batch["degree"], pa.int64()),
+            "n_tri": pc.cast(pc.coalesce(batch["n_tri"], pa.scalar(0)), pa.int64()),
+            "coefficient": pc.round(coef, 6, round_mode="half_towards_infinity"),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -84,3 +84,79 @@ def pack_sequences(
 
     triples = ds.map_batches(counts, batch_format="pyarrow")
     return triples.groupby("bucket").map_groups(pack_group, batch_format="pandas")
+
+
+def interleaved_costs(
+    batch: pa.Table,
+    media_costs: dict[str, int],
+    spans_column: str = "spans",
+    id_column: str = "doc_id",
+) -> pa.Table:
+    """Per-document training-token cost over the INTERLEAVED schema:
+    text spans cost their token count (same vectorized Arrow regex as
+    ``token_count_batch``); media spans cost a FIXED per-kind budget
+    (``{"image": 256, ...}`` — the vision-token allowance a multimodal
+    trainer charges per image/audio clip). Returns (doc_id, n_tokens).
+
+    Fully columnar: the spans list column is flattened once, per-span
+    costs are computed on the flat arrays (regex count for text, masked
+    constants per media kind), and a segment-sum over the list offsets
+    folds them back to one row per document — no Python row loop.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .textstats import TOKEN_PATTERN
+
+    spans = batch[spans_column].combine_chunks()
+    flat = spans.flatten()
+    kinds = flat.field("kind")
+    texts = flat.field("text")
+
+    tok = pc.cast(pc.count_substring_regex(texts, TOKEN_PATTERN), pa.int64())
+    cost = np.where(
+        pc.equal(kinds, "text").to_numpy(zero_copy_only=False),
+        tok.to_numpy(zero_copy_only=False),
+        0,
+    ).astype(np.int64)
+    for kind, c in media_costs.items():
+        cost[pc.equal(kinds, kind).to_numpy(zero_copy_only=False)] = int(c)
+
+    offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = offsets[:-1]
+    # reduceat misbehaves on empty segments (repeats the next segment's
+    # first element); cumsum differencing is exact for any layout
+    csum = np.concatenate([[0], np.cumsum(cost)])
+    totals = csum[offsets[1:]] - csum[starts]
+    return pa.table({
+        id_column: batch[id_column],
+        "n_tokens": pa.array(totals, type=pa.int64()),
+    })
+
+
+def pack_interleaved(
+    ds: rd.Dataset,
+    budget: int = 2048,
+    bucket_count: int = 8,
+    media_costs: dict[str, int] | None = None,
+    id_column: str = "doc_id",
+) -> rd.Dataset:
+    """``pack_sequences`` over interleaved text+media documents: the
+    pack budget charges text spans their token count and media spans a
+    fixed per-kind cost. Same determinism contract (hash buckets, id
+    order) and the same single groupby — span payloads never shuffle,
+    only (doc_id, bucket, n_tokens)."""
+    media_costs = media_costs if media_costs is not None else {"image": 256}
+
+    def costs(batch: pa.Table) -> pa.Table:
+        out = interleaved_costs(batch, media_costs, id_column=id_column)
+        out = assign_buckets(out, bucket_count, id_column)
+        return out
+
+    def pack_group(df):
+        df = df.sort_values(id_column).reset_index(drop=True)
+        df["pack_id"] = greedy_pack(df["n_tokens"].tolist(), budget)
+        return df[[id_column, "bucket", "pack_id", "n_tokens"]]
+
+    triples = ds.map_batches(costs, batch_format="pyarrow")
+    return triples.groupby("bucket").map_groups(pack_group, batch_format="pandas")

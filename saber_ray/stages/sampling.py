@@ -68,13 +68,17 @@ def sample_hash(
 def stratified_sample(
     ds: rd.Dataset,
     stratum_column: str,
-    k: int,
+    k: "int | dict",
     id_column: str = "doc_id",
     salt: str = "",
 ) -> rd.Dataset:
     """Deterministic quota sample: the ``k`` rows with the smallest hash
     keys per stratum (ties broken by id) — a balanced per-class sample
     for curation ("k docs per language/source/quality bucket").
+
+    ``k`` may be a per-stratum quota dict (a training-data MIXTURE
+    spec: "30 en docs, 10 de, 5 fr"); strata absent from the dict are
+    excluded entirely. An int applies one quota to every stratum.
 
     Two-phase top-k: each batch locally keeps at most ``k`` candidates
     per stratum it sees, THEN one ``groupby(stratum).map_groups`` merges
@@ -84,6 +88,7 @@ def stratified_sample(
 
     Returns ``(stratum_column, id_column)`` sorted within stratum by id.
     """
+    quota = (lambda s: k) if isinstance(k, int) else (lambda s: k.get(s, 0))
 
     def local_candidates(batch: pa.Table) -> pa.Table:
         sub = batch.select([stratum_column, id_column])
@@ -99,13 +104,13 @@ def stratified_sample(
         keep, seen = [], {}
         for i, s in enumerate(strata):
             c = seen.get(s, 0)
-            if c < k:
+            if c < quota(s):
                 keep.append(i)
                 seen[s] = c + 1
         return sub.take(pa.array(keep, type=pa.int64()))
 
     def merge(df):
-        df = df.sort_values(["__key", id_column]).head(k)
+        df = df.sort_values(["__key", id_column]).head(quota(df[stratum_column].iloc[0]))
         return df.sort_values(id_column)[[stratum_column, id_column]]
 
     cands = ds.map_batches(local_candidates, batch_format="pyarrow")

@@ -313,3 +313,28 @@ def test_triangles():
     }))
     out = sorted((r["a"], r["b"], r["c"]) for r in triangles(edges).take_all())
     assert out == [("a", "b", "c"), ("a", "c", "d")]
+
+
+def test_clustering_coefficient_known_graphs():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.graph import clustering_coefficient
+
+    # K4 (complete, incl. duplicate/reversed/self-loop noise): every
+    # node has degree 3, sits in 3 triangles, coefficient 1.0
+    k4 = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [("w", "w")]
+    edges = rd.from_arrow(pa.table({
+        "src": [e[0] for e in noisy], "dst": [e[1] for e in noisy],
+    })).repartition(3)
+    got = {r["node_id"]: r for r in clustering_coefficient(edges, num_partitions=2).take_all()}
+    assert set(got) == set("wxyz")
+    for r in got.values():
+        assert r["degree"] == 3 and r["n_tri"] == 3 and r["coefficient"] == 1.0
+
+    # path a-b-c: no triangles; centre has degree 2 -> 0.0
+    path = rd.from_arrow(pa.table({"src": ["a", "b"], "dst": ["b", "c"]}))
+    got = {r["node_id"]: r["coefficient"]
+           for r in clustering_coefficient(path, num_partitions=2).take_all()}
+    assert got == {"a": 0.0, "b": 0.0, "c": 0.0}

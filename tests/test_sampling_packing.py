@@ -204,3 +204,56 @@ def test_tfidf_top_terms():
     for (d, _t) in rows:
         per_doc[d] = per_doc.get(d, 0) + 1
     assert all(v <= 2 for v in per_doc.values())
+
+
+def test_stratified_sample_dict_quotas():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.sampling import stratified_sample
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(300), type=pa.int64()),
+        "lang": pa.array((["en"] * 2 + ["de"] + ["xx"]) * 75),
+    })).repartition(4)
+    out = stratified_sample(ds, "lang", k={"en": 7, "de": 3}).take_all()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r["doc_id"])
+    assert sorted(by) == ["de", "en"]          # 'xx' excluded entirely
+    assert len(by["en"]) == 7 and len(by["de"]) == 3
+    # int quota still matches dict-with-same-values (back-compat)
+    flat = stratified_sample(ds, "lang", k=5).take_all()
+    assert sum(1 for r in flat if r["lang"] == "xx") == 5
+
+
+def test_interleaved_costs_and_packing():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.sources.testdata import DOCUMENTS
+    from saber_ray.stages.packing import interleaved_costs, pack_interleaved
+
+    def doc(doc_id, spans):
+        return {"doc_id": doc_id, "spans": [
+            {"kind": k, "text": t, "media_ref": m, "offset": i}
+            for i, (k, t, m) in enumerate(spans)
+        ]}
+
+    rows = [
+        doc("a", [("text", "one two three", ""), ("image", "", "img://a")]),
+        doc("b", [("text", "four", "")]),
+        doc("c", []),                                 # empty doc costs 0
+        doc("d", [("image", "", "img://d"), ("image", "", "img://d2")]),
+    ]
+    table = pa.Table.from_pylist(rows, schema=DOCUMENTS)
+    costs = interleaved_costs(table, {"image": 100})
+    got = dict(zip(costs["doc_id"].to_pylist(), costs["n_tokens"].to_pylist()))
+    assert got == {"a": 103, "b": 1, "c": 0, "d": 200}
+
+    ds = rd.from_arrow(table)
+    packed = {r["doc_id"]: r for r in pack_interleaved(
+        ds, budget=150, bucket_count=1, media_costs={"image": 100}).take_all()}
+    # id order a(103), b(1), c(0), d(200): a+b fails? 103+1=104 <= 150 ok,
+    # +c still 104, d overflows -> new pack (oversized doc keeps its own)
+    assert [packed[k]["pack_id"] for k in "abcd"] == [0, 0, 0, 1]
