@@ -745,6 +745,16 @@ def _q_pack_interleaved(sf_dir: str):
     return packed.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_top_bigrams(sf_dir: str):
+    # corpus boilerplate detector: global top-20 word bigrams — per-batch
+    # distinct-ngram partials, one groupby shuffle, sort+limit on the
+    # aggregated table
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import ngram_frequency
+
+    return ngram_frequency(read_documents_flat(sf_dir), n=2, k=20)
+
+
 def _q_sample_mixture(sf_dir: str):
     # per-stratum quota DICT = a training-data mixture spec ("30 en,
     # 10 de, 5 fr"); strata outside the dict are excluded
@@ -826,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
         "token_frequency": _q_token_frequency,
+        "top_bigrams": _q_top_bigrams,
         "vocab": _q_vocab,
         "doc_stats": _q_doc_stats,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1711,6 +1722,19 @@ def oracle_sql() -> dict[str, str]:
                 JOIN packs p ON o.bucket = p.bucket AND o.rn = p.rn + 1
             )
             SELECT doc_id, bucket, pack_id, n_tokens FROM packs
+        """,
+        "top_bigrams": """
+            WITH toks AS (
+                SELECT regexp_extract_all(lower(text), '[0-9a-zA-Z]+') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT t[i] || ' ' || t[i + 1] AS ngram
+                FROM toks, UNNEST(range(1, len(t))) AS r(i)
+            )
+            SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+            FROM grams GROUP BY 1
+            ORDER BY cnt DESC, ngram LIMIT 20
         """,
         "sample_mixture": f"""
             SELECT lang, doc_id

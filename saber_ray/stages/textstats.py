@@ -308,3 +308,45 @@ def tfidf_top_terms(
         ),
         batch_format="pyarrow",
     )
+
+
+def ngram_frequency_partial(
+    batch: pa.Table, n: int = 2, column: str = "text"
+) -> pa.Table:
+    """One (ngram, cnt) partial row per distinct word n-gram in the
+    batch — n-grams never cross document boundaries. Counter+zip runs at
+    C speed per document; the partial collapses the batch to its
+    distinct n-grams BEFORE anything shuffles (same discipline as
+    ``token_frequency_partial``)."""
+    counter: Counter[str] = Counter()
+    for text in batch[column].to_pylist():
+        if not text:
+            continue
+        toks = _TOKEN_RE.findall(text.lower())
+        if len(toks) >= n:
+            counter.update(
+                " ".join(gram) for gram in zip(*(toks[i:] for i in range(n)))
+            )
+    grams = sorted(counter)
+    return pa.table({
+        "ngram": pa.array(grams, type=pa.string()),
+        "cnt": pa.array([counter[g] for g in grams], type=pa.int64()),
+    })
+
+
+def ngram_frequency(
+    ds: rd.Dataset, n: int = 2, column: str = "text", k: int | None = None
+) -> rd.Dataset:
+    """Corpus n-gram frequency: per-batch partial counts → ONE groupby
+    shuffle; with ``k`` the result is the global top-k (sort+limit runs
+    on the already-aggregated distinct-ngram table, ties broken
+    lexicographically for determinism). The boilerplate-phrase detector
+    behind corpus-level cleaning (per-doc repetition is
+    ``repetition_stats_batch``)."""
+    partials = ds.map_batches(
+        lambda b: ngram_frequency_partial(b, n, column), batch_format="pyarrow"
+    )
+    agg = partials.groupby("ngram").sum("cnt").rename_columns({"sum(cnt)": "cnt"})
+    if k is not None:
+        agg = agg.sort(["cnt", "ngram"], descending=[True, False]).limit(k)
+    return agg

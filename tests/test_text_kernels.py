@@ -95,3 +95,21 @@ def test_bpe_pretokenizer_counts():
     out = token_count_bpe_batch(t)["n_bpe_tokens"].to_pylist()
     # "it's 2024, really?" -> [it]['s][ 2024][,][ really][?] = 6
     assert out == [6, 2, 0]
+
+
+def test_ngram_frequency_counts_and_topk():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.textstats import ngram_frequency
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat sat", "the cat ran", "x"],   # 1-token doc: no bigrams
+    })).repartition(3)
+    got = {r["ngram"]: r["cnt"] for r in ngram_frequency(docs, n=2).take_all()}
+    assert got == {"the cat": 2, "cat sat": 1, "cat ran": 1}
+    top = ngram_frequency(docs, n=2, k=1).take_all()
+    assert top == [{"ngram": "the cat", "cnt": 2}]
+    tri = {r["ngram"]: r["cnt"] for r in ngram_frequency(docs, n=3).take_all()}
+    assert tri == {"the cat sat": 1, "the cat ran": 1}
