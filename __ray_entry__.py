@@ -745,6 +745,33 @@ def _q_pack_interleaved(sf_dir: str):
     return packed.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_tpch_q10(sf_dir: str):
+    # 3-way join with the fact side pre-aggregated at the scan: returned
+    # revenue per order -> per customer -> top-20
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import returned_item_revenue
+
+    return returned_item_revenue(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]),
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        read_table(sf_dir, "lineitem",
+                   columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]),
+    )
+
+
+def _q_tpch_q18(sf_dir: str):
+    # groupby-HAVING before the joins: only >200-qty orders ever shuffle
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import large_volume_customers
+
+    return large_volume_customers(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        read_table(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]),
+    )
+
+
 def _q_top_bigrams(sf_dir: str):
     # corpus boilerplate detector: global top-20 word bigrams — per-batch
     # distinct-ngram partials, one groupby shuffle, sort+limit on the
@@ -869,6 +896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q18": _q_tpch_q18,
         "top_events_per_type": _q_top_events_per_type,
         "eval_confusion": _q_eval_confusion,
         "chunk_spans": _q_chunk_spans,
@@ -1484,6 +1513,30 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.02 AND 0.06
               AND l_quantity < 24
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "tpch_q18": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   sum(l_quantity) AS total_qty
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1, 2, 3, 4, 5
+            HAVING sum(l_quantity) > 200
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20
         """,
         "tpch_q14": """
             SELECT round(

@@ -811,3 +811,134 @@ def running_totals(
     return events.select_columns(cols).map_batches(
         bucket, batch_format="pyarrow"
     ).groupby("__bucket").map_groups(cum, batch_format="pandas")
+
+
+def returned_item_revenue(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    returnflag: str = "R",
+    k: int = 20,
+) -> rd.Dataset:
+    """TPC-H Q10-shaped: top-k customers by revenue lost to returned
+    items in one quarter.
+
+    Plan: lineitem keeps only returned rows and pre-aggregates revenue
+    per order AT THE SCAN (the wide fact table collapses before any
+    shuffle); orders are date-windowed at the scan; orders⨝revenue is a
+    hash join of two shrunken per-order streams; a groupby(custkey)
+    reduces to one row per customer BEFORE the customer join, so the
+    customer table joins against at most |customers| rows. Top-k is
+    sort+limit on the final small aggregate.
+    """
+    import datetime
+
+    from ..functions.partitioning import shuffle_partitions
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+
+    def returned_rev(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch["l_returnflag"], returnflag))
+        rev = pc.multiply(
+            f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"])
+        )
+        t = pa.table({"l_orderkey": f["l_orderkey"], "rev": rev})
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")])
+
+    def order_window(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+            pc.less(batch["o_orderdate"], pa.scalar(hi)),
+        )
+        return batch.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    n = shuffle_partitions(8, lineitem)
+    rev = lineitem.map_batches(returned_rev, batch_format="pyarrow")
+    win = orders.map_batches(order_window, batch_format="pyarrow")
+    per_order = win.join(
+        rev, join_type="inner", num_partitions=n,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+    per_cust = (
+        per_order.groupby("o_custkey").sum("rev_sum")
+        .rename_columns({"sum(rev_sum)": "revenue"})
+    )
+    joined = per_cust.join(
+        customer.select_columns(["c_custkey", "c_name", "c_acctbal"]),
+        join_type="inner", num_partitions=n,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["o_custkey"],
+            "c_name": batch["c_name"],
+            "c_acctbal": batch["c_acctbal"],
+            "revenue": pc.round(batch["revenue"], 2,
+                                round_mode="half_towards_infinity"),
+        })
+
+    return (
+        joined.map_batches(finish, batch_format="pyarrow")
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def large_volume_customers(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    min_qty: float = 200.0,
+    k: int = 20,
+) -> rd.Dataset:
+    """TPC-H Q18-shaped: orders whose total lineitem quantity exceeds
+    ``min_qty``, with their customer, largest first.
+
+    Plan: quantity pre-aggregates per order inside the scan (vectorized
+    Arrow group_by per batch), ONE groupby(orderkey) merges partials,
+    the HAVING filter drops almost everything before the two joins, and
+    both joins run against the tiny surviving order set.
+    """
+    from ..functions.partitioning import shuffle_partitions
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["l_orderkey", "l_quantity"])
+        return t.group_by("l_orderkey").aggregate([("l_quantity", "sum")])
+
+    n = shuffle_partitions(8, lineitem)
+    qty = (
+        lineitem.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey").sum("l_quantity_sum")
+        .rename_columns({"sum(l_quantity_sum)": "total_qty"})
+        .filter(expr=f"total_qty > {min_qty}")
+    )
+    with_orders = qty.join(
+        orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        join_type="inner", num_partitions=n,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    with_cust = with_orders.join(
+        customer.select_columns(["c_custkey", "c_name"]),
+        join_type="inner", num_partitions=n,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": batch["c_name"],
+            "c_custkey": batch["o_custkey"],
+            "o_orderkey": batch["l_orderkey"],
+            "o_orderdate": batch["o_orderdate"],
+            "o_totalprice": batch["o_totalprice"],
+            "total_qty": batch["total_qty"],
+        })
+
+    return (
+        with_cust.map_batches(finish, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )

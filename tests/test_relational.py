@@ -229,3 +229,38 @@ def test_running_totals_order_and_isolation():
            for r in running_totals(ev).take_all()}
     assert out[1] == 1.5 and out[3] == 5.5 and out[2] == 8.0
     assert out[4] == 10.0 and out[5] == 11.0
+
+
+def _frames_equal(got, want):
+    import pandas as pd
+
+    got = got.reindex(sorted(got.columns), axis=1)
+    want = want.reindex(sorted(want.columns), axis=1)
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_tpch_q10_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["tpch_q10"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["tpch_q10"]))
+
+
+def test_tpch_q18_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["tpch_q18"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["tpch_q18"]))
+
+
+def test_tpch_q14_matches_duckdb():
+    import __ray_entry__ as e
+
+    got = e.queries()["tpch_q14"](SF)
+    want = _duck(
+        e.oracle_sql()["tpch_q14"].replace("FROM lineitem", "FROM lineitem")
+        .replace("JOIN part ", "JOIN read_parquet('" + SF + "/part.parquet') part ")
+    )
+    assert abs(got["promo_revenue"][0].as_py() - want["promo_revenue"].iloc[0]) < 1e-9
