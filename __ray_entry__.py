@@ -782,6 +782,16 @@ def _q_top_bigrams(sf_dir: str):
     return ngram_frequency(read_documents_flat(sf_dir), n=2, k=20)
 
 
+def _q_sample_weighted(sf_dir: str):
+    # importance-weighted curation sample: probability ∝ doc length,
+    # Efraimidis-Spirakis A-Res order, deterministic (md5 uniforms)
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.sampling import weighted_sample
+
+    ds = read_documents_flat(sf_dir, columns=("doc_id", "n_chars"))
+    return weighted_sample(ds, weight_column="n_chars", k=50)
+
+
 def _q_sample_mixture(sf_dir: str):
     # per-stratum quota DICT = a training-data mixture spec ("30 en,
     # 10 de, 5 fr"); strata outside the dict are excluded
@@ -917,6 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
         "sample_mixture": _q_sample_mixture,
+        "sample_weighted": _q_sample_weighted,
         "length_quantiles": _q_length_quantiles,
         "grouped_quantiles": _q_grouped_quantiles,
         "decontaminate": _q_decontaminate,
@@ -1788,6 +1799,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
             FROM grams GROUP BY 1
             ORDER BY cnt DESC, ngram LIMIT 20
+        """,
+        "sample_weighted": f"""
+            SELECT doc_id, n_chars
+            FROM documents
+            WHERE n_chars > 0
+            QUALIFY row_number() OVER (
+                ORDER BY -ln(({_HASHKEY} + 0.5) / 4294967296.0) / n_chars,
+                         doc_id
+            ) <= 50
         """,
         "sample_mixture": f"""
             SELECT lang, doc_id

@@ -942,3 +942,88 @@ def large_volume_customers(
         .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
         .limit(k)
     )
+
+
+def salted_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str | None = None,
+    num_salts: int = 8,
+    hot_keys: "set | None" = None,
+    hot_threshold: int | None = None,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Inner hash join with HOT-KEY SALTING — result identical to
+    ``Dataset.join``, but a skewed key no longer lands on one reduce
+    partition. The canonicalization stages salt their aggregation
+    shuffle (``stages/canonicalize.py``); this is the same cure for the
+    join shuffle, where one celebrity key (a high-frequency gene symbol,
+    a bot user) otherwise serializes the whole join behind one task.
+
+    Hot LEFT keys are split across ``num_salts`` shards (salt =
+    row-position mod S — any spreading works: results are salt-invariant
+    by construction); matching RIGHT rows are replicated once per salt
+    (the broadcast-a-sliver trade: S copies of the hot keys' right rows
+    buy S-way parallelism on the skewed side). Cold keys keep salt 0 —
+    zero overhead. The join key becomes ``(key, __salt)``.
+
+    ``hot_keys`` skips detection. Otherwise hot keys are found with a
+    keys-only partial-count pass over ``left`` (never the payload):
+    count > ``hot_threshold`` (default: 4× the mean per-key count,
+    floored at 1000). Pass a materialized or file-backed ``left`` —
+    Ray Data re-executes derived lineage once per consumer.
+    """
+    import numpy as np
+
+    right_on = right_on or left_on
+    from ..functions.partitioning import shuffle_partitions
+
+    n = num_partitions or shuffle_partitions(8, left)
+
+    if hot_keys is None:
+        def key_partial(batch: pa.Table) -> pa.Table:
+            g = batch.select([left_on]).group_by(left_on).aggregate(
+                [([], "count_all")]
+            )
+            return pa.table({left_on: g[left_on], "cnt": g["count_all"]})
+
+        counts = (
+            left.map_batches(key_partial, batch_format="pyarrow")
+            .groupby(left_on).sum("cnt")
+        ).take_all()
+        total = sum(r["sum(cnt)"] for r in counts)
+        thresh = hot_threshold or max(1000, (4 * total) // max(1, len(counts)))
+        hot_keys = {r[left_on] for r in counts if r["sum(cnt)"] > thresh}
+    hot = ray.put(hot_keys)
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        hk = ray.get(hot)
+        keys = batch[left_on].to_pylist()
+        is_hot = np.array([k in hk for k in keys])
+        salts = np.zeros(len(keys), dtype=np.int32)
+        salts[is_hot] = np.arange(int(is_hot.sum())) % num_salts
+        return batch.append_column("__salt", pa.array(salts))
+
+    def replicate_right(batch: pa.Table) -> pa.Table:
+        hk = ray.get(hot)
+        keys = batch[right_on].to_pylist()
+        is_hot = pa.array([k in hk for k in keys])
+        cold = batch.filter(pc.invert(is_hot)).append_column(
+            "__rsalt", pa.array(np.zeros(len(keys) - sum(is_hot.to_pylist()),
+                                         dtype=np.int32)))
+        hot_rows = batch.filter(is_hot)
+        parts = [cold] + [
+            hot_rows.append_column(
+                "__rsalt", pa.array(np.full(hot_rows.num_rows, s, dtype=np.int32)))
+            for s in range(num_salts)
+        ]
+        return pa.concat_tables([p for p in parts if p.num_rows > 0] or [cold])
+
+    lsalted = left.map_batches(salt_left, batch_format="pyarrow")
+    rsalted = right.map_batches(replicate_right, batch_format="pyarrow")
+    joined = lsalted.join(
+        rsalted, join_type="inner", num_partitions=n,
+        on=(left_on, "__salt"), right_on=(right_on, "__rsalt"),
+    )
+    return joined.drop_columns(["__salt"])

@@ -232,3 +232,42 @@ def top_n_per_group(
 
     cands = ds.map_batches(local_candidates, batch_format="pyarrow")
     return cands.groupby(group_column).map_groups(merge, batch_format="pandas")
+
+
+def weighted_sample(
+    ds: rd.Dataset,
+    weight_column: str,
+    k: int,
+    id_column: str = "doc_id",
+    salt: str = "",
+) -> rd.Dataset:
+    """Deterministic weighted sample WITHOUT replacement: k rows drawn
+    with probability proportional to ``weight_column`` (importance /
+    quality-weighted curation), via the Efraimidis–Spirakis A-Res order:
+    rank every row by ``-ln(u) / w`` ascending (u = the row's md5-uniform
+    in (0,1)) and keep the k smallest. Pure function of (ids, weights,
+    salt) — retry/layout/cluster-size stable, reproducible in SQL.
+
+    Two-phase top-k: each batch prunes to its local k best (vectorized
+    numpy partition), the global sort+limit then runs over O(k × batches)
+    candidate rows — the payload never shuffles. Rows with weight <= 0
+    are excluded (they have zero draw probability).
+    """
+    import numpy as np
+
+    def local_candidates(batch: pa.Table) -> pa.Table:
+        sub = batch.select([id_column, weight_column])
+        w = sub[weight_column].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (np.array(_key64(sub[id_column].to_pylist(), salt), dtype=np.float64)
+             + 0.5) / 4294967296.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.where(w > 0, -np.log(u) / w, np.inf)
+        keep = np.flatnonzero(np.isfinite(key))
+        if len(keep) > k:
+            keep = keep[np.argpartition(key[keep], k)[:k]]
+        out = sub.take(pa.array(keep, type=pa.int64()))
+        return out.append_column("__key", pa.array(key[keep], type=pa.float64()))
+
+    cands = ds.map_batches(local_candidates, batch_format="pyarrow")
+    top = cands.sort(["__key", id_column]).limit(k)
+    return top.drop_columns(["__key"])

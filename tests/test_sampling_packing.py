@@ -257,3 +257,31 @@ def test_interleaved_costs_and_packing():
     # id order a(103), b(1), c(0), d(200): a+b fails? 103+1=104 <= 150 ok,
     # +c still 104, d overflows -> new pack (oversized doc keeps its own)
     assert [packed[k]["pack_id"] for k in "abcd"] == [0, 0, 0, 1]
+
+
+def test_weighted_sample_determinism_and_bias():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.sampling import weighted_sample
+
+    # 100 light docs (w=1) vs 100 heavy docs (w=100): heavy dominate
+    t = pa.table({
+        "doc_id": pa.array(range(200), type=pa.int64()),
+        "w": pa.array([1.0] * 100 + [100.0] * 100),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    got = weighted_sample(ds, "w", k=30, id_column="doc_id").take_all()
+    assert len(got) == 30
+    heavy = sum(1 for r in got if r["doc_id"] >= 100)
+    assert heavy >= 25                       # ∝-weight draw overwhelms
+    # layout invariance: different block structure, identical sample
+    again = weighted_sample(rd.from_arrow(t).repartition(9), "w", k=30,
+                            id_column="doc_id").take_all()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
+    # zero/negative weights never sampled
+    t2 = pa.table({"doc_id": pa.array(range(10), type=pa.int64()),
+                   "w": pa.array([0.0] * 5 + [1.0] * 5)})
+    ids = {r["doc_id"] for r in weighted_sample(
+        rd.from_arrow(t2), "w", k=10, id_column="doc_id").take_all()}
+    assert ids == set(range(5, 10))

@@ -125,3 +125,55 @@ def test_emit_triples_cap_preserves_small_docs():
         ("PRGE:surface:p53", "PRGE:surface:mdm2"),
         ("CHED:surface:glucose", "PRGE:surface:p53"),
     ])
+
+
+def test_salted_join_matches_plain_join_under_skew():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.relational import salted_join
+
+    # 90% of left rows share one hot key
+    n = 2000
+    keys = [7 if i % 10 else i for i in range(n)]          # i%10==0 -> cold key i
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(keys, type=pa.int64()),
+        "lval": pa.array(range(n), type=pa.int64()),
+    })).repartition(4).materialize()
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([7, 7, 10, 20, 9999], type=pa.int64()),
+        "rval": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+    })).materialize()
+
+    got = sorted(
+        (r["k"], r["lval"], r["rval"])
+        for r in salted_join(left, right, "k", num_salts=4,
+                             hot_threshold=100, num_partitions=4).take_all()
+    )
+    want = sorted(
+        (r["k"], r["lval"], r["rval"])
+        for r in left.join(right, join_type="inner", num_partitions=4,
+                           on=("k",)).take_all()
+    )
+    assert got == want
+    # hot key multiplies: 1800 hot-left rows x 2 right rows + 2 cold hits
+    assert len(got) == 1800 * 2 + 2
+
+
+def test_salted_join_auto_hot_detection():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.relational import salted_join
+
+    keys = [1] * 900 + list(range(10, 110))
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(keys, type=pa.int64()),
+        "lval": pa.array(range(len(keys)), type=pa.int64()),
+    })).repartition(3).materialize()
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 10, 50], type=pa.int64()),
+        "rval": pa.array([100, 200, 300], type=pa.int64()),
+    })).materialize()
+    got = salted_join(left, right, "k", num_salts=4).take_all()
+    assert len(got) == 900 + 2
