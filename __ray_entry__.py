@@ -365,6 +365,29 @@ def _q_customers_no_urgent(sf_dir: str):
     return anti_join(cust, urgent, "c_custkey", "o_custkey")
 
 
+def _q_rolling_avg(sf_dir: str):
+    # bounded-frame window: per-user mean of the last 3 values in event
+    # order (running_totals is the unbounded-frame sibling)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import rolling_avg
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = rolling_avg(ev)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "rolling_avg": pc.round(batch["rolling_avg"], 6,
+                                    round_mode="half_towards_infinity"),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_running_totals(sf_dir: str):
     # cumulative window aggregate: per-user running sum in event-time
     # order (SUM OVER PARTITION ... ROWS UNBOUNDED PRECEDING) — bucketed
@@ -897,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": _q_events_range_join,
         "customers_no_urgent": _q_customers_no_urgent,
         "running_totals": _q_running_totals,
+        "rolling_avg": _q_rolling_avg,
         "events_props_summary": _q_events_props_summary,
         "events_filtered_window": _q_events_filtered_window,
         "events_sessions": _q_events_sessions,
@@ -1395,6 +1419,14 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderpriority = '1-URGENT'
             )
+        """,
+        "rolling_avg": """
+            SELECT event_id, user_id,
+                   round(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ), 6) AS rolling_avg
+            FROM events
         """,
         "running_totals": """
             SELECT event_id, user_id,

@@ -1027,3 +1027,44 @@ def salted_join(
         on=(left_on, "__salt"), right_on=(right_on, "__rsalt"),
     )
     return joined.drop_columns(["__salt"])
+
+
+def rolling_avg(
+    events: rd.Dataset,
+    by: str = "user_id",
+    ts_column: str = "ts",
+    value_column: str = "value",
+    tiebreak: str = "event_id",
+    window_rows: int = 3,
+    out_column: str = "rolling_avg",
+) -> rd.Dataset:
+    """Frame-bounded rolling mean: per ``by`` key, the average of the
+    last ``window_rows`` values (current row included) in (ts, tiebreak)
+    order — SQL's ``AVG(value) OVER (PARTITION BY key ORDER BY ts ROWS
+    BETWEEN N-1 PRECEDING AND CURRENT ROW)``. Complements
+    ``running_totals`` (unbounded frame) with the bounded-frame window.
+
+    Same scale shape as the other window operators: ONE ``hash(by) % P``
+    bucket shuffle, then a vectorized ``groupby(by).rolling`` over the
+    sorted bucket — keys never become Python-level groups.
+    """
+    from ..functions.partitioning import shuffle_partitions
+
+    n = shuffle_partitions(8, events)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bucket", _key_buckets(batch, by, n))
+
+    def roll(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values([by, ts_column, tiebreak]).drop(columns="__bucket")
+        df[out_column] = (
+            df.groupby(by, sort=False)[value_column]
+            .rolling(window_rows, min_periods=1).mean()
+            .reset_index(level=0, drop=True)
+        )
+        return df
+
+    cols = [by, ts_column, tiebreak, value_column]
+    return events.select_columns(cols).map_batches(
+        bucket, batch_format="pyarrow"
+    ).groupby("__bucket").map_groups(roll, batch_format="pandas")

@@ -264,3 +264,17 @@ def test_tpch_q14_matches_duckdb():
         .replace("JOIN part ", "JOIN read_parquet('" + SF + "/part.parquet') part ")
     )
     assert abs(got["promo_revenue"][0].as_py() - want["promo_revenue"].iloc[0]) < 1e-9
+
+
+def test_rolling_avg_frame_and_isolation():
+    from saber_ray.stages.relational import rolling_avg
+
+    ev = _left([
+        (1, 10, 7, 3.0), (2, 20, 7, 6.0), (3, 30, 7, 9.0), (4, 40, 7, 12.0),
+        (5, 10, 8, 100.0),
+    ])
+    out = {r["event_id"]: r["rolling_avg"]
+           for r in rolling_avg(ev, window_rows=3).take_all()}
+    assert out[1] == 3.0 and out[2] == 4.5 and out[3] == 6.0
+    assert out[4] == 9.0                      # frame slides: (6+9+12)/3
+    assert out[5] == 100.0                    # other key isolated
