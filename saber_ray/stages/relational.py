@@ -492,9 +492,16 @@ def semi_join(
     the key column ONLY — payload never moves), then an inner hash join
     against unique keys is exactly semi-join semantics (no row
     multiplication).
+
+    An ALL-EMPTY side short-circuits to a typed empty result: Ray's
+    hash join breaks on the schema-less blocks an empty side carries
+    (``FieldRef unresolvable``), and the ``limit(1)`` probe is a
+    streaming early-stop — it reads at most one upstream block.
     """
     from ..functions.partitioning import shuffle_partitions
 
+    if left.limit(1).count() == 0 or right.limit(1).count() == 0:
+        return left.limit(0)
     keys = (
         right.select_columns([right_on])
         .groupby(right_on)
@@ -764,9 +771,16 @@ def anti_join(
     hash-shuffle ``left_anti`` join; only the right KEY column is
     shuffled (payload pruned at the join input), and anti semantics
     never multiply rows, so no distinct pre-reduce is needed.
+
+    An ALL-EMPTY side short-circuits (see :func:`semi_join`): empty
+    right → every left row survives; empty left → empty result.
     """
     from ..functions.partitioning import shuffle_partitions
 
+    if right.limit(1).count() == 0:
+        return left
+    if left.limit(1).count() == 0:
+        return left.limit(0)
     n = num_partitions or shuffle_partitions(8, left)
     return left.join(
         right.select_columns([right_on]),

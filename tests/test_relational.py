@@ -278,3 +278,23 @@ def test_rolling_avg_frame_and_isolation():
     assert out[1] == 3.0 and out[2] == 4.5 and out[3] == 6.0
     assert out[4] == 9.0                      # frame slides: (6+9+12)/3
     assert out[5] == 100.0                    # other key isolated
+
+
+def test_semi_anti_join_empty_sides():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.relational import anti_join, semi_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                                   "v": pa.array([10, 20, 30], type=pa.int64())}))
+    empty_r = rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
+    # empty right: semi -> nothing, anti -> everything
+    assert semi_join(left, empty_r, "k", "k", num_partitions=2).take_all() == []
+    assert sorted(r["v"] for r in anti_join(
+        left, empty_r, "k", "k", num_partitions=2).take_all()) == [10, 20, 30]
+    # left emptied by a filter (schema-less blocks): both return empty
+    gone = left.filter(lambda r: False)
+    right = rd.from_arrow(pa.table({"k": pa.array([1], type=pa.int64())}))
+    assert semi_join(gone, right, "k", "k", num_partitions=2).take_all() == []
+    assert anti_join(gone, right, "k", "k", num_partitions=2).take_all() == []
