@@ -995,6 +995,12 @@ def salted_join(
 
     n = num_partitions or shuffle_partitions(8, left)
 
+    # inner join: either side all-empty -> empty result (the native hash
+    # join breaks on schema-less empty-side blocks). Left-schema only —
+    # an empty inner join has no right rows to type the right columns.
+    if left.limit(1).count() == 0 or right.limit(1).count() == 0:
+        return left.limit(0)
+
     if hot_keys is None:
         def key_partial(batch: pa.Table) -> pa.Table:
             g = batch.select([left_on]).group_by(left_on).aggregate(
