@@ -768,6 +768,17 @@ def _q_pack_interleaved(sf_dir: str):
     return packed.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_pricing_rollup(sf_dir: str):
+    # GROUP BY ROLLUP: one real shuffle at the finest level, coarser
+    # levels re-aggregate the constant-sized finest result
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import pricing_rollup
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount"]
+    return pricing_rollup(read_table(sf_dir, "lineitem", columns=cols))
+
+
 def _q_tpch_q10(sf_dir: str):
     # 3-way join with the fact side pre-aggregated at the scan: returned
     # revenue per order -> per customer -> top-20
@@ -925,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filtered_window": _q_events_filtered_window,
         "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
+        "pricing_rollup": _q_pricing_rollup,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
@@ -1580,6 +1592,14 @@ def oracle_sql() -> dict[str, str]:
             HAVING sum(l_quantity) > 200
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 20
+        """,
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "tpch_q14": """
             SELECT round(

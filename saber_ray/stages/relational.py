@@ -1088,3 +1088,76 @@ def rolling_avg(
     return events.select_columns(cols).map_batches(
         bucket, batch_format="pyarrow"
     ).groupby("__bucket").map_groups(roll, batch_format="pandas")
+
+
+def pricing_rollup(lineitem: rd.Dataset) -> rd.Dataset:
+    """SQL ``GROUP BY ROLLUP(l_returnflag, l_linestatus)`` over lineitem:
+    quantity/revenue totals at three nesting levels — (flag, status),
+    (flag, NULL), (NULL, NULL) — in one result, NULL marking the
+    rolled-up dimension.
+
+    Scale shape: the corpus is aggregated ONCE at the finest level
+    (per-batch Arrow partials → one real shuffle, exactly
+    ``lineitem_pricing_summary``'s plan); every coarser level is then a
+    RE-aggregation of the finest result, which has one row per
+    (flag, status) combination — constant-sized no matter the corpus —
+    so the rollup adds only trivial shuffles over that tiny table.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = batch.select(["l_returnflag", "l_linestatus", "l_quantity"])
+        t = t.append_column("rev", rev)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("rev", "sum"), ("l_quantity", "count")]
+        )
+
+    finest = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            rd.aggregate.Sum("l_quantity_sum", alias_name="sum_qty"),
+            rd.aggregate.Sum("rev_sum", alias_name="sum_rev"),
+            rd.aggregate.Sum("l_quantity_count", alias_name="n"),
+        )
+        .materialize()  # tiny (one row per flag x status); reused 3x
+    )
+
+    def null_out(columns: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            for c in columns:
+                batch = batch.set_column(
+                    batch.column_names.index(c), c,
+                    pa.nulls(batch.num_rows, type=pa.string()),
+                )
+            return batch
+        return fn
+
+    def reagg(ds: rd.Dataset) -> rd.Dataset:
+        return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            rd.aggregate.Sum("sum_qty", alias_name="sum_qty"),
+            rd.aggregate.Sum("sum_rev", alias_name="sum_rev"),
+            rd.aggregate.Sum("n", alias_name="n"),
+        )
+
+    level1 = reagg(finest.map_batches(null_out(["l_linestatus"]),
+                                      batch_format="pyarrow"))
+    level2 = reagg(finest.map_batches(
+        null_out(["l_returnflag", "l_linestatus"]), batch_format="pyarrow"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": pc.round(batch["sum_qty"], 2,
+                                round_mode="half_towards_infinity"),
+            "sum_rev": pc.round(batch["sum_rev"], 2,
+                                round_mode="half_towards_infinity"),
+            "n": pc.cast(batch["n"], pa.int64()),
+        })
+
+    return finest.union(level1).union(level2).map_batches(
+        finish, batch_format="pyarrow"
+    )

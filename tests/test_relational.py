@@ -298,3 +298,20 @@ def test_semi_anti_join_empty_sides():
     right = rd.from_arrow(pa.table({"k": pa.array([1], type=pa.int64())}))
     assert semi_join(gone, right, "k", "k", num_partitions=2).take_all() == []
     assert anti_join(gone, right, "k", "k", num_partitions=2).take_all() == []
+
+
+def test_pricing_rollup_levels():
+    import math
+
+    import __ray_entry__ as e
+
+    rows = e.queries()["pricing_rollup"](SF).take_all()
+    finest = [r for r in rows if r["l_returnflag"] is not None and r["l_linestatus"] is not None]
+    per_flag = [r for r in rows if r["l_returnflag"] is not None and r["l_linestatus"] is None]
+    grand = [r for r in rows if r["l_returnflag"] is None and r["l_linestatus"] is None]
+    assert len(grand) == 1
+    assert grand[0]["n"] == sum(r["n"] for r in finest)
+    for pf in per_flag:
+        parts = [r for r in finest if r["l_returnflag"] == pf["l_returnflag"]]
+        assert pf["n"] == sum(r["n"] for r in parts)
+        assert math.isclose(pf["sum_qty"], sum(r["sum_qty"] for r in parts), rel_tol=1e-9)
