@@ -287,6 +287,33 @@ def _q_media_decode(sf_dir: str):
     return decoded.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_media_dims_dedup(sf_dir: str):
+    # media near-dup grouping through the actor-pool decoder: images
+    # whose decoded dimensions collide, grouped after dropping the pixel
+    # payload (dims-only shuffle)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    decoded = _q_media_decode(sf_dir)  # inject -> explode -> decode -> dims
+    groups = decoded.groupby(["height", "width"]).aggregate(
+        rd.aggregate.Count(alias_name="n_images"),
+        rd.aggregate.Min("doc_id", alias_name="min_doc_id"),
+    )
+    dups = groups.filter(expr="n_images > 1")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "height": batch["height"],
+            "width": batch["width"],
+            "n_images": pc.cast(batch["n_images"], pa.int64()),
+            "min_doc_id": pc.cast(batch["min_doc_id"], pa.int64()),
+        })
+
+    return dups.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_hot_tokens(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.textstats import token_frequency
@@ -923,6 +950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_search": _q_knn,
         "knn_search_ivf": _q_knn_ivf,
         "media_decode": _q_media_decode,
+        "media_dims_dedup": _q_media_dims_dedup,
         "hot_tokens": _q_hot_tokens,
         "kg_mentions_filtered": _q_kg_mentions_filtered,
         "events_window": _q_events_window,
@@ -1505,6 +1533,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN rev r ON r.l_orderkey = o.o_orderkey
             ORDER BY round(r.revenue, 2) DESC, o.o_orderkey
             LIMIT 10
+        """,
+        "media_dims_dedup": """
+            WITH m AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('img://' || CAST(doc_id AS VARCHAR)),
+                                       1, 16))::UBIGINT AS h64
+                FROM documents
+                WHERE doc_id % 5 = 0
+            ),
+            dims AS (
+                SELECT doc_id, CAST(4 + h64 % 13 AS BIGINT) AS height,
+                       CAST(4 + (h64 >> 8) % 13 AS BIGINT) AS width
+                FROM m
+            )
+            SELECT height, width, CAST(count(*) AS BIGINT) AS n_images,
+                   min(doc_id) AS min_doc_id
+            FROM dims GROUP BY 1, 2 HAVING count(*) > 1
         """,
         "media_decode": """
             WITH m AS (
