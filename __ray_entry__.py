@@ -752,6 +752,46 @@ def _q_sample_stratified(sf_dir: str):
     return stratified_sample(ds, stratum_column="lang", k=20)
 
 
+def _q_curate_pack(sf_dir: str):
+    # END-TO-END curation composition: exact-dedup survivors ->
+    # benchmark decontamination (every-97th doc plays the eval set) ->
+    # token-count quality floor -> deterministic sequence packing.
+    # Each stage is an already-oracled operator; this query proves they
+    # compose (the oracle nests the same CTEs).
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.decontam import decontaminate
+    from saber_ray.stages.dedup import dedup_exact
+    from saber_ray.stages.packing import pack_sequences
+    from saber_ray.stages.relational import semi_join
+    from saber_ray.stages.textstats import token_count_batch
+
+    docs = read_documents_flat(sf_dir)
+    survivors = dedup_exact(docs).select_columns(["doc_id"])
+    deduped = semi_join(docs, survivors, "doc_id", "doc_id")
+
+    def split(want_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            is_eval = (ids % 97) == 0
+            return b.filter(pa.array(is_eval if want_eval else ~is_eval))
+        return f
+
+    evals = docs.map_batches(split(True), batch_format="pyarrow")
+    train = deduped.map_batches(split(False), batch_format="pyarrow")
+    clean = decontaminate(train, evals, n=8)
+
+    def quality_floor(b: pa.Table) -> pa.Table:
+        t = token_count_batch(b)
+        return t.filter(pc.greater_equal(t["n_tokens"], 10)).select(
+            ["doc_id", "text"])
+
+    curated = clean.map_batches(quality_floor, batch_format="pyarrow")
+    return pack_sequences(curated, budget=2048, bucket_count=8)
+
+
 def _q_pack_interleaved(sf_dir: str):
     # multimodal packing: every 5th doc gets one injected image span
     # (the media_decode convention); the pack budget charges text spans
@@ -997,6 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "pack_sequences": _q_pack_sequences,
+        "curate_pack": _q_curate_pack,
         "pack_interleaved": _q_pack_interleaved,
     }
 
@@ -1855,6 +1896,60 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY lang ORDER BY {_HASHKEY}, doc_id
             ) <= 20
+        """,
+        "curate_pack": f"""
+            WITH RECURSIVE survivors AS (
+                SELECT min(doc_id) AS doc_id
+                FROM documents
+                GROUP BY md5(array_to_string({TOKENS_SQL}, ' '))
+            ),
+            toks AS (
+                SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s
+                FROM toks, LATERAL (
+                    SELECT UNNEST(range(1, len(t) - 7 + 1)) AS i
+                ) r
+            ),
+            banned AS (
+                SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+            ),
+            hit AS (
+                SELECT DISTINCT sh.doc_id
+                FROM sh JOIN banned ON sh.s = banned.s
+                WHERE sh.doc_id % 97 <> 0
+            ),
+            curated AS (
+                SELECT d.doc_id,
+                       CAST(len({_TOKENS_RAW_SQL}) AS BIGINT) AS n_tokens
+                FROM documents d
+                JOIN survivors sv ON d.doc_id = sv.doc_id
+                WHERE d.doc_id % 97 <> 0
+                  AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+                  AND len({_TOKENS_RAW_SQL}) >= 10
+            ),
+            ordered AS (
+                SELECT doc_id, {_HASHKEY} % 8 AS bucket, n_tokens,
+                       row_number() OVER (
+                           PARTITION BY {_HASHKEY} % 8 ORDER BY doc_id
+                       ) AS rn
+                FROM curated
+            ),
+            packs AS (
+                SELECT doc_id, bucket, rn, n_tokens, n_tokens AS cum,
+                       CAST(0 AS BIGINT) AS pack_id
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.doc_id, o.bucket, o.rn, o.n_tokens,
+                       CASE WHEN p.cum + o.n_tokens > 2048
+                            THEN o.n_tokens ELSE p.cum + o.n_tokens END,
+                       CASE WHEN p.cum + o.n_tokens > 2048
+                            THEN p.pack_id + 1 ELSE p.pack_id END
+                FROM ordered o
+                JOIN packs p ON o.bucket = p.bucket AND o.rn = p.rn + 1
+            )
+            SELECT doc_id, bucket, pack_id, n_tokens FROM packs
         """,
         "pack_interleaved": f"""
             WITH RECURSIVE ordered AS (
