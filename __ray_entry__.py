@@ -846,6 +846,26 @@ def _q_pricing_rollup(sf_dir: str):
     return pricing_rollup(read_table(sf_dir, "lineitem", columns=cols))
 
 
+def _q_pricing_cube(sf_dir: str):
+    # GROUP BY CUBE: all four grouping sets from one corpus shuffle
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import pricing_cube
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount"]
+    return pricing_cube(read_table(sf_dir, "lineitem", columns=cols))
+
+
+def _q_events_pivot(sf_dir: str):
+    # PIVOT/crosstab: event_type x calendar-day count matrix; the wide
+    # reshape runs on the aggregated (tiny) table with an EXPLICIT,
+    # data-independent column domain
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import pivot_counts
+
+    return pivot_counts(read_table(sf_dir, "events", columns=["event_type", "ts"]))
+
+
 def _q_tpch_q10(sf_dir: str):
     # 3-way join with the fact side pre-aggregated at the scan: returned
     # revenue per order -> per customer -> top-20
@@ -1005,6 +1025,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
         "pricing_rollup": _q_pricing_rollup,
+        "pricing_cube": _q_pricing_cube,
+        "events_pivot": _q_events_pivot,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
@@ -1686,6 +1708,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "pricing_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "events_pivot": """
+            SELECT event_type,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-01') AS BIGINT) AS d_2024_01_01,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-02') AS BIGINT) AS d_2024_01_02,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-03') AS BIGINT) AS d_2024_01_03,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-04') AS BIGINT) AS d_2024_01_04,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05') AS BIGINT) AS d_2024_01_05,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-06') AS BIGINT) AS d_2024_01_06,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-07') AS BIGINT) AS d_2024_01_07,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-08') AS BIGINT) AS d_2024_01_08,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-09') AS BIGINT) AS d_2024_01_09,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-10') AS BIGINT) AS d_2024_01_10,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-11') AS BIGINT) AS d_2024_01_11,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-12') AS BIGINT) AS d_2024_01_12,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-13') AS BIGINT) AS d_2024_01_13,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-14') AS BIGINT) AS d_2024_01_14,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15') AS BIGINT) AS d_2024_01_15,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-16') AS BIGINT) AS d_2024_01_16,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-17') AS BIGINT) AS d_2024_01_17,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-18') AS BIGINT) AS d_2024_01_18,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-19') AS BIGINT) AS d_2024_01_19,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-20') AS BIGINT) AS d_2024_01_20,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-21') AS BIGINT) AS d_2024_01_21,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-22') AS BIGINT) AS d_2024_01_22,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-23') AS BIGINT) AS d_2024_01_23,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-24') AS BIGINT) AS d_2024_01_24,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-25') AS BIGINT) AS d_2024_01_25,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-26') AS BIGINT) AS d_2024_01_26,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-27') AS BIGINT) AS d_2024_01_27,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-28') AS BIGINT) AS d_2024_01_28,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-29') AS BIGINT) AS d_2024_01_29,
+                   CAST(count(*) FILTER (WHERE strftime(ts, '%Y-%m-%d') = '2024-01-30') AS BIGINT) AS d_2024_01_30
+            FROM events GROUP BY event_type
         """,
         "tpch_q14": """
             SELECT round(

@@ -1090,19 +1090,10 @@ def rolling_avg(
     ).groupby("__bucket").map_groups(roll, batch_format="pandas")
 
 
-def pricing_rollup(lineitem: rd.Dataset) -> rd.Dataset:
-    """SQL ``GROUP BY ROLLUP(l_returnflag, l_linestatus)`` over lineitem:
-    quantity/revenue totals at three nesting levels — (flag, status),
-    (flag, NULL), (NULL, NULL) — in one result, NULL marking the
-    rolled-up dimension.
-
-    Scale shape: the corpus is aggregated ONCE at the finest level
-    (per-batch Arrow partials → one real shuffle, exactly
-    ``lineitem_pricing_summary``'s plan); every coarser level is then a
-    RE-aggregation of the finest result, which has one row per
-    (flag, status) combination — constant-sized no matter the corpus —
-    so the rollup adds only trivial shuffles over that tiny table.
-    """
+def _pricing_finest(lineitem: rd.Dataset) -> rd.Dataset:
+    """UNROUNDED (flag, status) totals: per-batch Arrow partials → one
+    real shuffle; materialized because every grouping-set level
+    re-aggregates it (Ray Data has no common-subexpression reuse)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -1114,7 +1105,7 @@ def pricing_rollup(lineitem: rd.Dataset) -> rd.Dataset:
             [("l_quantity", "sum"), ("rev", "sum"), ("l_quantity", "count")]
         )
 
-    finest = (
+    return (
         lineitem.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
@@ -1122,31 +1113,30 @@ def pricing_rollup(lineitem: rd.Dataset) -> rd.Dataset:
             rd.aggregate.Sum("rev_sum", alias_name="sum_rev"),
             rd.aggregate.Sum("l_quantity_count", alias_name="n"),
         )
-        .materialize()  # tiny (one row per flag x status); reused 3x
+        .materialize()
     )
 
-    def null_out(columns: list[str]):
-        def fn(batch: pa.Table) -> pa.Table:
-            for c in columns:
-                batch = batch.set_column(
-                    batch.column_names.index(c), c,
-                    pa.nulls(batch.num_rows, type=pa.string()),
-                )
-            return batch
-        return fn
 
-    def reagg(ds: rd.Dataset) -> rd.Dataset:
-        return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            rd.aggregate.Sum("sum_qty", alias_name="sum_qty"),
-            rd.aggregate.Sum("sum_rev", alias_name="sum_rev"),
-            rd.aggregate.Sum("n", alias_name="n"),
-        )
+def _null_out(columns: list[str]):
+    def fn(batch: pa.Table) -> pa.Table:
+        for c in columns:
+            batch = batch.set_column(
+                batch.column_names.index(c), c,
+                pa.nulls(batch.num_rows, type=pa.string()),
+            )
+        return batch
+    return fn
 
-    level1 = reagg(finest.map_batches(null_out(["l_linestatus"]),
-                                      batch_format="pyarrow"))
-    level2 = reagg(finest.map_batches(
-        null_out(["l_returnflag", "l_linestatus"]), batch_format="pyarrow"))
 
+def _reagg_level(ds: rd.Dataset) -> rd.Dataset:
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        rd.aggregate.Sum("sum_qty", alias_name="sum_qty"),
+        rd.aggregate.Sum("sum_rev", alias_name="sum_rev"),
+        rd.aggregate.Sum("n", alias_name="n"),
+    )
+
+
+def _round_levels(ds: rd.Dataset) -> rd.Dataset:
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             "l_returnflag": batch["l_returnflag"],
@@ -1158,6 +1148,88 @@ def pricing_rollup(lineitem: rd.Dataset) -> rd.Dataset:
             "n": pc.cast(batch["n"], pa.int64()),
         })
 
-    return finest.union(level1).union(level2).map_batches(
-        finish, batch_format="pyarrow"
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def pricing_rollup(lineitem: rd.Dataset) -> rd.Dataset:
+    """SQL ``GROUP BY ROLLUP(l_returnflag, l_linestatus)`` over lineitem:
+    quantity/revenue totals at three nesting levels — (flag, status),
+    (flag, NULL), (NULL, NULL) — in one result, NULL marking the
+    rolled-up dimension.
+
+    Scale shape: the corpus is aggregated ONCE at the finest level
+    (per-batch Arrow partials → one real shuffle, exactly
+    ``lineitem_pricing_summary``'s plan); every coarser level is then a
+    RE-aggregation of the finest UNROUNDED result, which has one row per
+    (flag, status) combination — constant-sized no matter the corpus —
+    so the rollup adds only trivial shuffles over that tiny table.
+    Rounding happens once at the very end (re-aggregating rounded sums
+    would drift up to 0.005 × groups off the oracle's raw-row sums).
+    """
+    finest = _pricing_finest(lineitem)
+    level1 = _reagg_level(finest.map_batches(_null_out(["l_linestatus"]),
+                                             batch_format="pyarrow"))
+    level2 = _reagg_level(finest.map_batches(
+        _null_out(["l_returnflag", "l_linestatus"]), batch_format="pyarrow"))
+    return _round_levels(finest.union(level1).union(level2))
+
+
+def pricing_cube(lineitem: rd.Dataset) -> rd.Dataset:
+    """SQL ``GROUP BY CUBE(l_returnflag, l_linestatus)``: all four
+    grouping sets — (flag, status), (flag, ·), (·, status), (·, ·) —
+    :func:`pricing_rollup`'s plan plus the (·, status) set; every level
+    re-aggregates the unrounded finest table and rounds once."""
+    finest = _pricing_finest(lineitem)
+    level_flag = _reagg_level(finest.map_batches(
+        _null_out(["l_linestatus"]), batch_format="pyarrow"))
+    level_status = _reagg_level(finest.map_batches(
+        _null_out(["l_returnflag"]), batch_format="pyarrow"))
+    level_grand = _reagg_level(finest.map_batches(
+        _null_out(["l_returnflag", "l_linestatus"]), batch_format="pyarrow"))
+    return _round_levels(
+        finest.union(level_flag).union(level_status).union(level_grand)
     )
+
+
+def pivot_counts(
+    events: rd.Dataset,
+    row_key: str = "event_type",
+    ts_column: str = "ts",
+    days: "list[str] | None" = None,
+) -> pa.Table:
+    """Crosstab / PIVOT: one row per ``row_key``, one count column per
+    calendar day — the wide reshaping Ray Data has no operator for.
+
+    Scale shape: the corpus reduces with ONE (row_key, day) groupby
+    (per-batch Arrow partials first), and only the aggregated table —
+    |row keys| × |days| cells — is reshaped, on the driver, into the
+    wide layout. The column DOMAIN is explicit (callers pass ``days``)
+    so the output schema is fixed and resume/append-stable, never
+    data-dependent.
+    """
+    import datetime
+
+    days = days or [f"2024-01-{d:02d}" for d in range(1, 31)]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch[ts_column], unit="day"),
+                          format="%Y-%m-%d")
+        t = pa.table({row_key: batch[row_key], "day": day})
+        return t.group_by([row_key, "day"]).aggregate([([], "count_all")])
+
+    agg = (
+        events.select_columns([row_key, ts_column])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby([row_key, "day"]).sum("count_all")
+    )
+    cells = {}
+    row_keys = set()
+    for r in agg.take_all():          # |keys| x |days| rows - tiny
+        cells[(r[row_key], r["day"])] = int(r["sum(count_all)"])
+        row_keys.add(r[row_key])
+    rows = sorted(row_keys)
+    cols = {row_key: pa.array(rows, type=pa.string())}
+    for d in days:
+        cols[f"d_{d.replace('-', '_')}"] = pa.array(
+            [cells.get((rk, d), 0) for rk in rows], type=pa.int64())
+    return pa.table(cols)

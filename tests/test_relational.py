@@ -315,3 +315,26 @@ def test_pricing_rollup_levels():
         parts = [r for r in finest if r["l_returnflag"] == pf["l_returnflag"]]
         assert pf["n"] == sum(r["n"] for r in parts)
         assert math.isclose(pf["sum_qty"], sum(r["sum_qty"] for r in parts), rel_tol=1e-9)
+
+
+def test_pricing_cube_adds_status_level():
+    import __ray_entry__ as e
+
+    rows = e.queries()["pricing_cube"](SF).take_all()
+    by_status = [r for r in rows if r["l_returnflag"] is None and r["l_linestatus"] is not None]
+    finest = [r for r in rows if r["l_returnflag"] is not None and r["l_linestatus"] is not None]
+    assert by_status, "cube must include the (NULL, status) grouping set"
+    for bs in by_status:
+        parts = [r for r in finest if r["l_linestatus"] == bs["l_linestatus"]]
+        assert bs["n"] == sum(r["n"] for r in parts)
+
+
+def test_pivot_counts_cells():
+    import pyarrow.compute as pc
+
+    import __ray_entry__ as e
+
+    t = e.queries()["events_pivot"](SF)
+    assert t.num_columns == 31                      # event_type + 30 days
+    total = sum(pc.sum(t[c]).as_py() for c in t.column_names if c != "event_type")
+    assert total == 1000                            # sf0.001 events rows
