@@ -1,0 +1,108 @@
+"""Randomized brute-force cross-checks for the round-2 operators.
+
+Each test draws a handful of seeded random inputs (small — every case
+runs a real Ray pipeline) and compares the distributed operator against
+an O(n²) / pure-pandas reference computed locally.
+"""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _random_events(rng, n, n_users, n_minutes=120):
+    ts = [dt.datetime(2024, 1, 1) + dt.timedelta(
+        minutes=int(m), seconds=int(s))
+        for m, s in zip(rng.integers(0, n_minutes, n),
+                        rng.integers(0, 60, n))]
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(ts).astype("datetime64[us]"),
+        "user_id": rng.integers(0, n_users, n).astype(np.int64),
+        "value": rng.uniform(0, 10, n).round(3),
+    })
+
+
+def test_window_count_join_vs_bruteforce_random():
+    from saber_ray.stages.relational import window_count_join
+
+    for seed in (3, 17, 99):
+        rng = np.random.default_rng(seed)
+        left_df = _random_events(rng, 60, 5)
+        right_df = _random_events(rng, 80, 5)
+        before = pd.Timedelta(minutes=25)
+        after = pd.Timedelta(minutes=10)
+        left = rd.from_arrow(pa.Table.from_pandas(left_df)).repartition(3)
+        right = rd.from_arrow(pa.Table.from_pandas(
+            right_df[["ts", "user_id"]])).repartition(2)
+        got = {r["event_id"]: r["n_range"] for r in window_count_join(
+            left, right, before=before, after=after).take_all()}
+        for _, l in left_df.iterrows():
+            m = right_df[(right_df.user_id == l.user_id)
+                         & (right_df.ts >= l.ts - before)
+                         & (right_df.ts < l.ts + after)]
+            assert got[l.event_id] == len(m), (seed, l.event_id)
+
+
+def test_running_and_rolling_vs_pandas_random():
+    from saber_ray.stages.relational import rolling_avg, running_totals
+
+    rng = np.random.default_rng(7)
+    df = _random_events(rng, 200, 8)
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["run"] = ref.groupby("user_id")["value"].cumsum()
+    ref["roll"] = ref.groupby("user_id")["value"].rolling(
+        3, min_periods=1).mean().reset_index(level=0, drop=True)
+
+    run = {r["event_id"]: r["running_value"] for r in running_totals(ds).take_all()}
+    roll = {r["event_id"]: r["rolling_avg"] for r in rolling_avg(ds).take_all()}
+    for _, row in ref.iterrows():
+        assert abs(run[row.event_id] - row.run) < 1e-9
+        assert abs(roll[row.event_id] - row.roll) < 1e-9
+
+
+def test_salted_join_vs_plain_random_skew():
+    from saber_ray.stages.relational import salted_join
+
+    for seed in (1, 42):
+        rng = np.random.default_rng(seed)
+        n = 500
+        # zipf-ish skew: most rows on a few keys
+        keys = np.minimum(rng.zipf(1.3, n), 50).astype(np.int64)
+        left = rd.from_arrow(pa.table({
+            "k": keys, "lval": np.arange(n, dtype=np.int64)})).repartition(4).materialize()
+        rk = rng.choice(50, 12, replace=False).astype(np.int64)
+        right = rd.from_arrow(pa.table({
+            "k": rk, "rval": np.arange(12, dtype=np.int64)})).materialize()
+        got = sorted((r["k"], r["lval"], r["rval"]) for r in salted_join(
+            left, right, "k", num_salts=3, hot_threshold=30,
+            num_partitions=3).take_all())
+        want = sorted((r["k"], r["lval"], r["rval"]) for r in left.join(
+            right, join_type="inner", num_partitions=3, on=("k",)).take_all())
+        assert got == want, seed
+
+
+def test_weighted_sample_matches_local_es_order():
+    import hashlib
+
+    from saber_ray.stages.sampling import weighted_sample
+
+    rng = np.random.default_rng(11)
+    n, k = 300, 25
+    w = rng.uniform(0.1, 5.0, n)
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                  "w": pa.array(w)})
+    got = sorted(r["doc_id"] for r in weighted_sample(
+        rd.from_arrow(t).repartition(6), "w", k=k,
+        id_column="doc_id").take_all())
+    u = np.array([(int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 0.5)
+                  / 2**32 for i in range(n)])
+    key = -np.log(u) / w
+    want = sorted(np.argsort(key, kind="stable")[:k].tolist())
+    assert got == want
