@@ -45,6 +45,13 @@ def key_hashes64(column: "pa.ChunkedArray | pa.Array", seed: int = 0) -> np.ndar
     if isinstance(column, pa.ChunkedArray):
         column = column.combine_chunks()
     if pa.types.is_integer(column.type):
+        # fill nulls BEFORE to_numpy: a null forces a float64 conversion
+        # that silently rounds ints >2^53 (2^60+1 -> 2^60), so the same
+        # key would hash differently depending on its block's null count
+        # — a Bloom FALSE NEGATIVE. Nulls hash as 0 (never joinable
+        # anyway; at worst one extra false positive).
+        if column.null_count:
+            column = column.fill_null(0)
         vals = column.to_numpy(zero_copy_only=False).astype(np.uint64)
         return _splitmix64(vals, seed)
     try:

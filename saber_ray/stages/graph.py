@@ -407,7 +407,15 @@ def triangles(edges: rd.Dataset, num_partitions: int = 8,
     import pyarrow.compute as pc
 
     ud = _ud if _ud is not None else undirected_edges(edges, num_partitions)
-    id_type = ud.schema().types[ud.schema().names.index("u")]
+    # an EMPTY ud (self-loop-only / empty graph) reports schema() None —
+    # fall back to the input edge table's src type for the typed empty
+    ud_schema = ud.schema()
+    if ud_schema is not None and "u" in ud_schema.names:
+        id_type = ud_schema.types[ud_schema.names.index("u")]
+    else:
+        es = edges.schema()
+        id_type = (es.types[es.names.index("src")]
+                   if es is not None and "src" in es.names else pa.string())
 
     def _empty_abc() -> rd.Dataset:
         return rd.from_arrow(pa.table({
@@ -416,6 +424,8 @@ def triangles(edges: rd.Dataset, num_partitions: int = 8,
             "c": pa.array([], type=id_type),
         }))
 
+    if ud.count() == 0:
+        return _empty_abc()
     w1 = ud.rename_columns({"u": "a", "v": "b"})
     w2 = ud.rename_columns({"u": "a", "v": "c"})
     wedges = (
@@ -454,6 +464,18 @@ def clustering_coefficient(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dat
     import pyarrow.compute as pc
 
     ud = undirected_edges(edges, num_partitions)
+    if ud.count() == 0:
+        # self-loop-only / empty graph: no undirected edges, no nodes
+        # with degree >= 1 — typed empty result (ud has no schema here)
+        es = edges.schema()
+        id_type = (es.types[es.names.index("src")]
+                   if es is not None and "src" in es.names else pa.string())
+        return rd.from_arrow(pa.table({
+            "node_id": pa.array([], type=id_type),
+            "degree": pa.array([], type=pa.int64()),
+            "n_tri": pa.array([], type=pa.int64()),
+            "coefficient": pa.array([], type=pa.float64()),
+        }))
     tri = triangles(edges, num_partitions, _ud=ud)
 
     def tri_endpoints(batch: pa.Table) -> pa.Table:

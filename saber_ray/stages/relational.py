@@ -493,21 +493,26 @@ def semi_join(
     against unique keys is exactly semi-join semantics (no row
     multiplication).
 
-    An ALL-EMPTY side short-circuits to a typed empty result: Ray's
-    hash join breaks on the schema-less blocks an empty side carries
-    (``FieldRef unresolvable``), and the ``limit(1)`` probe is a
-    streaming early-stop — it reads at most one upstream block.
+    Empty-side handling (Ray's hash join breaks on the schema-less
+    blocks an all-empty side carries): the distinct-key reduce is
+    MATERIALIZED — its count is then free and the join reuses the same
+    computed blocks, so the emptiness check adds zero re-execution of
+    the right side. The left side gets a ``limit(1)`` probe; that is a
+    streaming early-stop (one block) on map-only lineage, but on a
+    shuffle-derived left it runs the upstream shuffle — pass a
+    materialized left when chaining wide operators.
     """
     from ..functions.partitioning import shuffle_partitions
 
-    if left.limit(1).count() == 0 or right.limit(1).count() == 0:
-        return left.limit(0)
     keys = (
         right.select_columns([right_on])
         .groupby(right_on)
         .count()
         .select_columns([right_on])
+        .materialize()  # distinct keys only — small; count + join reuse it
     )
+    if keys.count() == 0 or left.limit(1).count() == 0:
+        return left.limit(0)
     n = num_partitions or shuffle_partitions(8, left)
     return left.join(
         keys, join_type="inner", num_partitions=n,
@@ -582,7 +587,11 @@ def asof_join(
 
     right_columns = right_columns or {"value": "prior_value"}
     n = num_partitions or shuffle_partitions(8, left)
-    left_names = [c for c in left.schema().names]
+    # capture names/types as plain lists on the driver: referencing
+    # ``left`` inside a UDF would pickle the whole Dataset plan into
+    # every map task
+    left_names = list(left.schema().names)
+    left_types = list(left.schema().types)
     out_names = list(right_columns.values())
 
     def tag_left(batch: pa.Table) -> pa.Table:
@@ -595,32 +604,18 @@ def asof_join(
 
     def tag_right(batch: pa.Table) -> pa.Table:
         cols = {}
-        for c in left_names:
+        for c, typ in zip(left_names, left_types):
             if c in (by, on):
                 cols[c] = batch[c]
             else:
-                cols[c] = pa.nulls(
-                    batch.num_rows, type=left.schema().types[left_names.index(c)]
-                )
+                cols[c] = pa.nulls(batch.num_rows, type=typ)
         for src, name in right_columns.items():
             cols[name] = pc.cast(batch[src], pa.float64())
         cols["__side"] = pa.array(["R"] * batch.num_rows)
         return pa.table(cols)
 
     def bucket(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        from ..functions.hashing import stable_u64
-
-        keys = batch[by].to_numpy(zero_copy_only=False)
-        if np.issubdtype(keys.dtype, np.integer):
-            b = (np.abs(keys.astype(np.int64)) % n).astype(np.int32)
-        else:
-            # process-stable hash: builtin hash() varies per worker
-            # (PYTHONHASHSEED) and would split one key across buckets
-            b = np.array([stable_u64(str(k)) % n for k in keys.tolist()],
-                         dtype=np.int32)
-        return batch.append_column("__bucket", pa.array(b))
+        return batch.append_column("__bucket", _key_buckets(batch, by, n))
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
@@ -645,12 +640,24 @@ def asof_join(
 
 
 def _key_buckets(batch: pa.Table, by: str, n: int) -> pa.Array:
-    """Process-stable ``hash(by) % n`` bucket ids for a batch column."""
+    """Process-stable ``hash(by) % n`` bucket ids for a batch column.
+
+    Integer nulls are filled with 0 BEFORE the numpy conversion: a null
+    forces float64, which (a) rounds ints >2^53 and (b) flips the dtype
+    branch, so the same key would land in different buckets depending on
+    whether its block happens to contain a null — silently splitting one
+    key's rows across groups. All nulls share bucket ``0 % n``.
+    """
     import numpy as np
 
     from ..functions.hashing import stable_u64
 
-    keys = batch[by].to_numpy(zero_copy_only=False)
+    col = batch[by]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type) and col.null_count:
+        col = col.fill_null(0)
+    keys = col.to_numpy(zero_copy_only=False)
     if np.issubdtype(keys.dtype, np.integer):
         b = (np.abs(keys.astype(np.int64)) % n).astype(np.int32)
     else:
@@ -664,8 +671,8 @@ def window_count_join(
     right: rd.Dataset,
     on: str = "ts",
     by: str = "user_id",
-    before: "pd.Timedelta | int | None" = None,
-    after: "pd.Timedelta | int | None" = None,
+    before: "pd.Timedelta | str | int | float | None" = None,
+    after: "pd.Timedelta | str | int | float | None" = None,
     count_column: str = "n_range",
 ) -> rd.Dataset:
     """Range (band) join, count-aggregated: each left row gets the COUNT
@@ -687,12 +694,27 @@ def window_count_join(
     """
     import pandas as pd
 
-    before = pd.Timedelta(0) if before is None else pd.Timedelta(before)
-    after = pd.Timedelta(0) if after is None else pd.Timedelta(after)
     from ..functions.partitioning import shuffle_partitions
 
     n = shuffle_partitions(8, left)
     left_names = list(left.schema().names)
+    left_types = list(left.schema().types)  # plain list: never close over `left`
+    on_type = left_types[left_names.index(on)]
+    if pa.types.is_temporal(on_type):
+        # Timedelta coercion only makes sense for temporal band columns;
+        # a bare int here would be silently read as NANOSECONDS
+        before = pd.Timedelta(0) if before is None else pd.Timedelta(before)
+        after = pd.Timedelta(0) if after is None else pd.Timedelta(after)
+    else:
+        # numeric band column: plain numeric offsets, same units as `on`
+        before = 0 if before is None else before
+        after = 0 if after is None else after
+        if isinstance(before, (str, pd.Timedelta)) or isinstance(
+                after, (str, pd.Timedelta)):
+            raise TypeError(
+                f"column {on!r} is numeric ({on_type}); pass numeric "
+                "before/after offsets, not durations"
+            )
 
     def tag_left(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -701,13 +723,11 @@ def window_count_join(
 
     def tag_right(batch: pa.Table) -> pa.Table:
         cols = {}
-        for c in left_names:
+        for c, typ in zip(left_names, left_types):
             if c in (by, on):
                 cols[c] = batch[c]
             else:
-                cols[c] = pa.nulls(
-                    batch.num_rows, type=left.schema().types[left_names.index(c)]
-                )
+                cols[c] = pa.nulls(batch.num_rows, type=typ)
         cols["__side"] = pa.array(["R"] * batch.num_rows)
         t = pa.table(cols)
         return t.append_column("__bucket", _key_buckets(t, by, n))
@@ -768,23 +788,30 @@ def anti_join(
 ) -> rd.Dataset:
     """Distributed NOT-EXISTS anti-join: left rows with NO match in
     ``right``. The complement of :func:`semi_join`, on Ray Data's native
-    hash-shuffle ``left_anti`` join; only the right KEY column is
-    shuffled (payload pruned at the join input), and anti semantics
-    never multiply rows, so no distinct pre-reduce is needed.
-
-    An ALL-EMPTY side short-circuits (see :func:`semi_join`): empty
-    right → every left row survives; empty left → empty result.
+    hash-shuffle ``left_anti`` join. The right side reduces to DISTINCT
+    keys first (anti never multiplies rows, so this is purely a size
+    win: the join's build side shrinks to unique keys) and the reduced
+    key set is MATERIALIZED — the emptiness check and the join share
+    one execution (see :func:`semi_join` for the empty-block rationale).
+    Empty right → every left row survives; empty left → empty result
+    (left probed with a streaming ``limit(1)``).
     """
     from ..functions.partitioning import shuffle_partitions
 
-    if right.limit(1).count() == 0:
+    keys = (
+        right.select_columns([right_on])
+        .groupby(right_on)
+        .count()
+        .select_columns([right_on])
+        .materialize()
+    )
+    if keys.count() == 0:
         return left
     if left.limit(1).count() == 0:
         return left.limit(0)
     n = num_partitions or shuffle_partitions(8, left)
     return left.join(
-        right.select_columns([right_on]),
-        join_type="left_anti", num_partitions=n,
+        keys, join_type="left_anti", num_partitions=n,
         on=(left_on,), right_on=(right_on,),
     )
 
@@ -985,8 +1012,11 @@ def salted_join(
     ``hot_keys`` skips detection. Otherwise hot keys are found with a
     keys-only partial-count pass over ``left`` (never the payload):
     count > ``hot_threshold`` (default: 4× the mean per-key count,
-    floored at 1000). Pass a materialized or file-backed ``left`` —
-    Ray Data re-executes derived lineage once per consumer.
+    floored at 1000). Only the keys ABOVE the threshold ever reach the
+    driver (heavy hitters are few by definition, capped at ``max_hot``
+    with a logged truncation — never the full distinct-key table).
+    Pass a materialized or file-backed ``left`` — Ray Data re-executes
+    derived lineage once per consumer.
     """
     import numpy as np
 
@@ -1001,6 +1031,7 @@ def salted_join(
     if left.limit(1).count() == 0 or right.limit(1).count() == 0:
         return left.limit(0)
 
+    max_hot = 100_000
     if hot_keys is None:
         def key_partial(batch: pa.Table) -> pa.Table:
             g = batch.select([left_on]).group_by(left_on).aggregate(
@@ -1011,27 +1042,47 @@ def salted_join(
         counts = (
             left.map_batches(key_partial, batch_format="pyarrow")
             .groupby(left_on).sum("cnt")
-        ).take_all()
-        total = sum(r["sum(cnt)"] for r in counts)
-        thresh = hot_threshold or max(1000, (4 * total) // max(1, len(counts)))
-        hot_keys = {r[left_on] for r in counts if r["sum(cnt)"] > thresh}
-    hot = ray.put(hot_keys)
+            .rename_columns({"sum(cnt)": "cnt_total"})
+            .materialize()  # distinct keys; total/count/filter share one run
+        )
+        if hot_threshold is None:
+            total = counts.sum("cnt_total") or 0
+            hot_threshold = max(1000, (4 * int(total)) // max(1, counts.count()))
+        # only the heavy hitters come to the driver, never the key table
+        hot_rows = counts.filter(
+            expr=f"cnt_total > {int(hot_threshold)}"
+        ).limit(max_hot + 1).take_all()
+        if len(hot_rows) > max_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "salted_join: >%d hot keys above threshold %d; salting "
+                "only the first %d", max_hot, hot_threshold, max_hot)
+            hot_rows = hot_rows[:max_hot]
+        hot_keys = [r[left_on] for r in hot_rows]
+    hot_arr = pa.array(list(hot_keys))
+    hot = ray.put(hot_arr)
+
+    def _is_hot_mask(column) -> pa.Array:
+        hk = ray.get(hot)
+        if len(hk) == 0:
+            return pa.array(np.zeros(len(column), dtype=bool))
+        return pc.is_in(
+            column.combine_chunks() if isinstance(column, pa.ChunkedArray) else column,
+            value_set=hk,
+        )
 
     def salt_left(batch: pa.Table) -> pa.Table:
-        hk = ray.get(hot)
-        keys = batch[left_on].to_pylist()
-        is_hot = np.array([k in hk for k in keys])
-        salts = np.zeros(len(keys), dtype=np.int32)
+        is_hot = _is_hot_mask(batch[left_on]).to_numpy(zero_copy_only=False)
+        salts = np.zeros(batch.num_rows, dtype=np.int32)
         salts[is_hot] = np.arange(int(is_hot.sum())) % num_salts
         return batch.append_column("__salt", pa.array(salts))
 
     def replicate_right(batch: pa.Table) -> pa.Table:
-        hk = ray.get(hot)
-        keys = batch[right_on].to_pylist()
-        is_hot = pa.array([k in hk for k in keys])
-        cold = batch.filter(pc.invert(is_hot)).append_column(
-            "__rsalt", pa.array(np.zeros(len(keys) - sum(is_hot.to_pylist()),
-                                         dtype=np.int32)))
+        is_hot = _is_hot_mask(batch[right_on])
+        cold = batch.filter(pc.invert(is_hot))
+        cold = cold.append_column(
+            "__rsalt", pa.array(np.zeros(cold.num_rows, dtype=np.int32)))
         hot_rows = batch.filter(is_hot)
         parts = [cold] + [
             hot_rows.append_column(

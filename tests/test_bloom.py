@@ -53,3 +53,12 @@ def test_bloom_semi_join_identical_to_semi_join():
     want = sorted(r["id"] for r in semi_join(
         left, right, "k", "k", num_partitions=2).take_all())
     assert got == want and len(got) == 2000 // 500 * 4
+
+
+def test_no_false_negatives_with_nulls_and_large_ints():
+    # a null in the column forces a float64 numpy conversion that used
+    # to round ints >2^53 — hashing the same key differently per block
+    big = 2**60 + 1
+    bf = BloomFilter(num_bits=1 << 14, num_hashes=4)
+    bf.add(pa.array([big, None, 7], type=pa.int64()))
+    assert bf.might_contain(pa.array([big, 7], type=pa.int64())).all()

@@ -338,3 +338,16 @@ def test_clustering_coefficient_known_graphs():
     got = {r["node_id"]: r["coefficient"]
            for r in clustering_coefficient(path, num_partitions=2).take_all()}
     assert got == {"a": 0.0, "b": 0.0, "c": 0.0}
+
+
+def test_triangles_and_clustering_on_degenerate_graphs():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.graph import clustering_coefficient, triangles
+
+    # self-loop-only graph: undirected edge set is EMPTY (schema-less) —
+    # both operators must return typed empties, not crash
+    loops = rd.from_arrow(pa.table({"src": ["a", "b"], "dst": ["a", "b"]}))
+    assert triangles(loops, num_partitions=2).take_all() == []
+    assert clustering_coefficient(loops, num_partitions=2).take_all() == []

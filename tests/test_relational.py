@@ -259,9 +259,10 @@ def test_tpch_q14_matches_duckdb():
     import __ray_entry__ as e
 
     got = e.queries()["tpch_q14"](SF)
+    # _duck registers the standard views except part — inline that one
     want = _duck(
-        e.oracle_sql()["tpch_q14"].replace("FROM lineitem", "FROM lineitem")
-        .replace("JOIN part ", "JOIN read_parquet('" + SF + "/part.parquet') part ")
+        e.oracle_sql()["tpch_q14"].replace(
+            "JOIN part ", "JOIN read_parquet('" + SF + "/part.parquet') part ")
     )
     assert abs(got["promo_revenue"][0].as_py() - want["promo_revenue"].iloc[0]) < 1e-9
 
@@ -338,3 +339,29 @@ def test_pivot_counts_cells():
     assert t.num_columns == 31                      # event_type + 30 days
     total = sum(pc.sum(t[c]).as_py() for c in t.column_names if c != "event_type")
     assert total == 1000                            # sf0.001 events rows
+
+
+def test_bucketed_windows_consistent_with_null_keys():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.relational import running_totals
+
+    # one block holds user 7 WITH a null neighbour, another without: the
+    # null used to flip the block to float64 bucketing, splitting user
+    # 7's rows across two running sums
+    t1 = pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "ts": pa.array([1, 2], type=pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([7, None], type=pa.int64()),
+        "value": pa.array([1.0, 5.0]),
+    })
+    t2 = pa.table({
+        "event_id": pa.array([3], type=pa.int64()),
+        "ts": pa.array([3], type=pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([7], type=pa.int64()),
+        "value": pa.array([2.0]),
+    })
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    out = {r["event_id"]: r["running_value"] for r in running_totals(ds).take_all()}
+    assert out[1] == 1.0 and out[3] == 3.0     # one continuous sum for user 7
