@@ -389,6 +389,18 @@ def undirected_edges(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
     )
 
 
+def _node_id_type(ud: rd.Dataset, edges: rd.Dataset) -> "pa.DataType":
+    """Node-id Arrow type for typed-empty results: an EMPTY undirected
+    edge set (self-loop-only / empty graph) reports ``schema() is
+    None``, so fall back to the input edge table's ``src`` type."""
+    ud_schema = ud.schema()
+    if ud_schema is not None and "u" in ud_schema.names:
+        return ud_schema.types[ud_schema.names.index("u")]
+    es = edges.schema()
+    return (es.types[es.names.index("src")]
+            if es is not None and "src" in es.names else pa.string())
+
+
 def triangles(edges: rd.Dataset, num_partitions: int = 8,
               _ud: rd.Dataset | None = None) -> rd.Dataset:
     """Enumerate undirected triangles as (a, b, c) with a < b < c.
@@ -407,15 +419,7 @@ def triangles(edges: rd.Dataset, num_partitions: int = 8,
     import pyarrow.compute as pc
 
     ud = _ud if _ud is not None else undirected_edges(edges, num_partitions)
-    # an EMPTY ud (self-loop-only / empty graph) reports schema() None —
-    # fall back to the input edge table's src type for the typed empty
-    ud_schema = ud.schema()
-    if ud_schema is not None and "u" in ud_schema.names:
-        id_type = ud_schema.types[ud_schema.names.index("u")]
-    else:
-        es = edges.schema()
-        id_type = (es.types[es.names.index("src")]
-                   if es is not None and "src" in es.names else pa.string())
+    id_type = _node_id_type(ud, edges)
 
     def _empty_abc() -> rd.Dataset:
         return rd.from_arrow(pa.table({
@@ -467,9 +471,7 @@ def clustering_coefficient(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dat
     if ud.count() == 0:
         # self-loop-only / empty graph: no undirected edges, no nodes
         # with degree >= 1 — typed empty result (ud has no schema here)
-        es = edges.schema()
-        id_type = (es.types[es.names.index("src")]
-                   if es is not None and "src" in es.names else pa.string())
+        id_type = _node_id_type(ud, edges)
         return rd.from_arrow(pa.table({
             "node_id": pa.array([], type=id_type),
             "degree": pa.array([], type=pa.int64()),

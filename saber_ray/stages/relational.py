@@ -494,24 +494,28 @@ def semi_join(
     multiplication).
 
     Empty-side handling (Ray's hash join breaks on the schema-less
-    blocks an all-empty side carries): the distinct-key reduce is
-    MATERIALIZED — its count is then free and the join reuses the same
-    computed blocks, so the emptiness check adds zero re-execution of
-    the right side. The left side gets a ``limit(1)`` probe; that is a
-    streaming early-stop (one block) on map-only lineage, but on a
-    shuffle-derived left it runs the upstream shuffle — pass a
-    materialized left when chaining wide operators.
+    blocks an all-empty side carries): the LEFT side is probed FIRST
+    with a ``limit(1)`` streaming early-stop — one block on map-only
+    lineage — so an empty left never pays for the right reduce at all.
+    The distinct-key reduce is then MATERIALIZED: its count is free and
+    the join reuses the same computed blocks, so the right-side
+    emptiness check adds zero re-execution (the key set spills to the
+    object store if large). On a shuffle-derived LEFT the probe runs
+    the upstream shuffle — pass a materialized left when chaining wide
+    operators.
     """
     from ..functions.partitioning import shuffle_partitions
 
+    if left.limit(1).count() == 0:
+        return left.limit(0)
     keys = (
         right.select_columns([right_on])
         .groupby(right_on)
         .count()
         .select_columns([right_on])
-        .materialize()  # distinct keys only — small; count + join reuse it
+        .materialize()  # distinct keys only; count + join reuse one run
     )
-    if keys.count() == 0 or left.limit(1).count() == 0:
+    if keys.count() == 0:
         return left.limit(0)
     n = num_partitions or shuffle_partitions(8, left)
     return left.join(
@@ -707,14 +711,28 @@ def window_count_join(
         after = pd.Timedelta(0) if after is None else pd.Timedelta(after)
     else:
         # numeric band column: plain numeric offsets, same units as `on`
+        import datetime as _dt
+
+        import numpy as np
+
         before = 0 if before is None else before
         after = 0 if after is None else after
-        if isinstance(before, (str, pd.Timedelta)) or isinstance(
-                after, (str, pd.Timedelta)):
+        duration_types = (str, pd.Timedelta, _dt.timedelta, np.timedelta64)
+        if isinstance(before, duration_types) or isinstance(after, duration_types):
             raise TypeError(
                 f"column {on!r} is numeric ({on_type}); pass numeric "
                 "before/after offsets, not durations"
             )
+        if pa.types.is_integer(on_type):
+            # fractional offsets on an integer column would be silently
+            # FLOORED by the probe's dtype cast (and float64 can't hold
+            # ns-epoch int64 exactly) — require integral offsets
+            if not (float(before).is_integer() and float(after).is_integer()):
+                raise TypeError(
+                    f"column {on!r} is integer ({on_type}); "
+                    "before/after must be integral"
+                )
+            before, after = int(before), int(after)
 
     def tag_left(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -789,15 +807,19 @@ def anti_join(
     """Distributed NOT-EXISTS anti-join: left rows with NO match in
     ``right``. The complement of :func:`semi_join`, on Ray Data's native
     hash-shuffle ``left_anti`` join. The right side reduces to DISTINCT
-    keys first (anti never multiplies rows, so this is purely a size
-    win: the join's build side shrinks to unique keys) and the reduced
-    key set is MATERIALIZED — the emptiness check and the join share
-    one execution (see :func:`semi_join` for the empty-block rationale).
-    Empty right → every left row survives; empty left → empty result
-    (left probed with a streaming ``limit(1)``).
+    keys first: anti never multiplies rows, so this is a size trade —
+    when FK-style keys repeat it shrinks the join's build side (and its
+    shuffle input) to unique keys; when keys are already near-unique it
+    costs roughly one extra key-column shuffle. The reduced key set is
+    MATERIALIZED so the emptiness check and the join share one execution
+    (see :func:`semi_join` for the empty-block rationale and probe
+    order). Empty left → empty result; empty right → every left row
+    survives.
     """
     from ..functions.partitioning import shuffle_partitions
 
+    if left.limit(1).count() == 0:
+        return left.limit(0)
     keys = (
         right.select_columns([right_on])
         .groupby(right_on)
@@ -807,8 +829,6 @@ def anti_join(
     )
     if keys.count() == 0:
         return left
-    if left.limit(1).count() == 0:
-        return left.limit(0)
     n = num_partitions or shuffle_partitions(8, left)
     return left.join(
         keys, join_type="left_anti", num_partitions=n,
@@ -1048,19 +1068,33 @@ def salted_join(
         if hot_threshold is None:
             total = counts.sum("cnt_total") or 0
             hot_threshold = max(1000, (4 * int(total)) // max(1, counts.count()))
-        # only the heavy hitters come to the driver, never the key table
-        hot_rows = counts.filter(
+        # only the heavy hitters come to the driver, never the key table;
+        # take_batch keeps the ORIGINAL Arrow key type — a Python
+        # round-trip (take_all + pa.array) re-infers types and e.g.
+        # truncates timestamp[ns] keys to [us], silently defeating the
+        # is_in match (and therefore the salting) for those keys
+        hot_ds = counts.filter(
             expr=f"cnt_total > {int(hot_threshold)}"
-        ).limit(max_hot + 1).take_all()
-        if len(hot_rows) > max_hot:
-            import logging
+        ).limit(max_hot + 1).materialize()
+        if hot_ds.count() == 0:
+            key_type = counts.schema().types[counts.schema().names.index(left_on)]
+            hot_arr = pa.array([], type=key_type)
+        else:
+            hot_tbl = hot_ds.take_batch(max_hot + 1, batch_format="pyarrow")
+            if hot_tbl.num_rows > max_hot:
+                import logging
 
-            logging.getLogger(__name__).warning(
-                "salted_join: >%d hot keys above threshold %d; salting "
-                "only the first %d", max_hot, hot_threshold, max_hot)
-            hot_rows = hot_rows[:max_hot]
-        hot_keys = [r[left_on] for r in hot_rows]
-    hot_arr = pa.array(list(hot_keys))
+                logging.getLogger(__name__).warning(
+                    "salted_join: >%d hot keys above threshold %d; salting "
+                    "only the first %d", max_hot, hot_threshold, max_hot)
+                hot_tbl = hot_tbl.slice(0, max_hot)
+            hot_arr = hot_tbl[left_on].combine_chunks()
+    else:
+        # cast explicitly to the left key type — inference from Python
+        # values can silently change the Arrow type (see above)
+        left_sch = left.schema()
+        key_type = left_sch.types[left_sch.names.index(left_on)]
+        hot_arr = pa.array(list(hot_keys), type=key_type)
     hot = ray.put(hot_arr)
 
     def _is_hot_mask(column) -> pa.Array:

@@ -365,3 +365,31 @@ def test_bucketed_windows_consistent_with_null_keys():
     ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
     out = {r["event_id"]: r["running_value"] for r in running_totals(ds).take_all()}
     assert out[1] == 1.0 and out[3] == 3.0     # one continuous sum for user 7
+
+
+def test_window_count_join_numeric_on_column_guards():
+    import pytest
+    import ray.data as rd
+
+    from saber_ray.stages.relational import window_count_join
+
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array([1], type=pa.int64()),
+        "pos": pa.array([100], type=pa.int64()),
+        "user_id": pa.array([7], type=pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "pos": pa.array([95, 99, 100], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7], type=pa.int64()),
+    }))
+    # integral numeric band works: [100-5, 100) -> positions 95, 99
+    out = window_count_join(left, right, on="pos", before=5).take_all()
+    assert out[0]["n_range"] == 2
+    # fractional offsets on an int column would be silently floored
+    with pytest.raises(TypeError):
+        window_count_join(left, right, on="pos", after=0.9)
+    # durations on a numeric column are rejected at the driver
+    import datetime
+
+    with pytest.raises(TypeError):
+        window_count_join(left, right, on="pos", before=datetime.timedelta(minutes=1))
