@@ -100,8 +100,13 @@ def partial_nodes(batch: pa.Table, num_salts: int = 16) -> pa.Table:
             if docs[j] < first_doc:
                 first_doc = docs[j]
             j += 1
-        # support counts ALL mentions, including surfaces trimmed by the cap
-        counter = _top_counts(counter, MAX_SURFACES)
+        # support counts ALL mentions, including surfaces trimmed by the cap.
+        # Batch partials keep the 4x INTERMEDIATE cap (like the merge
+        # states) — capping at MAX_SURFACES here would silently drop a
+        # globally-frequent surface that is locally rank >32 in every
+        # batch, corrupting canonical_name for >32-surface entities; the
+        # final node state is what trims to MAX_SURFACES
+        counter = _top_counts(counter, MAX_SURFACES * 4)
         rows["entity_id"].append(eids[i])
         rows["salt"].append(stable_u64(f"{eids[i]}\x1f{first_doc}") % num_salts)
         rows["surfaces"].append(sorted(counter))

@@ -113,9 +113,13 @@ def _band_rows(batch: pa.Table, num_bands: int, id_column: str) -> pa.Table:
             ids.append(rid)
             bands.append(b)
             hashes.append(h)
+    # empty block: pa.array([]) would infer a NULL-typed id column whose
+    # schema conflicts with non-empty blocks — keep the real id type
+    id_arr = (pa.array(ids) if ids
+              else pa.array([], type=batch.schema.field(id_column).type))
     return pa.table(
         {
-            id_column: pa.array(ids),
+            id_column: id_arr,
             "band": pa.array(bands, type=pa.int32()),
             "band_hash": pa.array(hashes, type=pa.string()),
         }
@@ -232,15 +236,10 @@ def jaccard_for_pairs(
     Driver/test-side helper; at scale the same math runs inside a
     ``map_batches`` over pair rows joined back to shingle sets.
     """
-    def shingles(text):
-        toks = _TOKEN_RE.findall(text.lower()) if text else []
-        if len(toks) < shingle_k:
-            return {" ".join(toks)} if toks else set()
-        return {" ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)}
-
     out = []
     for a, b in pairs:
-        sa, sb = shingles(texts_by_id[a]), shingles(texts_by_id[b])
+        sa = _shingle_set(texts_by_id[a], shingle_k)
+        sb = _shingle_set(texts_by_id[b], shingle_k)
         denom = len(sa | sb)
         out.append((a, b, len(sa & sb) / denom if denom else 0.0))
     return out
@@ -358,7 +357,29 @@ def simhash_near_pairs(
 ) -> rd.Dataset:
     """Near-dup pairs by SimHash: bucket on each 16-bit band (4 tables →
     any pair within Hamming distance 3 shares at least one exact band by
-    pigeonhole), then verify Hamming distance inside the bucket."""
+    pigeonhole), then verify Hamming distance inside the bucket.
+
+    Recall is GUARANTEED only for ``max_hamming < num_tables``
+    (pigeonhole: fewer differing bits than bands forces a shared band);
+    beyond that the banding is best-effort — a pair differing in one
+    bit per band shares no band and is missed — so that configuration
+    logs a warning instead of silently under-delivering. A 64-bit
+    signature holds at most four 16-bit bands (a fifth band key would
+    be the constant 0, funneling the corpus into one dropped bucket) —
+    that config is an error.
+    """
+    if not 1 <= num_tables <= 4:
+        raise ValueError(
+            f"num_tables={num_tables}: a 64-bit simhash has at most four "
+            "16-bit bands")
+    if max_hamming >= num_tables:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "simhash_near_pairs: max_hamming=%d >= num_tables=%d — recall "
+            "is best-effort (pigeonhole guarantee needs fewer differing "
+            "bits than bands); pairs at the distance limit may be missed",
+            max_hamming, num_tables)
     sigs = ds.map_batches(
         lambda b: simhash_batch(b, column).select([id_column, "simhash"]),
         batch_format="pyarrow",
@@ -375,7 +396,9 @@ def simhash_near_pairs(
                 table_ids.append(t)
                 keys.append((u >> (16 * t)) & 0xFFFF)
                 sims.append(sh)
-        return pa.table({id_column: pa.array(ids), "t": pa.array(table_ids, type=pa.int32()),
+        id_arr = (pa.array(ids) if ids
+                  else pa.array([], type=batch.schema.field(id_column).type))
+        return pa.table({id_column: id_arr, "t": pa.array(table_ids, type=pa.int32()),
                          "key": pa.array(keys, type=pa.int64()),
                          "simhash": pa.array(sims, type=pa.int64())})
 
@@ -550,6 +573,10 @@ def near_dup_dropped_ids(
     survivor (the min id) per component, whatever the pair topology.
     Costs O(component diameter) extra shuffles over the pair set only.
     """
+    # materialize once: the signature scan and the verification scan are
+    # two independent consumers, and Ray re-executes derived lineage per
+    # consumer (would run any upstream actor pools twice)
+    docs = docs.materialize()
     pairs = minhash_lsh_pairs(
         docs, num_perm=num_perm, num_bands=num_bands, shingle_k=shingle_k,
         column=column, id_column=id_column, max_bucket=max_bucket,

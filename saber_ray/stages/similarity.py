@@ -38,9 +38,28 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def _stack(column) -> np.ndarray:
-    mat = np.array(column.to_pylist(), dtype=np.float64)
-    if mat.ndim == 1:  # empty block: shape (0,) → (0, 0)
+    vals = column.to_pylist()
+    try:
+        mat = np.array(vals, dtype=np.float64)
+    except (TypeError, ValueError) as ex:
+        # name the offending row: a null or wrong-dimension embedding
+        # otherwise dies deep in numpy with an unactionable message
+        for i, v in enumerate(vals):
+            if v is None:
+                raise ValueError(
+                    f"embedding column contains a null at batch row {i}"
+                ) from ex
+        dims = {len(v) for v in vals}
+        raise ValueError(
+            f"embedding column is ragged: row dimensions {sorted(dims)}"
+        ) from ex
+    if mat.ndim == 1 and len(vals) == 0:  # empty block: shape (0,) → (0, 0)
         mat = mat.reshape(0, 0)
+    elif mat.ndim != 2:
+        dims = {len(v) if v is not None else None for v in vals}
+        raise ValueError(
+            f"embedding column is not a uniform 2-D matrix (row dims {sorted(map(str, dims))})"
+        )
     return mat
 
 
@@ -58,9 +77,15 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
+            # keep the REAL id types on empty blocks: hardcoded int64
+            # here produces schema-conflicting blocks when ids are strings
+            return pa.table({
+                "query_id": pa.array([], pa.array(self._qids.tolist()).type
+                                     if len(self._qids) else pa.int64()),
+                "neighbor_id": pa.array(
+                    [], batch.schema.field(self._id).type),
+                "cosine": pa.array([], pa.float64()),
+            })
         ids = np.asarray(batch[self._id].to_pylist())
         mat = _normalize(_stack(batch[self._vec]))          # [n, d]
         sims = mat @ self._q.T                              # [n, nq]
@@ -149,9 +174,15 @@ class MaskedTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
+            # keep the REAL id types on empty blocks: hardcoded int64
+            # here produces schema-conflicting blocks when ids are strings
+            return pa.table({
+                "query_id": pa.array([], pa.array(self._qids.tolist()).type
+                                     if len(self._qids) else pa.int64()),
+                "neighbor_id": pa.array(
+                    [], batch.schema.field(self._id).type),
+                "cosine": pa.array([], pa.float64()),
+            })
         ids = np.asarray(batch[self._id].to_pylist())
         mat = _normalize(_stack(batch[self._vec]))
         parts = self._assign(mat)                           # [n]
@@ -248,6 +279,19 @@ def knn_topk_lsh(
 # --------------------------------------------------------------- IVF ----
 
 
+def _ivf_probe(queries: np.ndarray, centroids: np.ndarray, nprobe: int):
+    """(order, probe_bool) for IVF probing: per query, the ``nprobe``
+    nearest centroids — ONE implementation so the in-memory path
+    (``knn_topk_ivf``) and the persisted-index path (``ivf_query_index``)
+    can never rank differently."""
+    qsims = _normalize(queries) @ centroids.T
+    order = np.argsort(-qsims, axis=1)[:, :nprobe]
+    probe = np.zeros((len(queries), len(centroids)), dtype=bool)
+    for i in range(len(queries)):
+        probe[i, order[i]] = True
+    return order, probe
+
+
 def train_ivf_centroids(
     ds: rd.Dataset,
     num_centroids: int = 16,
@@ -266,6 +310,10 @@ def train_ivf_centroids(
     # randomize BLOCK order before sampling: a head over a sorted/
     # clustered corpus would train every centroid on one region
     rows = ds.randomize_block_order(seed=seed).limit(sample_size).take_all()
+    if not rows:
+        raise ValueError(
+            "train_ivf_centroids: empty corpus — nothing to cluster "
+            "(upstream filter removed every row?)")
     mat = _normalize(np.array([r[vector_column] for r in rows], dtype=np.float64))
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(len(mat), size=min(num_centroids, len(mat)), replace=False)]
@@ -311,11 +359,7 @@ def knn_topk_ivf(
     def assign(mat: np.ndarray) -> np.ndarray:
         return (mat @ centroids.T).argmax(axis=1).astype(np.int64)
 
-    qsims = _normalize(queries) @ centroids.T
-    order = np.argsort(-qsims, axis=1)[:, :nprobe]
-    probe = np.zeros((len(queries), len(centroids)), dtype=bool)
-    for i in range(len(queries)):
-        probe[i, order[i]] = True
+    order, probe = _ivf_probe(queries, centroids, nprobe)
     return _masked_topk(ds, queries, query_ids, k, assign, probe,
                         id_column, vector_column)
 
@@ -375,11 +419,7 @@ def ivf_query_index(
     if centroids is None:
         centroids = np.load(os.path.join(index_dir, "centroids.npy"))
     queries = np.asarray(queries, dtype=np.float64)
-    qsims = _normalize(queries) @ centroids.T
-    order = np.argsort(-qsims, axis=1)[:, :nprobe]
-    probe = np.zeros((len(queries), len(centroids)), dtype=bool)
-    for i in range(len(queries)):
-        probe[i, order[i]] = True
+    order, probe = _ivf_probe(queries, centroids, nprobe)
     # explicit storage-level pruning: pass ONLY the probed inverted-list
     # directories to the reader — unprobed partitions are never listed,
     # opened, or decoded (a partition-column `filter=` would also prune
@@ -394,6 +434,16 @@ def ivf_query_index(
             glob.glob(os.path.join(index_dir, "lists", f"centroid={c}", "*.parquet"))
         )
     ]
+    if not paths:
+        # every probed inverted list is empty (dead centroids from a
+        # small training sample) — rd.read_parquet([]) would raise.
+        # NOTE: listing is local-filesystem glob; an object-store index
+        # needs a pyarrow.fs FileSelector here.
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.string()),
+            "cosine": pa.array([], type=pa.float64()),
+        }))
     ds = rd.read_parquet(paths)
 
     def assign(mat: np.ndarray) -> np.ndarray:
@@ -485,7 +535,16 @@ def lsh_candidate_pairs(
     from ..functions.partitioning import shuffle_partitions
 
     bits, num_tables = _lsh_band_params(threshold, bits, num_tables)
-    dim = len(ds.take(1)[0][vector_column])
+    first = ds.take(1)
+    if not first:
+        sch = ds.schema()
+        id_type = (sch.types[sch.names.index(id_column)]
+                   if sch is not None and id_column in sch.names else pa.string())
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=id_type),
+            "id_b": pa.array([], type=id_type),
+        }))
+    dim = len(first[0][vector_column])
     planes = make_hyperplanes(dim, bits * num_tables, seed)  # [L*bits, d]
     planes_ref = ray.put(planes)
     weights = (1 << np.arange(bits)).astype(np.int64)
@@ -551,6 +610,10 @@ def embedding_dup_pairs(
     see ``_lsh_band_params``). ``method="exact"``/``"lsh"`` force a path.
     """
     if method == "auto":
+        # materialize before dispatch: the auto path consumes ds up to 4
+        # times (count, dim probe, banding scan, verification scan) and
+        # Ray Data re-executes derived lineage once per consumer
+        ds = ds.materialize()
         method = "exact" if ds.count() <= EXACT_PAIRS_MAX_ROWS else "lsh"
     if method == "lsh":
         cand = lsh_candidate_pairs(

@@ -347,3 +347,63 @@ def test_ivf_stored_index_matches_inmemory_ivf(tmp_path):
     key = lambda rows: sorted((r["query_id"], r["neighbor_id"], r["rank"])
                               for r in rows)
     assert key(stored.take_all()) == key(mem.take_all())
+
+
+
+
+class _warn_capture:
+    def __enter__(self):
+        import logging
+
+        self.records = []
+        self.handler = logging.Handler()
+        self.handler.emit = lambda rec: self.records.append(rec.getMessage())
+        logging.getLogger("saber_ray.stages.dedup").addHandler(self.handler)
+        return self.records
+
+    def __exit__(self, *exc):
+        import logging
+
+        logging.getLogger("saber_ray.stages.dedup").removeHandler(self.handler)
+        return False
+
+
+def test_simhash_config_validation():
+    import pytest
+    import ray.data as rd
+    import pyarrow as pa
+
+    from saber_ray.stages.dedup import simhash_near_pairs
+
+    docs = rd.from_arrow(pa.table({"doc_id": [1], "text": ["hello world"]}))
+    with pytest.raises(ValueError):
+        simhash_near_pairs(docs, num_tables=5)                 # >64-bit bands
+    # max_hamming >= num_tables is allowed (best-effort recall) but warns
+    with _warn_capture() as logs:
+        simhash_near_pairs(docs, max_hamming=4, num_tables=4)
+    assert any("best-effort" in m for m in logs)
+
+
+def test_lsh_candidate_pairs_empty_corpus():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.similarity import lsh_candidate_pairs
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float64())),
+    }))
+    assert lsh_candidate_pairs(empty, threshold=0.9).take_all() == []
+
+
+def test_stack_reports_bad_rows():
+    import pyarrow as pa
+    import pytest
+
+    from saber_ray.stages.similarity import _stack
+
+    with pytest.raises(ValueError, match="null at batch row 1"):
+        _stack(pa.array([[1.0, 2.0], None, [3.0, 4.0]]))
+    with pytest.raises(ValueError, match="ragged"):
+        _stack(pa.array([[1.0, 2.0], [3.0]]))

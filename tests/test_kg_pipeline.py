@@ -351,3 +351,23 @@ def test_triangles_and_clustering_on_degenerate_graphs():
     loops = rd.from_arrow(pa.table({"src": ["a", "b"], "dst": ["a", "b"]}))
     assert triangles(loops, num_partitions=2).take_all() == []
     assert clustering_coefficient(loops, num_partitions=2).take_all() == []
+
+
+def test_partial_nodes_keeps_beyond_final_cap():
+    # batch partials must keep the 4x INTERMEDIATE surface cap: trimming
+    # to MAX_SURFACES here would silently drop a globally-frequent
+    # surface that is locally rank >32 in every batch
+    import pyarrow as pa
+
+    from saber_ray.stages.canonicalize import MAX_SURFACES, partial_nodes
+
+    n_surf = MAX_SURFACES + 8
+    batch = pa.table({
+        "entity_id": pa.array(["E"] * n_surf),
+        "text": pa.array([f"s{i:03d}" for i in range(n_surf)]),
+        "doc_id": pa.array(["d"] * n_surf),
+    })
+    out = partial_nodes(batch, num_salts=4)
+    kept = out["surfaces"].to_pylist()[0]
+    assert len(kept) == n_surf          # < 4x cap: nothing trimmed yet
+    assert int(out["support"][0].as_py()) == n_surf
