@@ -1306,7 +1306,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": f"""
             WITH t AS (SELECT doc_id, text, {TOKENS_SQL} AS toks FROM documents)
             SELECT doc_id,
-                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
                    CAST(len(toks) AS BIGINT) AS n_tokens,
                    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
                    CAST(len(list_filter(toks, x -> list_contains([{stop_list}], x))) AS BIGINT)

@@ -123,16 +123,22 @@ def run_kg_job(
     processes (used by tests to simulate an interrupted run).
     """
     config = config or KGConfig()
-    if config.tagger_concurrency is None and not config.bundle_path:
+    if config.tagger_concurrency is None:
         # the job runner owns the cluster and every stage is
-        # single-branch, so the annotate pool can be pinned at width —
+        # single-branch, so the annotate pool(s) can be pinned at width —
         # autoscaling would ramp ~1 actor/s at every partition start
-        # (kg.dedicated_pool). The config identity hash below uses
-        # asdict_like, which excludes pool sizing, so resume records
-        # stay valid across cluster sizes.
+        # (kg.dedicated_pool). The bundle path runs TWO chained pools
+        # (NeuralTagger → EntityLinker), so each gets a half-width pin:
+        # chained pinned pools are still single-branch (the 1.5x-cluster
+        # deadlock only bites parallel join branches). The config
+        # identity hash below uses asdict_like, which excludes pool
+        # sizing, so resume records stay valid across cluster sizes.
         from dataclasses import replace
 
-        config = replace(config, tagger_concurrency=dedicated_pool())
+        n_pools = 2 if config.bundle_path else 1
+        config = replace(config, tagger_concurrency=dedicated_pool(n_pools))
+        if config.bundle_path and config.linker_concurrency is None:
+            config = replace(config, linker_concurrency=dedicated_pool(2))
     # partition count is part of the job identity: a different grouping
     # maps fragments to different part dirs, so mixing is invalidated
     cfg_hash = config_hash(
@@ -150,6 +156,9 @@ def run_kg_job(
             skipped.append(pid)
             continue
         rec = manifest.read("annotate", pid)
+        # computed once: the resume check AND the manifest record reuse
+        # it (it re-opens every fragment to hash spot rows)
+        group_hash = _spot_hash(group)
         if (
             rec is not None
             and rec.status == "done"
@@ -157,7 +166,7 @@ def run_kg_job(
             # resume is only valid if the partition's INPUT is unchanged:
             # same fragment set and same spot-check content hash
             and rec.input_fragments == [os.path.basename(f) for f in group]
-            and rec.span_hash == _spot_hash(group)
+            and rec.span_hash == group_hash
         ):
             skipped.append(pid)
             continue
@@ -199,8 +208,12 @@ def run_kg_job(
             _staged_read(ann_dir).map_batches(
                 explode_mentions, batch_format="pyarrow"
             ).write_parquet(mentions_dir)
+            # capture only the bool: a `config` closure would pickle the
+            # whole KGConfig (incl. production-scale gazetteer dicts)
+            # into every task of this stateless stage
+            same_sentence = config.same_sentence
             _staged_read(ann_dir).map_batches(
-                lambda b: emit_triples(b, same_sentence=config.same_sentence),
+                lambda b: emit_triples(b, same_sentence=same_sentence),
                 batch_format="pyarrow",
             ).write_parquet(triples_dir)
         manifest.write(
@@ -210,7 +223,7 @@ def run_kg_job(
                 input_fragments=[os.path.basename(f) for f in group],
                 rows_in=rows_in,
                 rows_out=_written_rows(triples_dir),
-                span_hash=_spot_hash(group),
+                span_hash=group_hash,
                 wall_ms=timer.wall_ms,
                 status="done",
                 config_hash=cfg_hash,

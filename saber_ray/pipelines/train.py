@@ -39,7 +39,7 @@ sentence lists are the same assumption every mini-batch trainer makes.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
@@ -61,7 +61,6 @@ class TrainConfig:
     shards: int = 8                # parameter-mixing width (reproducible)
     seed: int = 42
     criteria: str = "exact"        # span-match criteria for epoch metrics
-    history: list = field(default_factory=list)
 
 
 def _build_tag_vocab(ds: rd.Dataset) -> list[str]:
@@ -182,7 +181,7 @@ def _train_shard_fn(weights_ref, word2idx, tag2idx):
     return train_group
 
 
-def _eval_fn(weights_ref, word2idx, tag2idx, idx2tag, criteria):
+def _eval_fn(weights_ref, word2idx, idx2tag, criteria):
     """Per-batch eval partials: tag hits + micro span TP/FP/FN counts
     (the per-label breakdown comes from ``evaluate_chunks`` at the end;
     the streaming pass only carries the summable counts)."""
@@ -255,7 +254,7 @@ class Trainer:
 
         if self._E is None:
             raise RuntimeError("train() must run before save()")
-        V, T = self._E.shape
+        _, T = self._E.shape
         char2idx = {PAD: 0, UNK: 1}
         save_bundle(
             path,
@@ -317,7 +316,7 @@ class Trainer:
     def _evaluate(self, ds: rd.Dataset, E, trans) -> dict:
         ref = ray.put((E, trans))
         parts = ds.map_batches(
-            _eval_fn(ref, self.word2idx, self.tag2idx, self.idx2tag,
+            _eval_fn(ref, self.word2idx, self.idx2tag,
                      self.config.criteria),
             batch_format="pyarrow",
         )

@@ -89,19 +89,9 @@ class Annotator:
         return hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        spans_col = batch["spans"].combine_chunks()
-        if isinstance(spans_col, pa.ChunkedArray):
-            spans_col = spans_col.chunk(0)
-        doc_offsets = spans_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = spans_col.values
-        olo, ohi = int(doc_offsets[0]), int(doc_offsets[-1])
-        if olo != 0 or len(flat) != ohi - olo:
-            flat = flat.slice(olo, ohi - olo)
-            doc_offsets = doc_offsets - olo
-        kinds = flat.field("kind").to_pylist()
-        texts = flat.field("text").to_pylist()
-        media = flat.field("media_ref").to_pylist()
+        from ..functions.span_decode import decode_spans_column
 
+        doc_offsets, kinds, texts, media = decode_spans_column(batch)
         n_docs = batch.num_rows
         # flat mention accumulators
         m_start: list[int] = []
@@ -147,7 +137,13 @@ class Annotator:
                 for m in self._pattern.finditer(joined):
                     surface = m.group()
                     norm = _WS.sub(" ", surface.lower())
-                    yield m.start(), m.end(), surface, norm, labels[norm]
+                    # re.IGNORECASE matches Unicode case-variants (e.g.
+                    # U+017F 'ſ' for 's') whose .lower() is NOT the
+                    # gazetteer key — skip like the trie strategy would,
+                    # never KeyError the whole batch task
+                    label = labels.get(norm)
+                    if label is not None:
+                        yield m.start(), m.end(), surface, norm, label
         matches = gen()
 
         # scalar lookups use stdlib bisect — np.searchsorted per match is
@@ -174,21 +170,14 @@ class Annotator:
                 x_org.append(x["organism_id"])
             x_offsets.append(len(x_ns))
 
-        # flat span index → (doc, span_idx); matches arrive in flat order,
-        # so per-doc mention runs are contiguous and ents_offsets is a
-        # searchsorted over the run boundaries
-        if mention_flat_idx:
-            flat_idx = np.asarray(mention_flat_idx, dtype=np.int64)
-            docs_of_mention = np.searchsorted(doc_offsets, flat_idx, side="right") - 1
-            m_span_idx = (flat_idx - doc_offsets[docs_of_mention]).astype(np.int32).tolist()
-            ents_offsets = np.searchsorted(docs_of_mention, np.arange(n_docs + 1)).astype(np.int32)
-        else:
-            m_span_idx = []
-            ents_offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        from ..functions.span_decode import (
+            doc_span_hashes,
+            mention_list_offsets,
+        )
 
-        for d in range(n_docs):
-            lo, hi = doc_offsets[d], doc_offsets[d + 1]
-            hashes.append(span_sequence_hash(kinds[lo:hi], texts[lo:hi], media[lo:hi]))
+        m_span_idx, ents_offsets = mention_list_offsets(
+            mention_flat_idx, doc_offsets, n_docs)
+        hashes.extend(doc_span_hashes(doc_offsets, kinds, texts, media, n_docs))
 
         xref_struct = pa.StructArray.from_arrays(
             [pa.array(x_ns, type=pa.string()), pa.array(x_id, type=pa.string()),
@@ -211,10 +200,6 @@ class Annotator:
         )
         ents_arr = pa.ListArray.from_arrays(pa.array(ents_offsets), ent_struct)
 
-        out = batch.append_column("ents", ents_arr)
-        if "span_hash" in batch.column_names:
-            prior = batch["span_hash"].to_pylist()
-            if prior != hashes:
-                raise AssertionError("span-sequence invariant violated in annotator input")
-            return out
-        return out.append_column("span_hash", pa.array(hashes, type=pa.string()))
+        from ..functions.span_decode import attach_ents
+
+        return attach_ents(batch, ents_arr, hashes, "annotator")

@@ -68,16 +68,31 @@ def encode_sentences(
     max_char_len: int = MAX_CHAR_LEN,
     lower: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """M5: sentences → (word_ids [n, S], char_ids [n, S, C]) int32."""
+    """M5: sentences → (word_ids [n, S], char_ids [n, S, C]) int32.
+
+    Lookups are EXACT-case first with a lowercase fallback (when
+    ``lower``): the reference's predict path never lowercases
+    (reference saber/preprocessor.py:168-178 looks up original-case
+    tokens/chars), so a case-preserving bundle must hit its real ids
+    ('BRCA1' ≠ <UNK>) — while bundles whose vocab was built lowercased
+    (this repo's Trainer) resolve identically to before via the
+    fallback.
+    """
     n = len(sents)
     word_ids = np.full((n, max_sent_len), PAD_VALUE, dtype=np.int32)
     char_ids = np.full((n, max_sent_len, max_char_len), PAD_VALUE, dtype=np.int32)
     for i, sent in enumerate(sents):
         for j, tok in enumerate(sent[:max_sent_len]):
-            key = tok.lower() if lower else tok
+            if tok in word2idx or not lower:
+                key = tok
+            else:
+                key = tok.lower()
             word_ids[i, j] = word2idx.get(key, UNK_VALUE)
             for k, ch in enumerate(key[:max_char_len]):
-                char_ids[i, j, k] = char2idx.get(ch, UNK_VALUE)
+                cid = char2idx.get(ch)
+                if cid is None and lower:
+                    cid = char2idx.get(ch.lower())
+                char_ids[i, j, k] = cid if cid is not None else UNK_VALUE
     return word_ids, char_ids
 
 
@@ -157,20 +172,11 @@ class NeuralTagger:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # columnar decode of the spans column (offsets + flat fields),
-        # mirroring the fused Annotator
-        spans_col = batch["spans"].combine_chunks()
-        if isinstance(spans_col, pa.ChunkedArray):
-            spans_col = spans_col.chunk(0)
-        doc_offsets = spans_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = spans_col.values
-        olo, ohi = int(doc_offsets[0]), int(doc_offsets[-1])
-        if olo != 0 or len(flat) != ohi - olo:
-            flat = flat.slice(olo, ohi - olo)
-            doc_offsets = doc_offsets - olo
-        kinds = flat.field("kind").to_pylist()
-        texts = flat.field("text").to_pylist()
-        media = flat.field("media_ref").to_pylist()
+        # columnar decode of the spans column — shared with the fused
+        # Annotator (functions/span_decode.py)
+        from ..functions.span_decode import decode_spans_column
+
+        doc_offsets, kinds, texts, media = decode_spans_column(batch)
         n_docs = batch.num_rows
 
         # 1) gather EVERY sentence of the batch (with back-pointers)
@@ -215,23 +221,16 @@ class NeuralTagger:
                 m_sent_idx.append(sent_of_token[tok_start])
                 mention_flat_idx.append(i)
 
-        # 4) flat span index → (doc, span_idx); mentions arrive in flat
-        # order so per-doc runs are contiguous (same as annotate.py)
-        if mention_flat_idx:
-            flat_idx = np.asarray(mention_flat_idx, dtype=np.int64)
-            docs_of_mention = np.searchsorted(doc_offsets, flat_idx, side="right") - 1
-            m_span_idx = (flat_idx - doc_offsets[docs_of_mention]).astype(np.int32).tolist()
-            ents_offsets = np.searchsorted(
-                docs_of_mention, np.arange(n_docs + 1)
-            ).astype(np.int32)
-        else:
-            m_span_idx = []
-            ents_offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        # 4) flat span index → (doc, span_idx) + per-doc hashes (shared
+        # helpers — same math as annotate.py by construction)
+        from ..functions.span_decode import (
+            doc_span_hashes,
+            mention_list_offsets,
+        )
 
-        hashes = []
-        for d in range(n_docs):
-            lo, hi = doc_offsets[d], doc_offsets[d + 1]
-            hashes.append(span_sequence_hash(kinds[lo:hi], texts[lo:hi], media[lo:hi]))
+        m_span_idx, ents_offsets = mention_list_offsets(
+            mention_flat_idx, doc_offsets, n_docs)
+        hashes = doc_span_hashes(doc_offsets, kinds, texts, media, n_docs)
 
         ent_struct = pa.StructArray.from_arrays(
             [
@@ -245,10 +244,7 @@ class NeuralTagger:
             fields=list(_ENT_TYPE),
         )
         ents_arr = pa.ListArray.from_arrays(pa.array(ents_offsets), ent_struct)
-        out = batch.append_column("ents", ents_arr)
-        if "span_hash" in batch.column_names:
-            prior = batch["span_hash"].to_pylist()
-            if prior != hashes:
-                raise AssertionError("span-sequence invariant violated in tagger input")
-            return out
-        return out.append_column("span_hash", pa.array(hashes, type=pa.string()))
+
+        from ..functions.span_decode import attach_ents
+
+        return attach_ents(batch, ents_arr, hashes, "tagger")

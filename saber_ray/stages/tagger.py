@@ -98,8 +98,11 @@ class DictionaryTagger:
         }
         self._pattern = build_surface_pattern(surfaces)
 
-    def _label_of(self, matched: str) -> str:
-        return self._labels[self._ws.sub(" ", matched.lower())]
+    def _label_of(self, matched: str) -> "str | None":
+        # .get: re.IGNORECASE can match a Unicode case-variant (U+017F
+        # 'ſ' for 's') whose .lower() is not a gazetteer key — treat as
+        # a miss rather than KeyError-ing the batch task
+        return self._labels.get(self._ws.sub(" ", matched.lower()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spans_col = batch["spans"].to_pylist()
@@ -114,6 +117,9 @@ class DictionaryTagger:
                 # sentence boundary char positions (end-exclusive prefix)
                 sent_bounds = [m.start() for m in _SENT_BREAK.finditer(text)]
                 for m in self._pattern.finditer(text):
+                    label = self._label_of(m.group())
+                    if label is None:
+                        continue
                     sent_idx = 0
                     for b in sent_bounds:
                         if m.start() > b:
@@ -125,7 +131,7 @@ class DictionaryTagger:
                             "start": m.start(),
                             "end": m.end(),
                             "text": m.group(),
-                            "label": self._label_of(m.group()),
+                            "label": label,
                             "span_idx": span_idx,
                             "sent_idx": sent_idx,
                         }

@@ -104,7 +104,13 @@ def doc_stats_batch(batch: pa.Table, column: str = "text") -> pa.Table:
         n_distinct.append(len(set(toks)))
         n_stop.append(sum(1 for t in toks if t in EN_STOPWORDS))
         tok_chars.append(sum(len(t) for t in toks))
-    out = batch.append_column("n_chars", pc.cast(pc.utf8_length(batch[column]), pa.int64()))
+    # fill_null: every other stat treats a null text as an EMPTY doc
+    # (0 tokens/ratios) — a null n_chars here would make filters like
+    # "n_chars < 100" and "n_tokens == 0" disagree on the same rows
+    out = batch.append_column(
+        "n_chars",
+        pc.fill_null(pc.cast(pc.utf8_length(batch[column]), pa.int64()), 0),
+    )
     out = out.append_column("n_tokens", pa.array(n_tokens, type=pa.int64()))
     out = out.append_column("n_distinct", pa.array(n_distinct, type=pa.int64()))
     out = out.append_column("n_stopwords", pa.array(n_stop, type=pa.int64()))
