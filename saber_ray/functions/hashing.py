@@ -132,3 +132,12 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> in
 
 def hamming64(x: int, y: int) -> int:
     return bin(x ^ y).count("1")
+
+def md5_key32(value, salt: str = "") -> int:
+    """md5-based uniform key in [0, 2^32): the ONE deterministic-sampling
+    / bucketing key recipe (DuckDB replica:
+    ``CAST('0x' || substring(md5(salt || CAST(v AS VARCHAR)), 1, 8) AS BIGINT)``)
+    shared by stages/sampling.py and stages/packing.py."""
+    import hashlib as _hashlib
+
+    return int(_hashlib.md5((salt + str(value)).encode("utf-8")).hexdigest()[:8], 16)

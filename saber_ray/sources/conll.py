@@ -48,7 +48,9 @@ def parse_conll(text: str) -> list[tuple[list[str], list[str]]]:
             continue
         parts = line.split("\t")
         tokens.append(parts[0])
-        tags.append(parts[1] if len(parts) > 1 else "O")
+        # `or "O"`: a trailing tab with no tag ('token\t') must fall back
+        # like an untagged token, not mint a phantom '' label
+        tags.append((parts[1] if len(parts) > 1 else "") or "O")
     if tokens:
         sentences.append((tokens, tags))
     return sentences

@@ -35,14 +35,29 @@ def read_documents(uri: str, **kwargs) -> rd.Dataset:
     if lance_available():
         try:
             return rd.read_lance(uri, **kwargs)
-        except Exception:
-            pass
+        except Exception as ex:
+            # fall back to parquet but never SILENTLY: a corrupt/real
+            # Lance dataset failing here would otherwise surface as an
+            # unrelated parquet error (or read the wrong files)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "read_lance(%s) failed (%s: %s); falling back to parquet",
+                uri, type(ex).__name__, ex)
     return rd.read_parquet(uri, **kwargs)
 
 
 def write_table(ds: rd.Dataset, uri: str, **kwargs) -> None:
-    """Write via Lance when available, parquet otherwise."""
-    if lance_available() and uri.endswith(".lance"):
+    """Write via Lance when available, parquet otherwise. A ``.lance``
+    URI without the lance package raises — silently writing parquet
+    under a .lance name would break the read_documents round-trip
+    (reads of that URI demand real Lance)."""
+    if uri.endswith(".lance"):
+        if not lance_available():
+            raise NotImplementedError(
+                "the 'lance' package is not installed; cannot write a "
+                ".lance dataset — use a parquet path instead"
+            )
         ds.write_lance(uri, **kwargs)
     else:
         ds.write_parquet(uri, **kwargs)

@@ -33,14 +33,20 @@ from .textstats import TOKEN_PATTERN
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
 
-def shingle_hashes(text: str, n: int) -> set[int]:
-    """64-bit hashes of all n-token shingles of ``text``."""
+def _shingle_hash_iter(text: str, n: int):
+    """Yield the 64-bit md5-prefix hash of every n-token shingle — the
+    ONE shingle/hash recipe shared by the eval-set builder and the
+    corpus-side membership test (divergence here would silently stop
+    the filter from matching the eval set)."""
     toks = _TOKEN_RE.findall(text.lower()) if text else []
-    out = set()
     for i in range(len(toks) - n + 1):
         s = " ".join(toks[i : i + n])
-        out.add(int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16))
-    return out
+        yield int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+
+
+def shingle_hashes(text: str, n: int) -> set[int]:
+    """64-bit hashes of all n-token shingles of ``text``."""
+    return set(_shingle_hash_iter(text, n))
 
 
 def eval_shingle_set(
@@ -65,29 +71,48 @@ def eval_shingle_set(
     return out
 
 
+class CleanFilter:
+    """Actor-pool corpus filter: the banned shingle set is ``ray.get``
+    ONCE per actor in ``__init__`` — a per-batch get would re-deserialize
+    the whole (non-zero-copy) Python set for every 1024-row batch, which
+    dominates the stage at corpus scale."""
+
+    def __init__(self, shingles_ref, n: int, text_column: str = "text"):
+        self._banned = (ray.get(shingles_ref)
+                        if isinstance(shingles_ref, ray.ObjectRef)
+                        else shingles_ref)
+        self._n = n
+        self._col = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        banned, n = self._banned, self._n
+        mask = []
+        for text in batch[self._col].to_pylist():
+            # early-exit scan: stop at the first banned shingle
+            hit = any(h in banned for h in _shingle_hash_iter(text, n))
+            mask.append(not hit)
+        return batch.filter(pa.array(mask, type=pa.bool_()))
+
+
 def decontaminate(
     train_ds: rd.Dataset,
     eval_ds: rd.Dataset,
     n: int = 8,
     text_column: str = "text",
+    concurrency=None,
 ) -> rd.Dataset:
     """Filter ``train_ds`` down to documents sharing NO n-token shingle
     with ``eval_ds``. One streaming pass over the corpus; the eval
-    shingle set is broadcast once via ``ray.put``."""
+    shingle set is broadcast once via ``ray.put`` and loaded once per
+    actor."""
+    from ..functions.partitioning import pinned_pool
+
     shingles_ref = ray.put(eval_shingle_set(eval_ds, n, text_column))
-
-    def keep_clean(batch: pa.Table) -> pa.Table:
-        banned = ray.get(shingles_ref)
-        mask = []
-        for text in batch[text_column].to_pylist():
-            toks = _TOKEN_RE.findall(text.lower()) if text else []
-            hit = False
-            for i in range(len(toks) - n + 1):
-                s = " ".join(toks[i : i + n])
-                if int(hashlib.md5(s.encode()).hexdigest()[:16], 16) in banned:
-                    hit = True
-                    break
-            mask.append(not hit)
-        return batch.filter(pa.array(mask, type=pa.bool_()))
-
-    return train_ds.map_batches(keep_clean, batch_format="pyarrow")
+    return train_ds.map_batches(
+        CleanFilter,
+        fn_constructor_kwargs={
+            "shingles_ref": shingles_ref, "n": n, "text_column": text_column,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or pinned_pool(8),
+    )

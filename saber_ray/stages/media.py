@@ -138,43 +138,86 @@ class FakeMediaDecoder:
 
 
 def resize_batch(batch: pa.Table, out_h: int, out_w: int) -> pa.Table:
-    """Nearest-neighbor resize to (out_h, out_w) — real vectorized math
-    over the decoded tensors (works identically on fake or real pixels)."""
-    rows = {n: [] for n in DECODED_SCHEMA.names}
-    for i in range(batch.num_rows):
-        h = batch["height"][i].as_py()
-        w = batch["width"][i].as_py()
-        c = batch["channels"][i].as_py()
-        px = np.asarray(batch["pixels"][i].as_py(), dtype=np.uint8).reshape(h, w, c)
+    """Nearest-neighbor resize to (out_h, out_w) over the decoded
+    tensors (fake or real pixels alike).
+
+    The pixel list column is flattened ONCE into a single numpy view;
+    each row is a zero-copy slice of it (dims vary per row, so the
+    gather itself is per-row, but no Python pixel lists are ever
+    built), and the output pixels are assembled as one flat buffer →
+    ListArray."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    pixels = batch["pixels"].combine_chunks()
+    flat = pixels.flatten().to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(pixels).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    hs = batch["height"].to_numpy(zero_copy_only=False)
+    ws = batch["width"].to_numpy(zero_copy_only=False)
+    cs = batch["channels"].to_numpy(zero_copy_only=False)
+
+    out_px = np.empty((n, out_h * out_w * (cs[0] if n else 0)), dtype=np.uint8) \
+        if n and (cs == cs[0]).all() else None
+    out_rows = []
+    for i in range(n):
+        h, w, c = int(hs[i]), int(ws[i]), int(cs[i])
+        px = flat[offs[i]:offs[i + 1]].reshape(h, w, c)
         ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
         xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-        resized = px[ys][:, xs]
-        rows["doc_id"].append(batch["doc_id"][i].as_py())
-        rows["span_idx"].append(batch["span_idx"][i].as_py())
-        rows["media_ref"].append(batch["media_ref"][i].as_py())
-        rows["height"].append(out_h)
-        rows["width"].append(out_w)
-        rows["channels"].append(c)
-        rows["pixels"].append(resized.reshape(-1).tolist())
-    return pa.Table.from_pydict(rows, schema=DECODED_SCHEMA)
+        resized = px[ys][:, xs].reshape(-1)
+        if out_px is not None:
+            out_px[i] = resized
+        else:
+            out_rows.append(resized)
+    flat_out = (out_px.reshape(-1) if out_px is not None
+                else (np.concatenate(out_rows) if out_rows
+                      else np.array([], dtype=np.uint8)))
+    out_lens = (np.full(n, out_h * out_w, dtype=np.int64) * cs.astype(np.int64)
+                if n else np.array([], dtype=np.int64))
+    out_offs = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int32)
+    pixels_arr = pa.ListArray.from_arrays(
+        pa.array(out_offs, type=pa.int32()),
+        pa.array(flat_out, type=DECODED_SCHEMA.field("pixels").type.value_type),
+    )
+    return pa.Table.from_arrays(
+        [
+            batch["doc_id"], batch["span_idx"], batch["media_ref"],
+            pa.array(np.full(n, out_h, dtype=np.int64)),
+            pa.array(np.full(n, out_w, dtype=np.int64)),
+            pa.array(cs.astype(np.int64)),
+            pixels_arr,
+        ],
+        schema=DECODED_SCHEMA,
+    )
 
 
 def media_features_batch(batch: pa.Table) -> pa.Table:
-    """Feature-extract stage: per-media channel means + std (vectorized)."""
-    feats, ids, refs = [], [], []
-    for i in range(batch.num_rows):
-        c = batch["channels"][i].as_py()
-        px = np.asarray(batch["pixels"][i].as_py(), dtype=np.float32).reshape(-1, c)
+    """Feature-extract stage: per-media channel means + std.
+
+    One flatten of the pixel column; per-row stats run on zero-copy
+    numpy slices (no per-row ``as_py()`` list materialization)."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    pixels = batch["pixels"].combine_chunks()
+    flat = pixels.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    lens = pc.list_value_length(pixels).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    cs = batch["channels"].to_numpy(zero_copy_only=False)
+    feats = []
+    for i in range(n):
+        c = int(cs[i])
+        px = flat[offs[i]:offs[i + 1]].reshape(-1, c)
         feats.append(
-            np.concatenate([px.mean(axis=0), px.std(axis=0)]).astype(np.float32).tolist()
+            np.concatenate([px.mean(axis=0), px.std(axis=0)]).astype(np.float32)
         )
-        ids.append(batch["doc_id"][i].as_py())
-        refs.append(batch["media_ref"][i].as_py())
     return pa.table(
         {
-            "doc_id": pa.array(ids, type=pa.string()),
-            "media_ref": pa.array(refs, type=pa.string()),
-            "features": pa.array(feats, type=pa.list_(pa.float32())),
+            "doc_id": batch["doc_id"],
+            "media_ref": batch["media_ref"],
+            "features": pa.array([f.tolist() for f in feats],
+                                 type=pa.list_(pa.float32())),
         }
     )
 

@@ -22,8 +22,6 @@ the trainer's truncation decision, never silently dropped here.
 
 from __future__ import annotations
 
-import hashlib
-
 import pyarrow as pa
 
 import ray.data as rd
@@ -35,9 +33,10 @@ def assign_buckets(
     batch: pa.Table, bucket_count: int, id_column: str = "doc_id"
 ) -> pa.Table:
     """Append ``bucket`` — md5-based, so DuckDB reproduces it exactly."""
+    from ..functions.hashing import md5_key32
+
     buckets = [
-        int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8], 16) % bucket_count
-        for v in batch[id_column].to_pylist()
+        md5_key32(v) % bucket_count for v in batch[id_column].to_pylist()
     ]
     return batch.append_column("bucket", pa.array(buckets, type=pa.int64()))
 
@@ -73,7 +72,16 @@ def pack_sequences(
     """
 
     def counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         out = token_count_batch(batch, column=text_column)
+        # null text -> null count -> pandas NaN, and every NaN budget
+        # comparison is False: one null row would silently collapse its
+        # whole bucket into a single over-budget pack. Nulls cost 0.
+        out = out.set_column(
+            out.column_names.index("n_tokens"), "n_tokens",
+            pc.fill_null(out["n_tokens"], 0),
+        )
         out = assign_buckets(out, bucket_count, id_column)
         return out.select([id_column, "bucket", "n_tokens"])
 
@@ -91,6 +99,7 @@ def interleaved_costs(
     media_costs: dict[str, int],
     spans_column: str = "spans",
     id_column: str = "doc_id",
+    default_media_cost: int = 256,
 ) -> pa.Table:
     """Per-document training-token cost over the INTERLEAVED schema:
     text spans cost their token count (same vectorized Arrow regex as
@@ -113,14 +122,20 @@ def interleaved_costs(
     kinds = flat.field("kind")
     texts = flat.field("text")
 
-    tok = pc.cast(pc.count_substring_regex(texts, TOKEN_PATTERN), pa.int64())
+    tok = pc.fill_null(
+        pc.cast(pc.count_substring_regex(texts, TOKEN_PATTERN), pa.int64()), 0
+    )  # null span text costs 0, never NaN (NaN poisons the greedy pack)
+    is_text = pc.fill_null(pc.equal(kinds, "text"), False).to_numpy(
+        zero_copy_only=False)
+    # every NON-text kind is charged: unknown media kinds get
+    # default_media_cost rather than a silent 0 (a 0-cost video span
+    # would let packs exceed the trainer's real token budget)
     cost = np.where(
-        pc.equal(kinds, "text").to_numpy(zero_copy_only=False),
-        tok.to_numpy(zero_copy_only=False),
-        0,
+        is_text, tok.to_numpy(zero_copy_only=False), int(default_media_cost)
     ).astype(np.int64)
     for kind, c in media_costs.items():
-        cost[pc.equal(kinds, kind).to_numpy(zero_copy_only=False)] = int(c)
+        cost[pc.fill_null(pc.equal(kinds, kind), False).to_numpy(
+            zero_copy_only=False)] = int(c)
 
     offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     starts = offsets[:-1]
@@ -140,16 +155,19 @@ def pack_interleaved(
     bucket_count: int = 8,
     media_costs: dict[str, int] | None = None,
     id_column: str = "doc_id",
+    default_media_cost: int = 256,
 ) -> rd.Dataset:
     """``pack_sequences`` over interleaved text+media documents: the
     pack budget charges text spans their token count and media spans a
-    fixed per-kind cost. Same determinism contract (hash buckets, id
-    order) and the same single groupby — span payloads never shuffle,
-    only (doc_id, bucket, n_tokens)."""
+    fixed per-kind cost (kinds missing from ``media_costs`` charge
+    ``default_media_cost`` — never a silent 0). Same determinism
+    contract (hash buckets, id order) and the same single groupby —
+    span payloads never shuffle, only (doc_id, bucket, n_tokens)."""
     media_costs = media_costs if media_costs is not None else {"image": 256}
 
     def costs(batch: pa.Table) -> pa.Table:
-        out = interleaved_costs(batch, media_costs, id_column=id_column)
+        out = interleaved_costs(batch, media_costs, id_column=id_column,
+                                default_media_cost=default_media_cost)
         out = assign_buckets(out, bucket_count, id_column)
         return out
 

@@ -30,15 +30,11 @@ import ray.data as rd
 
 
 def _key64(values: list, salt: str = "") -> list[int]:
-    """md5-based uniform key in [0, 2^32): ``int(md5(salt + str(v))[:8], 16)``.
+    """md5-based uniform key in [0, 2^32) — shared recipe, see
+    ``functions.hashing.md5_key32`` (DuckDB-reproducible)."""
+    from ..functions.hashing import md5_key32
 
-    DuckDB reproduces it exactly:
-    ``CAST('0x' || substring(md5(salt || CAST(v AS VARCHAR)), 1, 8) AS BIGINT)``.
-    """
-    return [
-        int(hashlib.md5((salt + str(v)).encode("utf-8")).hexdigest()[:8], 16)
-        for v in values
-    ]
+    return [md5_key32(v, salt) for v in values]
 
 
 def sample_hash_batch(

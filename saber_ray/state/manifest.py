@@ -95,8 +95,13 @@ class Manifest:
                 continue
             for name in sorted(os.listdir(d)):
                 if name.endswith(".json"):
-                    with open(os.path.join(d, name)) as f:
-                        out.append(PartitionRecord(**json.load(f)))
+                    try:
+                        with open(os.path.join(d, name)) as f:
+                            out.append(PartitionRecord(**json.load(f)))
+                    except (FileNotFoundError, json.JSONDecodeError, TypeError):
+                        # tolerate stale/foreign records exactly like
+                        # read() — listing must not crash on an upgrade
+                        continue
         return out
 
 
