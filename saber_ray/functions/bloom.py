@@ -34,13 +34,28 @@ def _splitmix64(x: np.ndarray, seed: int) -> np.ndarray:
     return z
 
 
-def key_hashes64(column: "pa.ChunkedArray | pa.Array", seed: int = 0) -> np.ndarray:
+def _polars_available() -> bool:
+    try:
+        import polars  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def key_hashes64(
+    column: "pa.ChunkedArray | pa.Array", seed: int = 0,
+    str_impl: str = "polars",
+) -> np.ndarray:
     """uint64 hash per value of an Arrow column, vectorized.
 
     Integer columns: splitmix64 on the raw values (zero-copy in).
-    String columns: polars' Rust-side row hash; per-row blake2b only as
-    a last-resort fallback. Stability is only needed WITHIN one job
-    (build and probe run in the same session with the same libraries).
+    String columns: the impl named by ``str_impl`` — ``"polars"``
+    (Rust-side row hash) or ``"blake2b"`` (stdlib, per-row). The impl is
+    chosen ONCE on the driver (see :class:`BloomFilter`) and pinned:
+    build and probe tasks MUST hash identically or the Bloom filter
+    yields false negatives (silently dropped matching rows), so a task
+    where the pinned impl is unavailable raises instead of falling back.
     """
     if isinstance(column, pa.ChunkedArray):
         column = column.combine_chunks()
@@ -54,12 +69,12 @@ def key_hashes64(column: "pa.ChunkedArray | pa.Array", seed: int = 0) -> np.ndar
             column = column.fill_null(0)
         vals = column.to_numpy(zero_copy_only=False).astype(np.uint64)
         return _splitmix64(vals, seed)
-    try:
-        import polars as pl
+    if str_impl == "polars":
+        import polars as pl  # pinned impl missing → loud ImportError
 
         s = pl.from_arrow(pa.chunked_array([column]))
         return s.hash(seed=seed).to_numpy().astype(np.uint64)
-    except Exception:
+    if str_impl == "blake2b":
         import hashlib
 
         return np.array(
@@ -74,6 +89,7 @@ def key_hashes64(column: "pa.ChunkedArray | pa.Array", seed: int = 0) -> np.ndar
             ],
             dtype=np.uint64,
         )
+    raise ValueError(f"unknown str_impl {str_impl!r}")
 
 
 class BloomFilter:
@@ -82,17 +98,23 @@ class BloomFilter:
     read-only view) and to OR-merge across partial builds."""
 
     def __init__(self, num_bits: int = 1 << 23, num_hashes: int = 4,
-                 bits: np.ndarray | None = None):
+                 bits: np.ndarray | None = None, str_impl: str | None = None):
         assert num_bits % 64 == 0
         self.num_bits = num_bits
         self.num_hashes = num_hashes
+        # pin the string-hash impl at construction (driver side) so every
+        # build/probe task — whatever its local import situation — uses
+        # the SAME function; a worker missing the pinned impl raises
+        # rather than silently hashing differently (false negatives)
+        self.str_impl = str_impl if str_impl is not None else (
+            "polars" if _polars_available() else "blake2b")
         self.bits = bits if bits is not None else np.zeros(
             num_bits // 64, dtype=np.uint64)
 
     def _indices(self, column) -> np.ndarray:
         """(num_hashes, n) bit indices for a key column."""
-        h1 = key_hashes64(column, seed=0)
-        h2 = key_hashes64(column, seed=1) | np.uint64(1)  # odd → full cycle
+        h1 = key_hashes64(column, seed=0, str_impl=self.str_impl)
+        h2 = key_hashes64(column, seed=1, str_impl=self.str_impl) | np.uint64(1)  # odd → full cycle
         i = np.arange(self.num_hashes, dtype=np.uint64)[:, None]
         with np.errstate(over="ignore"):
             return (h1[None, :] + i * h2[None, :]) % np.uint64(self.num_bits)
@@ -114,6 +136,9 @@ class BloomFilter:
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         assert self.num_bits == other.num_bits
+        assert self.str_impl == other.str_impl, (
+            "merging Bloom filters built with different string-hash impls "
+            f"({self.str_impl} vs {other.str_impl}) would corrupt membership")
         np.bitwise_or(self.bits, other.bits, out=self.bits)
         return self
 
@@ -134,8 +159,12 @@ def build_bloom(
     O(num_bits × fold_partitions) driver memory regardless of corpus
     size. No shuffle of keys at any point."""
 
+    # pin the string-hash impl ONCE here on the driver; every build task
+    # and (via the returned filter) every probe task uses exactly it
+    str_impl = "polars" if _polars_available() else "blake2b"
+
     def block_bitmap(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter(num_bits, num_hashes)
+        bf = BloomFilter(num_bits, num_hashes, str_impl=str_impl)
         bf.add(batch[column])
         return pa.table({"bitmap": pa.array([bf.bits.tobytes()], type=pa.large_binary())})
 
@@ -151,7 +180,7 @@ def build_bloom(
         .repartition(fold_partitions)
         .map_batches(or_fold, batch_format="pyarrow", batch_size=None)
     )
-    out = BloomFilter(num_bits, num_hashes)
+    out = BloomFilter(num_bits, num_hashes, str_impl=str_impl)
     for row in partials.take_all():
         np.bitwise_or(
             out.bits, np.frombuffer(row["bitmap"], dtype=np.uint64), out=out.bits

@@ -471,7 +471,10 @@ def promo_revenue(
 
     parts = lineitem.map_batches(partial, batch_format="pyarrow")
     sums = parts.sum(["promo_part", "total_part"])
-    promo, total = sums["sum(promo_part)"], sums["sum(total_part)"]
+    if sums is None:  # Dataset.sum returns None over zero blocks
+        promo, total = 0.0, 0.0
+    else:
+        promo, total = sums["sum(promo_part)"], sums["sum(total_part)"]
     pct = 100.0 * promo / total if total else 0.0
     rounded = pc.round(pa.scalar(pct), 6, round_mode="half_towards_infinity")
     return pa.table({"promo_revenue": pa.array([rounded.as_py()], type=pa.float64())})
@@ -640,7 +643,39 @@ def asof_join(
             return out
         return pd.merge_asof(l, r, on=on, by=by, direction="backward")
 
-    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    out = tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    return out.map_batches(
+        _cast_back(left_names + out_names,
+                   left_types + [pa.float64()] * len(out_names)),
+        batch_format="pyarrow",
+    )
+
+
+def _cast_back(names: list, types: list):
+    """``map_batches`` fn restoring the Arrow types a pandas
+    ``map_groups`` conversion widened. The bucketed union frames carry
+    null-padded key columns (R rows are null in L-only columns), so
+    pandas coerces int64 → float64 and the float dtype SURVIVES into the
+    output even after the R rows are dropped — the values are whole
+    numbers, but the driver's canonical hash stringifies ``5.0 != 5``.
+    NaN → null, then cast each column back to its declared type."""
+    target = list(zip(names, types))
+
+    def cast(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in target:
+            col = batch[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if col.type != typ:
+                if pa.types.is_floating(col.type) and not pa.types.is_floating(typ):
+                    col = pc.if_else(
+                        pc.is_nan(col), pa.scalar(None, type=col.type), col)
+                col = pc.cast(col, typ)
+            cols[name] = col
+        return pa.table(cols)
+
+    return cast
 
 
 def _key_buckets(batch: pa.Table, by: str, n: int) -> pa.Array:
@@ -750,10 +785,16 @@ def window_count_join(
         t = pa.table(cols)
         return t.append_column("__bucket", _key_buckets(t, by, n))
 
+    right_names = right.schema().names
+    missing = [c for c in (by, on) if c not in right_names]
+    if missing:
+        raise ValueError(
+            f"window_count_join: right side is missing column(s) {missing}; "
+            f"right schema has {right_names}"
+        )
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
-        right.select_columns(
-            [c for c in (by, on) if c in right.schema().names]
-        ).map_batches(tag_right, batch_format="pyarrow")
+        right.select_columns([by, on]).map_batches(
+            tag_right, batch_format="pyarrow")
     )
 
     def count_in_band(df: "pd.DataFrame") -> "pd.DataFrame":
@@ -792,8 +833,12 @@ def window_count_join(
         out[count_column] = (hi - lo).reindex(l.index)
         return out
 
-    return tagged.groupby("__bucket").map_groups(
+    out = tagged.groupby("__bucket").map_groups(
         count_in_band, batch_format="pandas"
+    )
+    return out.map_batches(
+        _cast_back(left_names + [count_column], left_types + [pa.int64()]),
+        batch_format="pyarrow",
     )
 
 
@@ -1307,13 +1352,17 @@ def pivot_counts(
         .map_batches(assign, batch_format="pyarrow")
         .groupby([row_key, "day"]).sum("count_all")
     )
+    # the row key keeps its source type (int event codes stay int) —
+    # taken from the events schema, not hardcoded string
+    schema = events.schema()
+    key_type = schema.types[schema.names.index(row_key)]
     cells = {}
     row_keys = set()
     for r in agg.take_all():          # |keys| x |days| rows - tiny
         cells[(r[row_key], r["day"])] = int(r["sum(count_all)"])
         row_keys.add(r[row_key])
     rows = sorted(row_keys)
-    cols = {row_key: pa.array(rows, type=pa.string())}
+    cols = {row_key: pa.array(rows, type=key_type)}
     for d in days:
         cols[f"d_{d.replace('-', '_')}"] = pa.array(
             [cells.get((rk, d), 0) for rk in rows], type=pa.int64())

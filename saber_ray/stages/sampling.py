@@ -21,8 +21,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import hashlib
-
 import pyarrow as pa
 import pyarrow.compute as pc
 
