@@ -213,11 +213,19 @@ def _q_knn(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
-    """ANN scale path through the driver gate (rows-only: k-means
-    centroid assignment is seeded-numpy, not SQL-expressible; recall
-    vs the exact path is pytest-gated in test_dedup_similarity.py)."""
-    from saber_ray.stages.similarity import knn_topk_ivf
+    """ANN scale path through the driver gate, VALUE-checked: build the
+    persisted IVF index (one streaming pass → parquet partitioned by
+    inverted list), then query it with ``nprobe == num_centroids`` —
+    probing every list is EXACT kNN, so the DuckDB brute-force oracle
+    reproduces the result while the query still exercises the whole
+    storage path (k-means centroids, hive-partitioned write,
+    partition-pruned read, masked per-list scoring). Approximate-nprobe
+    recall stays pytest-gated in test_dedup_similarity.py."""
+    import hashlib
+    import os
+
     from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.similarity import ivf_query_index, ivf_write_index
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qrows = sorted(
@@ -225,9 +233,19 @@ def _q_knn_ivf(sf_dir: str):
         key=lambda r: r["vec_id"],
     )
     queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    return knn_topk_ivf(
-        ds, queries, [r["vec_id"] for r in qrows], k=10,
-        num_centroids=16, nprobe=4, seed=42,
+    num_centroids = 16
+    # index is resumable input: build once per corpus, reuse across calls
+    emb = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+    st = os.stat(emb)
+    key = hashlib.md5(
+        f"{emb}|{st.st_mtime_ns}|{st.st_size}|ivf-v1".encode()
+    ).hexdigest()[:16]
+    index_dir = f"/tmp/saber_ray_stage/ivf_{key}"
+    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        ivf_write_index(ds, index_dir, num_centroids=num_centroids, seed=42)
+    return ivf_query_index(
+        index_dir, queries, [r["vec_id"] for r in qrows], k=10,
+        nprobe=num_centroids,
     )
 
 
@@ -584,11 +602,11 @@ def _q_eval_confusion(sf_dir: str):
     shuffle does the counting."""
     import pyarrow.compute as pc
 
-    from saber_ray.pipelines.demo import demo_annotated
+    from saber_ray.pipelines.demo import demo_annotated_staged
     from saber_ray.stages.evaluate import confusion_table
     from saber_ray.stages.triples import explode_mentions
 
-    ann = demo_annotated(sf_dir)
+    ann = demo_annotated_staged(sf_dir)
 
     def keyed(batch: pa.Table) -> pa.Table:
         m = explode_mentions(batch)
@@ -714,10 +732,10 @@ def _q_kg_clustering(sf_dir: str):
 def _q_kg_annotation_stats(sf_dir: str):
     import pyarrow.compute as pc
 
-    from saber_ray.pipelines.demo import demo_annotated
+    from saber_ray.pipelines.demo import demo_annotated_staged
     from saber_ray.sources.sinks import annotation_records_batch
 
-    ann = demo_annotated(sf_dir)
+    ann = demo_annotated_staged(sf_dir)
 
     def shape(batch):
         rec = annotation_records_batch(batch)
@@ -989,7 +1007,15 @@ def _q_pack_sequences(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Registry order is COST order (cheap single-pass maps/aggregates →
+    # windows/relational → dedup/ANN → the staged kg family →
+    # multi-stage compositions): a time-budgeted driver that truncates
+    # the sweep still completes the maximum number of rows. The kg_*
+    # family shares ONE annotate pass per sf_dir via
+    # demo_annotated_staged (the r02 driver run truncated at 50/71
+    # because every kg query re-ran the tagger pool from scratch).
     return {
+        # -- cheap single-pass text/statistics queries
         "sterilize": _q_sterilize,
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -1002,17 +1028,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_hot_tokens": _q_cms_hot_tokens,
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_pairs": _q_minhash_pairs,
-        "dedup_components": _q_dedup_components,
-        "dedup_simhash_pairs": _q_simhash_pairs,
-        "embedding_dup_pairs": _q_embedding_dups,
-        "knn_search": _q_knn,
-        "knn_search_ivf": _q_knn_ivf,
-        "media_decode": _q_media_decode,
-        "media_dims_dedup": _q_media_dims_dedup,
         "hot_tokens": _q_hot_tokens,
-        "kg_mentions_filtered": _q_kg_mentions_filtered,
+        "repetition_stats": _q_repetition_stats,
+        "length_quantiles": _q_length_quantiles,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "sample_hash": _q_sample_hash,
+        "sample_stratified": _q_sample_stratified,
+        "sample_mixture": _q_sample_mixture,
+        "sample_weighted": _q_sample_weighted,
+        "pack_sequences": _q_pack_sequences,
+        "decontaminate": _q_decontaminate,
+        # -- windows / relational / TPC-H
         "events_window": _q_events_window,
         "events_sliding": _q_events_sliding,
         "events_asof": _q_events_asof,
@@ -1023,10 +1049,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_summary": _q_events_props_summary,
         "events_filtered_window": _q_events_filtered_window,
         "events_sessions": _q_events_sessions,
-        "tpch_q1": _q_tpch_q1,
+        "top_events_per_type": _q_top_events_per_type,
+        "events_pivot": _q_events_pivot,
         "pricing_rollup": _q_pricing_rollup,
         "pricing_cube": _q_pricing_cube,
-        "events_pivot": _q_events_pivot,
+        "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
@@ -1034,10 +1061,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14": _q_tpch_q14,
         "tpch_q10": _q_tpch_q10,
         "tpch_q18": _q_tpch_q18,
-        "top_events_per_type": _q_top_events_per_type,
-        "eval_confusion": _q_eval_confusion,
+        # -- dedup / similarity / media
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_components": _q_dedup_components,
+        "embedding_dup_pairs": _q_embedding_dups,
+        "knn_search": _q_knn,
+        "knn_search_ivf": _q_knn_ivf,
+        "media_decode": _q_media_decode,
+        "media_dims_dedup": _q_media_dims_dedup,
+        # -- KG family (one shared staged annotate pass per sf_dir)
         "chunk_spans": _q_chunk_spans,
         "kg_mentions": _q_kg_mentions,
+        "kg_mentions_filtered": _q_kg_mentions_filtered,
         "kg_mention_counts": _q_kg_mention_counts,
         "kg_triples": _q_kg_triples,
         "kg_nodes": _q_kg_nodes,
@@ -1050,15 +1087,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "kg_clustering": _q_kg_clustering,
         "kg_annotation_stats": _q_kg_annotation_stats,
-        "sample_hash": _q_sample_hash,
-        "sample_stratified": _q_sample_stratified,
-        "sample_mixture": _q_sample_mixture,
-        "sample_weighted": _q_sample_weighted,
-        "length_quantiles": _q_length_quantiles,
-        "grouped_quantiles": _q_grouped_quantiles,
-        "decontaminate": _q_decontaminate,
-        "repetition_stats": _q_repetition_stats,
-        "pack_sequences": _q_pack_sequences,
+        "eval_confusion": _q_eval_confusion,
+        # -- multi-stage compositions
         "curate_pack": _q_curate_pack,
         "pack_interleaved": _q_pack_interleaved,
     }
@@ -1239,7 +1269,7 @@ def oracle_sql() -> dict[str, str]:
     gaz, ns, pred = _gaz_cte(), _ns_cte(), _pred_case()
     triples_cte = _TRIPLES_CTE.format(gaz=gaz, ns=ns, pred=pred)
 
-    return {
+    sql = {
         "sterilize": """
             SELECT doc_id,
                    regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
@@ -2182,3 +2212,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bucket, pack_id, n_tokens FROM packs
         """,
     }
+    # probing every inverted list is EXACT kNN, so the IVF-index query
+    # shares the brute-force oracle verbatim (see _q_knn_ivf)
+    sql["knn_search_ivf"] = sql["knn_search"]
+    return sql

@@ -37,9 +37,56 @@ def demo_annotated(sf_dir: str, config: KGConfig | None = None) -> rd.Dataset:
     return annotate(docs, config or demo_config())
 
 
+_STAGE_ROOT = "/tmp/saber_ray_stage"
+
+
+def demo_annotated_staged(sf_dir: str) -> rd.Dataset:
+    """Annotate the corpus ONCE per ``sf_dir`` and stage the result as
+    parquet; callers read the staged table instead of re-running the
+    tagger/linker actor pool. The whole ``kg_*`` query family derives
+    from this one annotate pass, so without staging a 12-query sweep
+    re-executes the most expensive stage 12 times (Ray Data has no
+    common-subexpression reuse across separately-built Datasets).
+
+    This is the same staged-barrier layout ``run_kg_job`` uses at ingest
+    scale (BASELINE.md measured staged parquet beating re-derived
+    lineage); here it also lets a time-budgeted correctness driver
+    finish the full query contract. Cache key = (realpath, mtime, size)
+    of ``documents.parquet`` + a pipeline version tag, so a regenerated
+    corpus or changed demo semantics re-stages; the ``_SUCCESS`` marker
+    makes a torn write invisible.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    real = os.path.realpath(sf_dir)
+    doc = os.path.join(real, "documents.parquet")
+    st = os.stat(doc)
+    key = hashlib.md5(
+        f"{real}|{st.st_mtime_ns}|{st.st_size}|demo-v1".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(_STAGE_ROOT, key)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        demo_annotated(sf_dir).write_parquet(tmp)
+        try:
+            os.rename(tmp, path)
+            with open(marker, "w"):
+                pass
+        except OSError:
+            # concurrent stager won the rename; use theirs if complete
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(marker):
+                raise
+    return rd.read_parquet(path)
+
+
 def demo_mentions(sf_dir: str) -> rd.Dataset:
     """(doc_id:int64, mention, label) — one row per mention occurrence."""
-    ann = demo_annotated(sf_dir)
+    ann = demo_annotated_staged(sf_dir)
     ments = ann.map_batches(explode_mentions, batch_format="pyarrow")
 
     def shape(batch: pa.Table) -> pa.Table:
@@ -62,7 +109,7 @@ def demo_mention_counts(sf_dir: str) -> rd.Dataset:
 
 def demo_triples(sf_dir: str) -> rd.Dataset:
     """(doc_id:int64, subj, pred, obj, n) — per-doc co-occurrence triples."""
-    ann = demo_annotated(sf_dir)
+    ann = demo_annotated_staged(sf_dir)
     trip = ann.map_batches(
         lambda b: emit_triples(b, same_sentence=False), batch_format="pyarrow"
     )
@@ -84,7 +131,7 @@ def demo_triples(sf_dir: str) -> rd.Dataset:
 def demo_graph(sf_dir: str) -> dict[str, rd.Dataset]:
     """Full demo graph: salted canonicalization to nodes + edges."""
     config = demo_config()
-    ann = demo_annotated(sf_dir, config)
+    ann = demo_annotated_staged(sf_dir)
     mentions = ann.map_batches(explode_mentions, batch_format="pyarrow")
     triples = ann.map_batches(
         lambda b: emit_triples(b, same_sentence=False), batch_format="pyarrow"
