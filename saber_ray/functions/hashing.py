@@ -113,6 +113,76 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) 
     return (vals.min(axis=1) & _MAX_H).astype(np.uint64)
 
 
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def hash_str_array(values, seed: int = 0) -> np.ndarray:
+    """Vectorized uint64 hash of a string sequence (polars' Rust-side
+    row hash — one call per batch instead of one hashlib call per
+    value). polars is a baked-in dependency; there is deliberately NO
+    silent fallback (two tasks hashing the same key differently is a
+    correctness bug, see functions/bloom.py). Stable within a job: every
+    worker runs the same polars build."""
+    import polars as pl
+
+    if not len(values):
+        return np.empty(0, dtype=np.uint64)
+    return pl.Series(values).hash(seed=seed).to_numpy().astype(np.uint64)
+
+
+def rolling_shingle_hashes(
+    token_hashes: np.ndarray, k: int, whole_doc_if_short: bool = False
+) -> np.ndarray:
+    """uint64 hash of every k-token window, vectorized: an order-
+    sensitive polynomial over the per-token hashes (k shifted
+    multiply-adds over the whole array — O(k·n) numpy ops, no per-
+    shingle string building or hashlib calls; this was the dominant map
+    cost of the dedup family at corpus scale).
+
+    Documents shorter than ``k`` yield ONE hash over all tokens when
+    ``whole_doc_if_short`` (MinHash semantics — a short doc still has a
+    signature) and NO hashes otherwise (decontamination semantics — a
+    doc can't contain an n-gram longer than itself). Empty input →
+    empty output either way.
+    """
+    th = np.asarray(token_hashes, dtype=np.uint64)
+    n = len(th)
+    if n == 0:
+        return th[:0]
+    if n < k:
+        if not whole_doc_if_short:
+            return th[:0]
+        k = n
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * _FNV_PRIME + th[j : j + m]
+    return acc
+
+
+def batch_shingle_hashes(
+    texts, token_re, k: int, whole_doc_if_short: bool = False
+) -> list[np.ndarray]:
+    """Per-document k-shingle hash arrays for a batch of texts: tokenize
+    each text (C-level regex findall), hash ALL tokens of the batch in
+    ONE vectorized call, then roll each document's window hashes in
+    numpy. The one shingle/hash recipe shared by MinHash signatures,
+    Jaccard verification and decontamination — divergence between a
+    builder and a membership test would silently stop them matching."""
+    toks_per_doc = [token_re.findall(t.lower()) if t else [] for t in texts]
+    flat: list[str] = []
+    for toks in toks_per_doc:
+        flat.extend(toks)
+    th = hash_str_array(flat)
+    out, pos = [], 0
+    for toks in toks_per_doc:
+        h = th[pos : pos + len(toks)]
+        pos += len(toks)
+        out.append(rolling_shingle_hashes(h, k, whole_doc_if_short))
+    return out
+
+
 def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
     """64-bit SimHash (Charikar 2002) over uint64 token hashes."""
     if len(token_hashes) == 0:

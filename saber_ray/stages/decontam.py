@@ -11,87 +11,103 @@ big to broadcast, shingle both sides and anti-join on the shingle hash —
 the same one-keyed-shuffle shape as ``stages/dedup.py:dedup_exact``.)
 
 Shingles are ``n`` consecutive tokens (``[0-9a-z]+`` on lowercased text,
-the corpus-wide tokenizer from ``stages/textstats.py``), joined with a
-single space; membership is tested on the 64-bit prefix of the md5 of
-that string (collision odds ~m^2/2^64 — negligible against benchmark-
-sized shingle sets, and verifiable: the DuckDB oracle joins on the exact
-shingle TEXT and agrees).
+the corpus-wide tokenizer from ``stages/textstats.py``); membership is
+tested on a 64-bit rolling hash over vectorized per-token hashes
+(``functions/hashing.py:batch_shingle_hashes`` — one polars hash call
+per batch + numpy windows, replacing a per-shingle md5 loop that was
+the dominant map cost). Collision odds ~m²/2^64 — negligible against
+benchmark-sized shingle sets, and verifiable: the DuckDB oracle joins
+on the exact shingle TEXT and agrees.
 """
 
 from __future__ import annotations
 
-import hashlib
 import re
 
+import numpy as np
 import pyarrow as pa
 
 import ray
 import ray.data as rd
 
+from ..functions.hashing import batch_shingle_hashes
 from .textstats import TOKEN_PATTERN
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
 
-def _shingle_hash_iter(text: str, n: int):
-    """Yield the 64-bit md5-prefix hash of every n-token shingle — the
-    ONE shingle/hash recipe shared by the eval-set builder and the
-    corpus-side membership test (divergence here would silently stop
-    the filter from matching the eval set)."""
-    toks = _TOKEN_RE.findall(text.lower()) if text else []
-    for i in range(len(toks) - n + 1):
-        s = " ".join(toks[i : i + n])
-        yield int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
-
-
 def shingle_hashes(text: str, n: int) -> set[int]:
-    """64-bit hashes of all n-token shingles of ``text``."""
-    return set(_shingle_hash_iter(text, n))
+    """64-bit hashes of all n-token shingles of ``text`` (a doc shorter
+    than ``n`` has none). The ONE shingle/hash recipe shared by the
+    eval-set builder and the corpus-side membership test — divergence
+    here would silently stop the filter from matching the eval set."""
+    [hs] = batch_shingle_hashes([text], _TOKEN_RE, n)
+    return set(int(h) for h in hs)
 
 
 def eval_shingle_set(
     eval_ds: rd.Dataset, n: int, text_column: str = "text"
-) -> set[int]:
-    """Union of shingle hashes over the (small) eval set.
+) -> np.ndarray:
+    """SORTED UNIQUE uint64 shingle hashes over the (small) eval set.
 
-    Per-batch partial sets are unioned on the driver — the stream back
-    is one set per batch of the EVAL side only.
+    Per-batch partial arrays are unioned on the driver — the stream back
+    is one array per batch of the EVAL side only. A numpy array (not a
+    Python set) so the ``ray.put`` broadcast is plasma-zero-copy in
+    every probe actor and membership is a vectorized ``searchsorted``.
     """
 
     def batch_set(batch: pa.Table) -> pa.Table:
-        acc: set[int] = set()
-        for text in batch[text_column].to_pylist():
-            acc |= shingle_hashes(text, n)
-        return pa.table({"h": pa.array(sorted(acc), type=pa.uint64())})
+        per_doc = batch_shingle_hashes(
+            batch[text_column].to_pylist(), _TOKEN_RE, n)
+        acc = (np.unique(np.concatenate(per_doc)) if per_doc
+               else np.empty(0, dtype=np.uint64))
+        return pa.table({"h": pa.array(acc, type=pa.uint64())})
 
     parts = eval_ds.map_batches(batch_set, batch_format="pyarrow")
-    out: set[int] = set()
-    for b in parts.iter_batches(batch_format="pyarrow"):
-        out.update(b["h"].to_pylist())
-    return out
+    chunks = [b["h"].to_numpy(zero_copy_only=False)
+              for b in parts.iter_batches(batch_format="pyarrow")]
+    if not chunks:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(chunks)).astype(np.uint64)
 
 
 class CleanFilter:
-    """Actor-pool corpus filter: the banned shingle set is ``ray.get``
-    ONCE per actor in ``__init__`` — a per-batch get would re-deserialize
-    the whole (non-zero-copy) Python set for every 1024-row batch, which
-    dominates the stage at corpus scale."""
+    """Actor-pool corpus filter: the banned shingle array is ``ray.get``
+    ONCE per actor in ``__init__`` (zero-copy plasma view of the sorted
+    uint64 array). Per batch: ALL documents' shingle hashes are computed
+    in one vectorized pass and membership-tested with one
+    ``searchsorted`` — no per-shingle Python."""
 
     def __init__(self, shingles_ref, n: int, text_column: str = "text"):
-        self._banned = (ray.get(shingles_ref)
-                        if isinstance(shingles_ref, ray.ObjectRef)
-                        else shingles_ref)
+        banned = (ray.get(shingles_ref)
+                  if isinstance(shingles_ref, ray.ObjectRef)
+                  else shingles_ref)
+        if isinstance(banned, set):  # caller-built set: normalize once
+            banned = np.fromiter(banned, dtype=np.uint64, count=len(banned))
+            banned.sort()
+        self._banned = np.asarray(banned, dtype=np.uint64)
         self._n = n
         self._col = text_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        banned, n = self._banned, self._n
-        mask = []
-        for text in batch[self._col].to_pylist():
-            # early-exit scan: stop at the first banned shingle
-            hit = any(h in banned for h in _shingle_hash_iter(text, n))
-            mask.append(not hit)
-        return batch.filter(pa.array(mask, type=pa.bool_()))
+        banned = self._banned
+        per_doc = batch_shingle_hashes(
+            batch[self._col].to_pylist(), _TOKEN_RE, self._n)
+        lens = np.array([len(h) for h in per_doc], dtype=np.int64)
+        if lens.sum() == 0 or len(banned) == 0:
+            return batch
+        flat = np.concatenate([h for h in per_doc if len(h)])
+        pos = np.searchsorted(banned, flat)
+        pos[pos == len(banned)] = 0  # out-of-range probe can't match
+        hit = banned[pos] == flat
+        # per-doc ANY over the flattened hit mask (segment reduction)
+        clean = np.ones(batch.num_rows, dtype=bool)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        nonempty = lens > 0
+        if nonempty.any():
+            seg_any = np.logical_or.reduceat(hit, starts[nonempty])
+            clean[nonempty] = ~seg_any
+        return batch.filter(pa.array(clean))
 
 
 def decontaminate(

@@ -20,8 +20,6 @@ these are the engine's training-data-pipeline extensions.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -29,7 +27,11 @@ import ray.data as rd
 
 from ..functions.partitioning import pinned_pool
 
-from ..functions.hashing import make_minhash_params, minhash_signature, stable_u64
+from ..functions.hashing import (
+    batch_shingle_hashes,
+    make_minhash_params,
+    minhash_signature,
+)
 from .textstats import _TOKEN_RE, fingerprint_batch
 
 # ------------------------------------------------------------ exact -----
@@ -57,19 +59,15 @@ def _min_id_survivors(fps: rd.Dataset, id_column: str) -> rd.Dataset:
 # ----------------------------------------------------------- minhash ----
 
 
-def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
-    if len(tokens) < k:
-        joined = [" ".join(tokens)] if tokens else []
-    else:
-        joined = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    return np.array([stable_u64(s) for s in joined], dtype=np.uint64)
-
-
 class MinHashSignatures:
     """Actor-pool stage: per-document MinHash signatures.
 
     Permutation coefficients are generated once per actor in ``__init__``
     (deterministic seed) — stateful setup out of the per-batch path.
+    Shingle hashing is batch-vectorized (one polars hash call over the
+    batch's tokens + numpy rolling windows — see
+    ``functions/hashing.py:batch_shingle_hashes``); the former
+    per-shingle hashlib loop was the dominant map cost at corpus scale.
     """
 
     def __init__(self, num_perm: int = 128, shingle_k: int = 3, column: str = "text",
@@ -84,10 +82,12 @@ class MinHashSignatures:
         # docs with no shingles are dropped here: the all-max "empty"
         # signature is identical for every empty doc, so banding them
         # would pair all empty docs with each other
+        per_doc = batch_shingle_hashes(
+            batch[self._col].to_pylist(), _TOKEN_RE, self._k,
+            whole_doc_if_short=True,
+        )
         ids, sigs = [], []
-        for rid, text in zip(batch[self._id].to_pylist(), batch[self._col].to_pylist()):
-            toks = _TOKEN_RE.findall(text.lower()) if text else []
-            hashes = _shingle_hashes(toks, self._k)
+        for rid, hashes in zip(batch[self._id].to_pylist(), per_doc):
             if len(hashes) == 0:
                 continue
             ids.append(rid)
@@ -102,26 +102,45 @@ class MinHashSignatures:
 
 
 def _band_rows(batch: pa.Table, num_bands: int, id_column: str) -> pa.Table:
-    """(id, signature) batch → one row per (band, band_hash, id)."""
-    ids, bands, hashes = [], [], []
-    for rid, sig in zip(batch[id_column].to_pylist(), batch["signature"].to_pylist()):
-        arr = np.asarray(sig, dtype=np.int64)
-        rows_per_band = len(arr) // num_bands
-        for b in range(num_bands):
-            chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-            ids.append(rid)
-            bands.append(b)
-            hashes.append(h)
-    # empty block: pa.array([]) would infer a NULL-typed id column whose
-    # schema conflicts with non-empty blocks — keep the real id type
-    id_arr = (pa.array(ids) if ids
-              else pa.array([], type=batch.schema.field(id_column).type))
+    """(id, signature) batch → one row per (band, band_hash, id).
+
+    Band hashes are computed for the WHOLE batch in one vectorized pass:
+    reshape the signature matrix to [docs, bands, rows_per_band] and
+    polynomial-combine along the last axis (uint64 wraparound — same
+    family as ``rolling_shingle_hashes``). 64-bit band keys collide with
+    negligible probability at per-bucket scales, and an LSH collision is
+    only an extra CANDIDATE, verified exactly downstream.
+    """
+    from ..functions.hashing import _FNV_PRIME
+
+    n = batch.num_rows
+    if n == 0:
+        # empty block: pa.array([]) would infer a NULL-typed id column
+        # whose schema conflicts with non-empty blocks — keep the type
+        return pa.table(
+            {
+                id_column: pa.array([], type=batch.schema.field(id_column).type),
+                "band": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.int64()),
+            }
+        )
+    sig_col = batch["signature"].combine_chunks()
+    num_perm = len(sig_col[0])
+    rows_per_band = num_perm // num_bands
+    mat = np.asarray(sig_col.flatten(), dtype=np.uint64).reshape(
+        n, num_bands, rows_per_band)
+    acc = np.zeros((n, num_bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(rows_per_band):
+            acc = acc * _FNV_PRIME + mat[:, :, j]
+    ids = batch[id_column].combine_chunks()
     return pa.table(
         {
-            id_column: id_arr,
-            "band": pa.array(bands, type=pa.int32()),
-            "band_hash": pa.array(hashes, type=pa.string()),
+            id_column: pa.concat_arrays([ids] * num_bands)
+            if num_bands > 1 else ids,
+            "band": pa.array(
+                np.repeat(np.arange(num_bands, dtype=np.int32), n)),
+            "band_hash": pa.array(acc.T.reshape(-1).view(np.int64)),
         }
     )
 
@@ -177,7 +196,7 @@ def _expand_bucket_pairs(batch: pa.Table, max_bucket: int) -> pa.Table:
 def minhash_lsh_pairs(
     ds: rd.Dataset,
     num_perm: int = 128,
-    num_bands: int = 16,
+    num_bands: int = 32,
     shingle_k: int = 3,
     column: str = "text",
     id_column: str = "doc_id",
@@ -189,6 +208,12 @@ def minhash_lsh_pairs(
     signatures (actor pool) → band explode → groupby(band, band_hash) →
     in-bucket pairs → distinct pairs. One shuffle on the band key plus a
     final distinct on the (small) pair set.
+
+    Default banding 32 bands x 4 rows (128 perms): candidate recall
+    1-(1-s^4)^32 is ~0.87 at s=0.5 and >1-1e-14 at s=0.9, so pairs at a
+    0.5-Jaccard verification threshold are reliably CANDIDATES; the
+    exact-Jaccard verify stage removes the low-s false positives this
+    wider banding admits (their count is bounded by the bucket cap).
     """
     if num_perm % num_bands:
         raise ValueError(
@@ -250,18 +275,19 @@ def _shingle_hash_arrays(batch: pa.Table, shingle_k: int,
     """[id, text] batch → [id, shingles] where ``shingles`` is the
     SORTED DISTINCT int64 shingle-hash array of each document (the
     Arrow-storable stand-in for the shingle string set; 64-bit
-    collisions are negligible at per-doc shingle counts)."""
-    out = []
-    for text in batch[column].to_pylist():
-        hs = sorted(
-            {int(h) - ((int(h) >> 63) << 64)  # uint64 → int64 wraparound
-             for h in (stable_u64(s) for s in _shingle_set(text, shingle_k))}
-        )
-        out.append(hs)
+    collisions are negligible at per-doc shingle counts). Vectorized:
+    same batch-level kernel as the signature stage, then per-doc
+    ``np.unique``; Jaccard over hash SETS equals Jaccard over shingle
+    string sets because the hash is injective at these cardinalities."""
+    per_doc = batch_shingle_hashes(
+        batch[column].to_pylist(), _TOKEN_RE, shingle_k,
+        whole_doc_if_short=True,
+    )
+    out = [np.sort(np.unique(hs).view(np.int64)) for hs in per_doc]
     return pa.table(
         {
             id_column: batch[id_column],
-            "shingles": pa.array(out, type=pa.list_(pa.int64())),
+            "shingles": pa.array([o.tolist() for o in out], type=pa.list_(pa.int64())),
         }
     )
 

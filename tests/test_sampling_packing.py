@@ -92,11 +92,14 @@ def test_grouped_quantiles():
 
 
 def test_shingle_hashes_windows():
-    assert shingle_hashes("a b c d", 3) == {
-        int(hashlib.md5(b"a b c").hexdigest()[:16], 16),
-        int(hashlib.md5(b"b c d").hexdigest()[:16], 16),
-    }
+    # window semantics: n-k+1 windows, order-sensitive, too-short -> none
+    h = shingle_hashes("a b c d", 3)
+    assert len(h) == 2
+    assert shingle_hashes("a b c", 3) <= h          # first window shared
+    assert shingle_hashes("b c d", 3) <= h          # second window shared
+    assert shingle_hashes("c b a", 3).isdisjoint(h)  # order matters
     assert shingle_hashes("a b", 3) == set()
+    assert shingle_hashes("", 3) == set()
 
 
 def test_decontaminate_drops_overlapping_docs():
