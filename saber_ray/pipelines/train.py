@@ -380,3 +380,429 @@ class Trainer:
             "folds": fold_scores,
             "mean_f1": mean_f1,
         }
+
+
+# ================================================================
+# Gradient training of the recurrent emission stack
+# ================================================================
+
+
+@dataclass
+class RecurrentTrainConfig:
+    """Hyperparameters for gradient BiLSTM-CRF training (reference
+    architecture sizes default much larger — saber/constants.py:65-68 —
+    these defaults suit fixture-scale corpora and tests)."""
+    epochs: int = 8
+    shards: int = 4                # parameter-mixing width (reproducible)
+    seed: int = 42
+    lr: float = 0.03
+    batch_size: int = 16
+    word_dim: int = 12
+    char_dim: int = 6
+    char_units: int = 6
+    word_units: int = 12
+    criteria: str = "exact"
+    valid_fraction: float = 0.10
+
+
+def _build_char_vocab(ds: rd.Dataset) -> dict[str, int]:
+    """Distinct characters of the lowercased train tokens;
+    <PAD>=0, <UNK>=1 (reference char vocab, saber/dataset.py:96-111)."""
+    flat = ds.map_batches(
+        lambda b: pa.table({
+            "tok": pa.compute.utf8_lower(pa.compute.list_flatten(b["tokens"]))
+        }),
+        batch_format="pyarrow",
+    )
+    chars: set[str] = set()
+    for row in flat.groupby("tok").count().take_all():
+        chars.update(row["tok"])
+    vocab = {PAD: 0, UNK: 1}
+    for c in sorted(chars):
+        vocab[c] = len(vocab)
+    return vocab
+
+
+def _encode_train_batch(sents, tags_list, word2idx, char2idx, tag2idx,
+                        max_char_len: int = 25):
+    """Pad one minibatch to ITS OWN max lengths (masking makes the
+    result independent of padding; local pads keep tensors small)."""
+    S = max(1, max(len(s) for s in sents))
+    C = max(1, min(max_char_len, max((len(t) for s in sents for t in s),
+                                     default=1)))
+    n = len(sents)
+    word_ids = np.zeros((n, S), dtype=np.int64)
+    char_ids = np.zeros((n, S, C), dtype=np.int64)
+    gold = np.zeros((n, S), dtype=np.int64)
+    for i, (sent, tags) in enumerate(zip(sents, tags_list)):
+        for j, tok in enumerate(sent):
+            low = tok.lower()
+            word_ids[i, j] = word2idx.get(low, 1)
+            for k, ch in enumerate(low[:C]):
+                char_ids[i, j, k] = char2idx.get(ch, 1)
+            gold[i, j] = tag2idx[tags[j]]
+    return word_ids, char_ids, gold
+
+
+def _train_shard_recurrent(params_ref, word2idx, char2idx, tag2idx, cfg):
+    """Per-shard gradient pass (map_groups callable): local Adam over
+    deterministic-order minibatches from the broadcast epoch weights;
+    returns the shard-trained parameter dict (pickled) for mixing."""
+    import pickle
+
+    def train_group(group: pa.Table) -> pa.Table:
+        from ..functions.recurrent_grad import AdamState, tagger_loss_and_grads
+
+        params = {k: v.copy() for k, v in ray.get(params_ref).items()}
+        opt = AdamState(params, lr=cfg.lr)
+        idx = sorted(
+            range(group.num_rows),
+            key=lambda i: (group["order_key"][i].as_py(),
+                           group["tokens"][i].as_py()),
+        )
+        rows = [(group["tokens"][i].as_py(), group["tags"][i].as_py())
+                for i in idx if group["tokens"][i].as_py()]
+        total_loss = 0.0
+        n_batches = 0
+        for start in range(0, len(rows), cfg.batch_size):
+            chunk = rows[start:start + cfg.batch_size]
+            sents = [r[0] for r in chunk]
+            tags = [r[1] for r in chunk]
+            word_ids, char_ids, gold = _encode_train_batch(
+                sents, tags, word2idx, char2idx, tag2idx)
+            loss, grads = tagger_loss_and_grads(word_ids, char_ids, gold, params)
+            params = opt.step(params, grads)
+            total_loss += loss
+            n_batches += 1
+        return pa.table({
+            "shard": pa.array([int(group["shard"][0].as_py())], type=pa.int32()),
+            "sentences": pa.array([len(rows)], type=pa.int64()),
+            "loss": pa.array([total_loss / max(1, n_batches)], type=pa.float64()),
+            "params": pa.array([pickle.dumps(params)], type=pa.large_binary()),
+        })
+
+    return train_group
+
+
+def _eval_recurrent_fn(params_ref, word2idx, char2idx, idx2tag, criteria):
+    """Per-batch eval partials with the full recurrent forward + Viterbi
+    (same kernels the serving NeuralTagger uses)."""
+    from ..functions.metrics import _project
+    from ..functions.recurrent import bilstm_crf_emissions
+
+    def eval_batch(batch: pa.Table) -> pa.Table:
+        params = ray.get(params_ref)
+        trans = params["transitions"]
+        correct = total = tp = fp = fn = 0
+        rows = [(t, g) for t, g in zip(batch["tokens"].to_pylist(),
+                                       batch["tags"].to_pylist()) if t]
+        for start in range(0, len(rows), 64):
+            chunk = rows[start:start + 64]
+            sents = [r[0] for r in chunk]
+            word_ids, char_ids, _ = _encode_train_batch(
+                sents, [["<PAD>"] * len(s) for s in sents],
+                word2idx, char2idx, {"<PAD>": 0})
+            em = bilstm_crf_emissions(word_ids, char_ids, params)
+            for i, (tokens, tags) in enumerate(chunk):
+                pred = _viterbi(em[i, :len(tokens)], trans)
+                pred_tags = [idx2tag[p] for p in pred]
+                correct += sum(1 for p, g in zip(pred_tags, tags) if p == g)
+                total += len(tags)
+                gold_set = [_project(c, criteria) for c in chunk_entities(tags)]
+                pred_set = [_project(c, criteria) for c in chunk_entities(pred_tags)]
+                tp += sum(1 for c in pred_set if c in gold_set)
+                fp += sum(1 for c in pred_set if c not in gold_set)
+                fn += sum(1 for c in gold_set if c not in pred_set)
+        return pa.table({
+            "correct": pa.array([correct], type=pa.int64()),
+            "total": pa.array([total], type=pa.int64()),
+            "tp": pa.array([tp], type=pa.int64()),
+            "fp": pa.array([fp], type=pa.int64()),
+            "fn": pa.array([fn], type=pa.int64()),
+        })
+
+    return eval_batch
+
+
+class RecurrentTrainer:
+    """Gradient training of the full recurrent tagger (char BiLSTM →
+    word BiLSTM ×2 → dense → CRF) — the reference's end-to-end model
+    training (saber/models/multi_task_lstm_crf.py:105-150,
+    saber/trainer.py:47-84) with the SAME distributed coordination as
+    the perceptron ``Trainer``: deterministic content-hash shards, one
+    ``groupby(shard).map_groups`` gradient pass per epoch (local Adam
+    per shard), sentence-weighted parameter mixing, per-epoch span
+    P/R/F1 on the valid partition, best-epoch weights kept (A4).
+
+    The saved bundle carries the full weight dict, so it serves through
+    the SAME ``NeuralTagger`` actor pool as hand-built recurrent
+    bundles — unlike the perceptron path, the emissions here are
+    context-dependent (a BiLSTM state, not a per-token embedding row),
+    which ``tests/test_trainer.py`` proves by learning a tag pattern a
+    linear emission provably cannot express.
+    """
+
+    def __init__(self, train: rd.Dataset, valid: rd.Dataset | None = None,
+                 config: RecurrentTrainConfig | None = None):
+        self.config = config or RecurrentTrainConfig()
+        self._train = train
+        self._valid = valid
+        self.word2idx = _build_word_vocab(train)
+        self.char2idx = _build_char_vocab(train)
+        self.idx2tag = _build_tag_vocab(train)
+        self.tag2idx = {t: i for i, t in enumerate(self.idx2tag)}
+        self.history: list[dict] = []
+        self.params: dict | None = None
+
+    def _init_params(self, seed_offset: int = 0) -> dict:
+        from ..functions.recurrent import init_bilstm_weights
+
+        cfg = self.config
+        return init_bilstm_weights(
+            len(self.word2idx), len(self.char2idx), len(self.idx2tag),
+            word_dim=cfg.word_dim, char_dim=cfg.char_dim,
+            char_units=cfg.char_units, word_units=cfg.word_units,
+            seed=cfg.seed + seed_offset,
+        )
+
+    def _epoch_pass(self, sharded: rd.Dataset, params: dict) -> tuple[dict, float]:
+        """One distributed epoch: broadcast → per-shard Adam → mix."""
+        import pickle
+
+        ref = ray.put(params)
+        rows = sharded.groupby("shard").map_groups(
+            _train_shard_recurrent(ref, self.word2idx, self.char2idx,
+                                   self.tag2idx, self.config),
+            batch_format="pyarrow",
+        ).take_all()
+        mixed = {k: np.zeros_like(v) for k, v in params.items()}
+        n_sents = 0
+        loss = 0.0
+        for r in rows:
+            w = int(r["sentences"])
+            shard_params = pickle.loads(r["params"])
+            for k in mixed:
+                mixed[k] += shard_params[k] * w
+            n_sents += w
+            loss += float(r["loss"]) * w
+        if n_sents:
+            for k in mixed:
+                mixed[k] /= n_sents
+            loss /= n_sents
+        return mixed, loss
+
+    def _evaluate(self, ds: rd.Dataset, params: dict) -> dict:
+        ref = ray.put(params)
+        parts = ds.map_batches(
+            _eval_recurrent_fn(ref, self.word2idx, self.char2idx,
+                               self.idx2tag, self.config.criteria),
+            batch_format="pyarrow",
+        )
+        agg = parts.sum(["correct", "total", "tp", "fp", "fn"])
+        if agg is None:
+            agg = {f"sum({k})": 0 for k in ("correct", "total", "tp", "fp", "fn")}
+        from ..functions.metrics import precision_recall_f1_support
+
+        p, r, f1, support = precision_recall_f1_support(
+            agg["sum(tp)"], agg["sum(fp)"], agg["sum(fn)"])
+        return {
+            "tag_accuracy": (agg["sum(correct)"] / agg["sum(total)"]
+                             if agg["sum(total)"] else 0.0),
+            "precision": p, "recall": r, "f1": f1, "support": support,
+        }
+
+    def train(self) -> dict:
+        from .splits import train_valid_split
+
+        cfg = self.config
+        train, valid = self._train, self._valid
+        if valid is None:
+            train, valid = train_valid_split(train, cfg.valid_fraction)
+        sharded = _with_shard(train, cfg.shards).materialize()
+        params = self._init_params()
+        per_epoch: list[dict] = []
+        for epoch in range(cfg.epochs):
+            params, loss = self._epoch_pass(sharded, params)
+            metrics = self._evaluate(valid, params)
+            metrics.update({"epoch": epoch, "loss": loss})
+            self.history.append(metrics)
+            per_epoch.append({k: v.copy() for k, v in params.items()})
+        idx = best_epoch([
+            (h["precision"], h["recall"], h["f1"]) for h in self.history
+        ])
+        self.params = per_epoch[idx]
+        return {
+            "strategy": "train_valid_test",
+            "history": self.history,
+            "best_epoch": idx,
+        }
+
+    def save(self, path: str) -> str:
+        """Best-epoch weights → NeuralTagger-servable recurrent bundle."""
+        from ..state.bundle import save_bundle
+
+        if self.params is None:
+            raise RuntimeError("train() must run before save()")
+        save_bundle(
+            path,
+            {k: v.astype(np.float32) for k, v in self.params.items()},
+            {"word2idx": self.word2idx, "char2idx": self.char2idx,
+             "idx2tag": self.idx2tag},
+            {"kind": "bilstm-crf-gradient", "epochs": self.config.epochs,
+             "shards": self.config.shards},
+        )
+        return path
+
+
+class MultiTaskRecurrentTrainer:
+    """Compound-dataset training: SHARED encoder (embeddings, char
+    BiLSTM, both word BiLSTMs), per-task dense + CRF heads, tasks
+    visited in seeded-random order each epoch — the reference's
+    multi-task loop (saber/trainer.py:73-74 random task order;
+    saber/utils/data_utils.py:94-116 compound datasets pooling word
+    types across corpora while each keeps its own tag set;
+    saber/models/multi_task_lstm_crf.py:62-103 shares every layer
+    except the CRF).
+
+    ``tasks`` is a list of dicts ``{"train": Dataset, "valid": Dataset
+    (optional)}``. Word/char vocabs are built over the UNION of the
+    tasks' train partitions; tag vocab per task.
+    """
+
+    def __init__(self, tasks: list[dict],
+                 config: RecurrentTrainConfig | None = None):
+        import random
+
+        if not tasks:
+            raise ValueError("at least one task required")
+        self.config = config or RecurrentTrainConfig()
+        self._rng = random.Random(self.config.seed)
+        pooled = tasks[0]["train"]
+        for t in tasks[1:]:
+            pooled = pooled.union(t["train"])
+        self.word2idx = _build_word_vocab(pooled)
+        self.char2idx = _build_char_vocab(pooled)
+        self.tasks = []
+        for t in tasks:
+            idx2tag = _build_tag_vocab(t["train"])
+            self.tasks.append({
+                "train": t["train"], "valid": t.get("valid"),
+                "idx2tag": idx2tag,
+                "tag2idx": {tag: i for i, tag in enumerate(idx2tag)},
+            })
+        self.history: list[list[dict]] = [[] for _ in tasks]
+        self.task_orders: list[list[int]] = []
+        self.shared: dict | None = None
+        self.heads: list[dict] | None = None
+
+    _HEAD_KEYS = ("dense_W", "dense_b", "transitions")
+
+    def train(self) -> dict:
+        from ..functions.recurrent import init_bilstm_weights
+        from .splits import train_valid_split
+
+        cfg = self.config
+        # init: shared encoder from task 0's shapes; one head per task
+        base = init_bilstm_weights(
+            len(self.word2idx), len(self.char2idx),
+            len(self.tasks[0]["idx2tag"]),
+            word_dim=cfg.word_dim, char_dim=cfg.char_dim,
+            char_units=cfg.char_units, word_units=cfg.word_units,
+            seed=cfg.seed,
+        )
+        shared = {k: v for k, v in base.items() if k not in self._HEAD_KEYS}
+        heads = []
+        for i, task in enumerate(self.tasks):
+            head_src = init_bilstm_weights(
+                2, 2, len(task["idx2tag"]),
+                word_dim=cfg.word_dim, char_dim=cfg.char_dim,
+                char_units=cfg.char_units, word_units=cfg.word_units,
+                seed=cfg.seed + 100 + i,
+            )
+            heads.append({k: head_src[k] for k in self._HEAD_KEYS})
+
+        staged = []
+        for task in self.tasks:
+            train, valid = task["train"], task["valid"]
+            if valid is None:
+                train, valid = train_valid_split(train, cfg.valid_fraction)
+            staged.append({
+                "sharded": _with_shard(train, cfg.shards).materialize(),
+                "valid": valid,
+            })
+
+        eval_cfg = RecurrentTrainConfig(**{**cfg.__dict__})
+        per_epoch: list[tuple[dict, list[dict]]] = []
+        mean_f1s: list[float] = []
+        for epoch in range(cfg.epochs):
+            # the reference shuffles task order per epoch with the run's
+            # seeded RNG (saber/trainer.py:73-74)
+            order = self._rng.sample(range(len(self.tasks)), len(self.tasks))
+            self.task_orders.append(order)
+            for ti in order:
+                task, stage = self.tasks[ti], staged[ti]
+                params = {**shared, **heads[ti]}
+                ref = ray.put(params)
+                import pickle
+
+                rows = stage["sharded"].groupby("shard").map_groups(
+                    _train_shard_recurrent(
+                        ref, self.word2idx, self.char2idx,
+                        task["tag2idx"], cfg),
+                    batch_format="pyarrow",
+                ).take_all()
+                mixed = {k: np.zeros_like(v) for k, v in params.items()}
+                n_sents = 0
+                for r in rows:
+                    w = int(r["sentences"])
+                    sp = pickle.loads(r["params"])
+                    for k in mixed:
+                        mixed[k] += sp[k] * w
+                    n_sents += w
+                if n_sents:
+                    for k in mixed:
+                        mixed[k] /= n_sents
+                shared = {k: v for k, v in mixed.items()
+                          if k not in self._HEAD_KEYS}
+                heads[ti] = {k: mixed[k] for k in self._HEAD_KEYS}
+            f1s = []
+            for ti, (task, stage) in enumerate(zip(self.tasks, staged)):
+                tr = RecurrentTrainer.__new__(RecurrentTrainer)
+                tr.config = eval_cfg
+                tr.word2idx, tr.char2idx = self.word2idx, self.char2idx
+                tr.idx2tag = task["idx2tag"]
+                metrics = RecurrentTrainer._evaluate(
+                    tr, stage["valid"], {**shared, **heads[ti]})
+                metrics["epoch"] = epoch
+                self.history[ti].append(metrics)
+                f1s.append(metrics["f1"])
+            mean_f1s.append(sum(f1s) / len(f1s))
+            per_epoch.append((
+                {k: v.copy() for k, v in shared.items()},
+                [{k: v.copy() for k, v in h.items()} for h in heads],
+            ))
+        best = int(np.argmax(mean_f1s))
+        self.shared, self.heads = per_epoch[best]
+        return {
+            "strategy": "multi_task",
+            "best_epoch": best,
+            "mean_f1": mean_f1s[best],
+            "per_task": [h[best] for h in self.history],
+            "task_orders": self.task_orders,
+        }
+
+    def save(self, task_index: int, path: str) -> str:
+        """One task's servable bundle: shared encoder + its head."""
+        from ..state.bundle import save_bundle
+
+        if self.shared is None:
+            raise RuntimeError("train() must run before save()")
+        weights = {**self.shared, **self.heads[task_index]}
+        save_bundle(
+            path,
+            {k: v.astype(np.float32) for k, v in weights.items()},
+            {"word2idx": self.word2idx, "char2idx": self.char2idx,
+             "idx2tag": self.tasks[task_index]["idx2tag"]},
+            {"kind": "bilstm-crf-multitask", "task": task_index},
+        )
+        return path

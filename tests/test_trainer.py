@@ -118,3 +118,179 @@ def test_training_is_reproducible(corpus):
     h2 = Trainer(train_b, valid=valid,
                  config=TrainConfig(epochs=2, shards=4)).train()["history"]
     assert h1 == h2
+
+
+# ================================================================
+# Gradient BiLSTM-CRF training (RecurrentTrainer)
+# ================================================================
+
+
+def _context_corpus(n: int, seed: int) -> pa.Table:
+    """Tag of 'x' depends on the PRECEDING token ('acts x' → B-PRGE,
+    'near x' → O; everything else O). A linear per-token emission
+    provably cannot express this: E['x'] is one fixed row and both
+    contexts present identical tag neighborhoods (all O), so any
+    linear-CRF scores both labelings of 'x' identically — a BiLSTM
+    state sees the context token."""
+    rng = random.Random(seed)
+    toks_col, tags_col = [], []
+    for _ in range(n):
+        ctx = rng.choice(["acts", "near"])
+        toks = [ctx, "x"] + [rng.choice(FILLER) for _ in range(rng.randint(2, 5))]
+        tags = ["O", "B-PRGE" if ctx == "acts" else "O"] + ["O"] * (len(toks) - 2)
+        toks_col.append(toks)
+        tags_col.append(tags)
+    return pa.table({
+        "tokens": pa.array(toks_col, type=pa.list_(pa.string())),
+        "tags": pa.array(tags_col, type=pa.list_(pa.string())),
+    })
+
+
+@pytest.fixture(scope="module")
+def ctx_corpus():
+    return _context_corpus(240, seed=7)
+
+
+def _small_rcfg(**kw):
+    from saber_ray.pipelines.train import RecurrentTrainConfig
+
+    base = dict(epochs=6, shards=2, lr=0.05, batch_size=16,
+                word_dim=8, char_dim=4, char_units=4, word_units=8)
+    base.update(kw)
+    return RecurrentTrainConfig(**base)
+
+
+def test_recurrent_learns_context_linear_cannot(ctx_corpus):
+    from saber_ray.pipelines.train import RecurrentTrainer
+
+    train = rd.from_arrow(ctx_corpus.slice(0, 200))
+    valid = rd.from_arrow(ctx_corpus.slice(200, 40))
+    rt = RecurrentTrainer(train, valid=valid, config=_small_rcfg())
+    res = rt.train()
+    best = res["history"][res["best_epoch"]]
+    assert best["f1"] == 1.0, res["history"]
+
+    # the linear-emission perceptron cannot separate the contexts: its
+    # best F1 stays at the predict-all-x ceiling (~0.69), never 1.0
+    lt = Trainer(train, valid=valid, config=TrainConfig(epochs=5, shards=2))
+    lres = lt.train()
+    assert max(h["f1"] for h in lres["history"]) < 0.9
+
+
+def test_recurrent_bundle_serves_context_pattern(ctx_corpus, tmp_path):
+    from saber_ray.pipelines.train import RecurrentTrainer
+    from saber_ray.stages.neural import NeuralTagger
+
+    train = rd.from_arrow(ctx_corpus.slice(0, 200))
+    valid = rd.from_arrow(ctx_corpus.slice(200, 40))
+    rt = RecurrentTrainer(train, valid=valid, config=_small_rcfg())
+    rt.train()
+    bundle = rt.save(str(tmp_path / "bilstm_bundle"))
+
+    tagger = NeuralTagger(bundle)
+    doc = pa.table({
+        "doc_id": ["d1", "d2"],
+        "spans": [
+            [{"kind": "text", "text": "acts x on data", "media_ref": ""}],
+            [{"kind": "text", "text": "near x on data", "media_ref": ""}],
+        ],
+    })
+    out = tagger(doc)
+    ents = out["ents"].to_pylist()
+    assert {(e["text"], e["label"]) for e in ents[0]} == {("x", "PRGE")}
+    assert ents[1] == []  # same token, other context: no mention
+
+
+def test_recurrent_training_reproducible(ctx_corpus):
+    from saber_ray.pipelines.train import RecurrentTrainer
+
+    valid = rd.from_arrow(ctx_corpus.slice(200, 40))
+    h1 = RecurrentTrainer(
+        rd.from_arrow(ctx_corpus.slice(0, 200)), valid=valid,
+        config=_small_rcfg(epochs=2)).train()["history"]
+    h2 = RecurrentTrainer(
+        rd.from_arrow(ctx_corpus.slice(0, 200)).repartition(7), valid=valid,
+        config=_small_rcfg(epochs=2)).train()["history"]
+    assert h1 == h2
+
+
+# ================================================================
+# Multi-task / compound-dataset training
+# ================================================================
+
+
+def _task_corpus(n: int, seed: int, words: dict) -> pa.Table:
+    rng = random.Random(seed)
+    ent_words = sorted(words)
+    toks_col, tags_col = [], []
+    for _ in range(n):
+        toks, tags = [], []
+        for _ in range(rng.randint(4, 8)):
+            if rng.random() < 0.4:
+                w = rng.choice(ent_words)
+                toks.append(w)
+                tags.append("B-" + words[w])
+            else:
+                toks.append(rng.choice(FILLER))
+                tags.append("O")
+        toks_col.append(toks)
+        tags_col.append(tags)
+    return pa.table({
+        "tokens": pa.array(toks_col, type=pa.list_(pa.string())),
+        "tags": pa.array(tags_col, type=pa.list_(pa.string())),
+    })
+
+
+def test_multitask_shared_encoder_per_task_heads(tmp_path):
+    """Two corpora with DISJOINT tag sets (the reference's
+    dummy_dataset_1 DISO / dummy_dataset_2 PRGE shape) train one shared
+    encoder with per-task CRF heads; both tasks reach F1 1.0 and each
+    head serves through NeuralTagger with ITS OWN tag set."""
+    from saber_ray.pipelines.train import MultiTaskRecurrentTrainer
+    from saber_ray.stages.neural import NeuralTagger
+
+    a = _task_corpus(160, 11, {"join": "DISO", "filter": "DISO"})
+    b = _task_corpus(160, 12, {"spark": "PRGE", "vector": "PRGE"})
+    mt = MultiTaskRecurrentTrainer(
+        [
+            {"train": rd.from_arrow(a.slice(0, 130)),
+             "valid": rd.from_arrow(a.slice(130, 30))},
+            {"train": rd.from_arrow(b.slice(0, 130)),
+             "valid": rd.from_arrow(b.slice(130, 30))},
+        ],
+        config=_small_rcfg(epochs=6),
+    )
+    res = mt.train()
+    assert res["strategy"] == "multi_task"
+    assert res["per_task"][0]["f1"] == 1.0
+    assert res["per_task"][1]["f1"] == 1.0
+
+    # task order is shuffled per epoch with the seeded RNG
+    orders = res["task_orders"]
+    assert len(orders) == 6 and all(sorted(o) == [0, 1] for o in orders)
+    assert len({tuple(o) for o in orders}) > 1  # actually shuffles
+
+    bundle = mt.save(1, str(tmp_path / "task1_bundle"))
+    tagger = NeuralTagger(bundle)
+    doc = pa.table({
+        "doc_id": ["d1"],
+        "spans": [[{"kind": "text", "text": "the spark runs fast",
+                    "media_ref": ""}]],
+    })
+    ents = tagger(doc)["ents"].to_pylist()[0]
+    assert {(e["text"], e["label"]) for e in ents} == {("spark", "PRGE")}
+
+
+def test_multitask_order_reproducible():
+    from saber_ray.pipelines.train import MultiTaskRecurrentTrainer
+
+    a = _task_corpus(60, 21, {"join": "DISO"})
+    b = _task_corpus(60, 22, {"spark": "PRGE"})
+    def run():
+        mt = MultiTaskRecurrentTrainer(
+            [{"train": rd.from_arrow(a)}, {"train": rd.from_arrow(b)}],
+            config=_small_rcfg(epochs=3),
+        )
+        mt.train()
+        return mt.task_orders
+    assert run() == run()
