@@ -41,6 +41,13 @@ class KGConfig:
     batch_size: int | None = 256   # mirrors the reference's PRED_BATCH_SIZE
     dedup: str = ""                # run_kg_job dedup stage: "", "exact", "minhash"
     dedup_min_jaccard: float = 0.8  # near-dup verification threshold (minhash)
+    # run_kg_job curation stage: "", "weighted" (length-weighted
+    # Efraimidis-Spirakis sample of curation_k docs) or "mixture"
+    # (per-length-stratum quotas; curation_k an int or a per-stratum
+    # dict like {"short": 30, "long": 10})
+    curation: str = ""
+    curation_k: Any = 64
+    pack_budget: int = 2048        # token budget per packed sequence
 
 
 def _pool_width(n_pools: int = 1) -> int:

@@ -173,10 +173,11 @@ def run_kg_job(
         if max_partitions is not None and len(ran) >= max_partitions:
             continue
         # this partition WILL re-run: the previously aggregated dedup
-        # drop-list and graph are now stale — invalidate their records
-        # persistently BEFORE doing any work, so a crash mid-way cannot
-        # leave a trusted stale aggregate
+        # drop-list, curation sample and graph are now stale — invalidate
+        # their records persistently BEFORE doing any work, so a crash
+        # mid-way cannot leave a trusted stale aggregate
         manifest.invalidate("dedup", 0)
+        manifest.invalidate("curation", 0)
         manifest.invalidate("graph", 0)
         with StageTimer() as timer:
             docs = rd.read_parquet(group)
@@ -251,6 +252,7 @@ def run_kg_job(
     stale = _remove_stale_parts(out_dir, valid_pids)
     if stale:
         manifest.invalidate("dedup", 0)
+        manifest.invalidate("curation", 0)
         manifest.invalidate("graph", 0)
 
     # ---- dedup stage: global dup drop-list over staged documents ----
@@ -283,6 +285,68 @@ def run_kg_job(
             summary["dedup"] = "ran"
         else:
             summary["dedup"] = "skipped"
+
+    # ---- curation stage: sampling + sequence packing over staged docs ----
+    # (optional; checkpointed). Carries its OWN config hash derived from
+    # the job hash + curation params, so tuning the sample or the pack
+    # budget re-runs ONLY this stage — the annotate partitions (the
+    # expensive tagger work) stay valid. Any annotate re-run invalidated
+    # the record above.
+    if config.curation:
+        k_repr = (repr(sorted(config.curation_k.items()))
+                  if isinstance(config.curation_k, dict)
+                  else repr(config.curation_k))
+        curation_hash = config_hash(
+            cfg_hash + f"|curation={config.curation}|k={k_repr}"
+            f"|pack={config.pack_budget}", __version__)
+        rec = manifest.read("curation", 0)
+        if not (rec is not None and rec.status == "done"
+                and rec.config_hash == curation_hash):
+            with StageTimer() as timer:
+                shutil.rmtree(os.path.join(out_dir, "curation"),
+                              ignore_errors=True)
+                ann = _staged_read(os.path.join(out_dir, "annotated")).filter(
+                    expr="valid == True")
+                texts = ann.map_batches(_doc_text, batch_format="pyarrow")
+                kept_dir = os.path.join(out_dir, "curation", "kept")
+                packed_dir = os.path.join(out_dir, "curation", "packed")
+                _curation_kept_ids(texts, config).write_parquet(kept_dir)
+                # both samplers return O(k) rows by construction, so the
+                # kept-id set broadcasts as an is_in mask — the corpus
+                # streams once with no shuffle (the dedup drop-list shape)
+                keep_ids = _read_keep_ids(kept_dir)
+
+                def keep(batch, _ks=keep_ids):
+                    import pyarrow.compute as _pc
+
+                    return batch.filter(
+                        _pc.is_in(batch["doc_id"], value_set=_ks))
+
+                from ..stages.packing import pack_sequences
+
+                pack_sequences(
+                    texts.map_batches(keep, batch_format="pyarrow"),
+                    budget=config.pack_budget,
+                ).write_parquet(packed_dir)
+            manifest.write(
+                PartitionRecord(
+                    stage="curation",
+                    partition_id=0,
+                    input_fragments=["annotated/"],
+                    rows_in=_written_rows_tree(os.path.join(out_dir, "annotated")),
+                    rows_out=_written_rows(packed_dir),
+                    span_hash="",
+                    wall_ms=timer.wall_ms,
+                    status="done",
+                    config_hash=curation_hash,
+                    extra={"method": config.curation,
+                           "kept_rows": _written_rows(kept_dir),
+                           "pack_budget": config.pack_budget},
+                )
+            )
+            summary["curation"] = "ran"
+        else:
+            summary["curation"] = "skipped"
 
     # ---- graph stage: global canonicalization over all staged outputs ----
     # (re-run partitions already invalidated the graph record above)
@@ -387,6 +451,61 @@ def _dropped_ids(ann: rd.Dataset, config: KGConfig) -> rd.Dataset:
     raise ValueError(
         f"unknown dedup method {config.dedup!r} (expected '', 'exact', 'minhash')"
     )
+
+
+def _curation_kept_ids(texts: rd.Dataset, config: KGConfig) -> rd.Dataset:
+    """The configured curation sampler's keep-list over (doc_id, text).
+
+    ``weighted``: Efraimidis–Spirakis length-weighted sample of
+    ``curation_k`` docs (probability ∝ token count — long docs carry
+    more training signal). ``mixture``: per-length-stratum quotas
+    (short <16 / medium <64 / long tokens), ``curation_k`` an int quota
+    or a per-stratum dict. Both are deterministic two-phase top-k — the
+    shuffle moves O(k × batches) id rows, never the text.
+    """
+    from ..stages.sampling import stratified_sample, weighted_sample
+    from ..stages.textstats import token_count_batch
+
+    counted = texts.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    if config.curation == "weighted":
+        return weighted_sample(
+            counted, "n_tokens", int(config.curation_k)
+        ).select_columns(["doc_id"])
+    if config.curation == "mixture":
+        def bucketize(batch):
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            n = batch["n_tokens"]
+            stratum = _pc.if_else(
+                _pc.less(n, 16), _pa.scalar("short"),
+                _pc.if_else(_pc.less(n, 64), _pa.scalar("medium"),
+                            _pa.scalar("long")),
+            )
+            return _pa.table({"doc_id": batch["doc_id"], "stratum": stratum})
+
+        return stratified_sample(
+            counted.map_batches(bucketize, batch_format="pyarrow"),
+            "stratum", config.curation_k,
+        ).select_columns(["doc_id"])
+    raise ValueError(
+        f"unknown curation method {config.curation!r} "
+        "(expected '', 'weighted', 'mixture')"
+    )
+
+
+def _read_keep_ids(kept_dir: str):
+    """Keep-list parquet dir → one combined doc_id array (empty-safe)."""
+    import pyarrow as pa
+
+    files = sorted(glob.glob(os.path.join(kept_dir, "*.parquet")))
+    if not files:
+        return pa.chunked_array([pa.array([], type=pa.string())])
+    cols = [pq.read_table(f, columns=["doc_id"])["doc_id"] for f in files]
+    return pa.concat_arrays([c for col in cols for c in col.chunks])
 
 
 def _read_drop_ids(drop_dir: str):

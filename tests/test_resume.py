@@ -253,3 +253,67 @@ def test_partition_count_change_no_double_count(tmp_path_factory):
         for f in glob.glob(f"{out}/nodes/*.parquet")
     )
     assert node_support == mentions_after
+
+
+def test_curation_stage_checkpointed(corpus_dir, tmp_path_factory):
+    """Curation (mixture sample + packing) between annotate and graph:
+    runs once, skips on resume, re-runs alone on a curation-param
+    change (annotate partitions stay valid), and re-runs when an
+    annotate partition reruns."""
+    out = str(tmp_path_factory.mktemp("out"))
+    cfg = KGConfig(batch_size=64, num_salts=4, curation="mixture",
+                   curation_k={"short": 20, "medium": 30, "long": 10},
+                   pack_budget=64)
+
+    s1 = run_kg_job(f"{corpus_dir}/*.parquet", out, cfg, partitions=4)
+    assert s1["complete"] and s1["curation"] == "ran" and s1["graph"] == "ran"
+    kept = pq.read_table(glob.glob(f"{out}/curation/kept/*.parquet")[0].rsplit("/", 1)[0])
+    packed_files = glob.glob(f"{out}/curation/packed/*.parquet")
+    packed = sum(pq.ParquetFile(f).metadata.num_rows for f in packed_files)
+    # quotas respected: every kept doc is packed, each pack within budget
+    assert 0 < kept.num_rows <= 60
+    assert packed == kept.num_rows
+    import pyarrow.parquet as _pq
+
+    for f in packed_files:
+        t = _pq.read_table(f)
+        assert max(t["n_tokens"].to_pylist(), default=0) <= 64
+
+    # resume: nothing re-runs
+    s2 = run_kg_job(f"{corpus_dir}/*.parquet", out, cfg, partitions=4)
+    assert s2["curation"] == "skipped" and s2["graph"] == "skipped"
+    assert len(s2["ran"]) == 0
+
+    # curation-only param change: annotate partitions stay valid,
+    # curation re-runs, graph (independent of curation) stays skipped
+    cfg2 = KGConfig(batch_size=64, num_salts=4, curation="weighted",
+                    curation_k=25, pack_budget=64)
+    s3 = run_kg_job(f"{corpus_dir}/*.parquet", out, cfg2, partitions=4)
+    assert len(s3["ran"]) == 0 and len(s3["skipped"]) == 4
+    assert s3["curation"] == "ran" and s3["graph"] == "skipped"
+    kept2 = sum(pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(f"{out}/curation/kept/*.parquet"))
+    assert kept2 == 25
+
+
+def test_curation_invalidated_by_annotate_rerun(tmp_path_factory):
+    import pyarrow.parquet as _pq
+
+    corpus = str(tmp_path_factory.mktemp("corpus2"))
+    table, _, _ = generate_documents(120, seed=13)
+    for i in range(4):
+        _pq.write_table(table.slice(i * 30, 30),
+                        os.path.join(corpus, f"frag-{i:02d}.parquet"))
+    out = str(tmp_path_factory.mktemp("out2"))
+    cfg = KGConfig(batch_size=64, num_salts=4, curation="weighted",
+                   curation_k=15, pack_budget=64)
+    s1 = run_kg_job(f"{corpus}/*.parquet", out, cfg, partitions=2)
+    assert s1["curation"] == "ran"
+
+    # change one input fragment: its partition re-runs and the curation
+    # aggregate is invalidated with it
+    table2, _, _ = generate_documents(30, seed=99)
+    _pq.write_table(table2, os.path.join(corpus, "frag-00.parquet"))
+    s2 = run_kg_job(f"{corpus}/*.parquet", out, cfg, partitions=2)
+    assert len(s2["ran"]) >= 1
+    assert s2["curation"] == "ran" and s2["graph"] == "ran"
