@@ -77,26 +77,68 @@ def cmd_run(args: argparse.Namespace) -> None:
 
 
 def cmd_train(args: argparse.Namespace) -> None:
-    """Train the CRF-perceptron tagger over a CoNLL dataset folder
-    (reference: python -m saber.cli.train --dataset_folder ...,
-    saber/cli/train.py:1-30): train/valid/test prefixes select the
-    strategy exactly like the reference Trainer."""
+    """Train a tagger over CoNLL dataset folder(s) (reference:
+    python -m saber.cli.train --dataset_folder ..., saber/cli/train.py:
+    1-30): train/valid/test prefixes select the strategy exactly like
+    the reference Trainer. ``--model bilstm`` trains the full recurrent
+    stack by gradient descent; MULTIPLE --dataset_folder values train a
+    shared encoder with per-dataset CRF heads (the reference's compound
+    datasets, saber/utils/data_utils.py:94-116)."""
     _ensure_ray()
-    from .pipelines.train import TrainConfig, Trainer
     from .sources.conll import read_conll_partitions
 
-    parts = read_conll_partitions(args.dataset_folder)
-    if "train" not in parts:
-        raise FileNotFoundError(f"no train.* file in {args.dataset_folder}")
-    trainer = Trainer(
-        parts["train"], valid=parts.get("valid"), test=parts.get("test"),
-        config=TrainConfig(epochs=args.epochs, k_folds=args.k_folds,
-                           shards=args.shards),
-    )
-    result = trainer.train()
-    if args.out:
-        trainer.save(args.out)
-        result["bundle"] = args.out
+    folders = args.dataset_folder
+    all_parts = []
+    for folder in folders:
+        parts = read_conll_partitions(folder)
+        if "train" not in parts:
+            raise FileNotFoundError(f"no train.* file in {folder}")
+        all_parts.append(parts)
+
+    if args.model == "perceptron":
+        if len(folders) > 1:
+            raise SystemExit("--model perceptron supports one dataset "
+                             "folder; use --model bilstm for compound")
+        from .pipelines.train import TrainConfig, Trainer
+
+        parts = all_parts[0]
+        trainer = Trainer(
+            parts["train"], valid=parts.get("valid"), test=parts.get("test"),
+            config=TrainConfig(epochs=args.epochs, k_folds=args.k_folds,
+                               shards=args.shards),
+        )
+        result = trainer.train()
+        if args.out:
+            trainer.save(args.out)
+            result["bundle"] = args.out
+    else:
+        from .pipelines.train import (
+            MultiTaskRecurrentTrainer,
+            RecurrentTrainConfig,
+            RecurrentTrainer,
+        )
+
+        cfg = RecurrentTrainConfig(epochs=args.epochs, shards=args.shards)
+        if len(folders) == 1:
+            parts = all_parts[0]
+            trainer = RecurrentTrainer(
+                parts["train"], valid=parts.get("valid"), config=cfg)
+            result = trainer.train()
+            if args.out:
+                trainer.save(args.out)
+                result["bundle"] = args.out
+        else:
+            mt = MultiTaskRecurrentTrainer(
+                [{"train": p["train"], "valid": p.get("valid")}
+                 for p in all_parts],
+                config=cfg,
+            )
+            result = mt.train()
+            if args.out:
+                bundles = []
+                for i in range(len(folders)):
+                    bundles.append(mt.save(i, f"{args.out}-task{i}"))
+                result["bundles"] = bundles
     print(json.dumps(result))
 
 
@@ -158,8 +200,15 @@ def main(argv=None) -> None:
     p_run.set_defaults(fn=cmd_run)
 
     p_train = sub.add_parser("train", help="train the tagger on a CoNLL folder")
-    p_train.add_argument("--dataset-folder", dest="dataset_folder", required=True,
-                         help="dir with train.*/valid.*/test.* CoNLL TSVs")
+    p_train.add_argument("--dataset-folder", dest="dataset_folder",
+                         required=True, nargs="+",
+                         help="dir(s) with train.*/valid.*/test.* CoNLL TSVs; "
+                              "multiple dirs + --model bilstm = compound "
+                              "multi-task training (shared encoder)")
+    p_train.add_argument("--model", choices=("perceptron", "bilstm"),
+                         default="perceptron",
+                         help="perceptron = distributed linear CRF; bilstm = "
+                              "gradient-trained recurrent stack")
     p_train.add_argument("--epochs", type=int, default=5)
     p_train.add_argument("--k-folds", type=int, default=5)
     p_train.add_argument("--shards", type=int, default=8)

@@ -211,15 +211,34 @@ def top_revenue_orders(
 ) -> rd.Dataset:
     """TPC-H Q3-shaped: revenue per order for one customer segment, top-k.
 
-    customer (small) is broadcast; lineitem revenue is pre-aggregated
-    per order BEFORE joining (shrinks the shuffle); orders⨝revenue uses
-    the hash ``Dataset.join``; final top-k = sort + limit on the small
-    aggregate.
+    customer (small) is broadcast; the segment's order keys become a
+    Bloom prefilter on lineitem (fixed-size bits whatever the segment's
+    cardinality — only ~1/5 of lineitem rows can survive the final join,
+    so the revenue groupby's shuffle input shrinks ~5x; false positives
+    just ride through and the join drops them; measured 7.3s → 5.0s at
+    sf0.1); lineitem revenue is then pre-aggregated per order BEFORE
+    joining; orders⨝revenue uses the hash ``Dataset.join``; final top-k
+    = sort + limit on the small aggregate. ``seg_orders`` is
+    materialized because it has two consumers (bloom build + join) and
+    Ray Data has no common-subexpression reuse.
     """
+    import ray
+
+    from ..functions.bloom import build_bloom
+
     cust = customer_small.filter(
         pc.equal(customer_small["c_mktsegment"], segment)
     ).select(["c_custkey"])
-    seg_orders = broadcast_join(orders, cust, "o_custkey", "c_custkey")
+    seg_orders = broadcast_join(
+        orders, cust, "o_custkey", "c_custkey"
+    ).materialize()
+    bloom_ref = ray.put(build_bloom(seg_orders, "o_orderkey"))
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        return batch.filter(pa.array(bf.might_contain(batch["l_orderkey"])))
+
+    lineitem = lineitem.map_batches(prefilter, batch_format="pyarrow")
 
     def rev_partial(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
