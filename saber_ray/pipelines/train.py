@@ -394,6 +394,7 @@ class RecurrentTrainConfig:
     these defaults suit fixture-scale corpora and tests)."""
     epochs: int = 8
     shards: int = 4                # parameter-mixing width (reproducible)
+    k_folds: int = 5               # CV strategy (no valid partition given)
     seed: int = 42
     lr: float = 0.03
     batch_size: int = 16
@@ -612,29 +613,71 @@ class RecurrentTrainer:
         }
 
     def train(self) -> dict:
-        from .splits import train_valid_split
+        """Strategy selection exactly as the reference (trainer.py:40-45):
+        a valid partition present → train/valid; none → k-fold CV with a
+        model reset per fold (trainer.py:87-131)."""
+        if self._valid is not None:
+            return self._train_valid()
+        return self._cross_validation()
 
+    def _run_epochs(self, train: rd.Dataset, valid: rd.Dataset,
+                    history: list[dict], seed_offset: int = 0) -> dict:
         cfg = self.config
-        train, valid = self._train, self._valid
-        if valid is None:
-            train, valid = train_valid_split(train, cfg.valid_fraction)
         sharded = _with_shard(train, cfg.shards).materialize()
-        params = self._init_params()
+        params = self._init_params(seed_offset)
         per_epoch: list[dict] = []
         for epoch in range(cfg.epochs):
             params, loss = self._epoch_pass(sharded, params)
             metrics = self._evaluate(valid, params)
             metrics.update({"epoch": epoch, "loss": loss})
-            self.history.append(metrics)
+            history.append(metrics)
             per_epoch.append({k: v.copy() for k, v in params.items()})
         idx = best_epoch([
-            (h["precision"], h["recall"], h["f1"]) for h in self.history
+            (h["precision"], h["recall"], h["f1"]) for h in history[-cfg.epochs:]
         ])
-        self.params = per_epoch[idx]
+        return per_epoch[idx]
+
+    def _train_valid(self) -> dict:
+        from .splits import train_valid_split
+
+        train, valid = self._train, self._valid
+        if valid is None:
+            train, valid = train_valid_split(train, self.config.valid_fraction)
+        self.params = self._run_epochs(train, valid, self.history)
         return {
             "strategy": "train_valid_test",
             "history": self.history,
-            "best_epoch": idx,
+            "best_epoch": best_epoch([
+                (h["precision"], h["recall"], h["f1"]) for h in self.history
+            ]),
+        }
+
+    def _cross_validation(self) -> dict:
+        from .splits import k_fold_splits
+
+        # ds.split(k) splits by BLOCK (see the perceptron Trainer) —
+        # spread rows across >= k blocks first; training itself is
+        # layout-independent via content-hash sharding
+        k = self.config.k_folds
+        folds = k_fold_splits(self._train.repartition(2 * k), k)
+        self.fold_history: list[list[dict]] = []
+        fold_scores: list[dict] = []
+        best_f1 = -1.0
+        for fold, (train, valid) in enumerate(folds):
+            hist: list[dict] = []
+            # model reset per fold (trainer.py:133-139), seeded per fold
+            params = self._run_epochs(train, valid, hist, seed_offset=fold)
+            self.fold_history.append(hist)
+            idx = best_epoch([(h["precision"], h["recall"], h["f1"]) for h in hist])
+            fold_scores.append({**hist[idx], "fold": fold})
+            if hist[idx]["f1"] > best_f1:
+                best_f1 = hist[idx]["f1"]
+                self.params = params
+        mean_f1 = sum(s["f1"] for s in fold_scores) / len(fold_scores)
+        return {
+            "strategy": "cross_validation",
+            "folds": fold_scores,
+            "mean_f1": mean_f1,
         }
 
     def save(self, path: str) -> str:

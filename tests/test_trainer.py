@@ -294,3 +294,19 @@ def test_multitask_order_reproducible():
         mt.train()
         return mt.task_orders
     assert run() == run()
+
+
+def test_recurrent_cross_validation_strategy(ctx_corpus):
+    """No valid partition → k-fold CV with a model reset per fold
+    (reference trainer.py:86-132), exactly like the perceptron path."""
+    from saber_ray.pipelines.train import RecurrentTrainer
+
+    rt = RecurrentTrainer(
+        rd.from_arrow(ctx_corpus),
+        config=_small_rcfg(epochs=6, k_folds=3))
+    res = rt.train()
+    assert res["strategy"] == "cross_validation"
+    assert len(res["folds"]) == 3
+    assert all(s["f1"] == 1.0 for s in res["folds"]), res["folds"]
+    assert res["mean_f1"] == 1.0
+    assert rt.params is not None  # best fold's weights kept for save()
