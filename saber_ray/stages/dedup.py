@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -145,52 +146,80 @@ def _band_rows(batch: pa.Table, num_bands: int, id_column: str) -> pa.Table:
     )
 
 
-def _bucket_members_agg(id_column: str, cap: int):
-    """AggregateFn collecting up to ``cap``+1 member ids per bucket —
-    vectorized block accumulation, no per-group pandas. Keeping cap+1
-    lets the pair expansion distinguish 'exactly cap' from 'oversize'."""
-    from ray.data.aggregate import AggregateFn
+def expand_bucketed_pairs(
+    bands: rd.Dataset,
+    band_cols: list[str],
+    id_column: str,
+    id_type,
+    max_bucket: int,
+    n_buckets: int,
+) -> rd.Dataset:
+    """(LSH band rows) → DISTINCT (id_a, id_b) candidate pairs.
 
-    def accumulate_block(acc: list, block) -> list:
-        if len(acc) > cap:
-            return acc
-        return (acc + block[id_column].to_pylist())[: cap + 1]
+    The shared candidate-expansion shape for every LSH flavor (MinHash
+    banding, multi-table sign-LSH): rows hash into ``n_buckets`` shuffle
+    groups on the LAST band column (the 64-bit bucket key — every row of
+    one LSH bucket lands in one group), then each group frame finds its
+    duplicate runs with ONE vectorized boundary scan and expands only
+    those. Buckets, not LSH keys, are the work unit: a per-key aggregate
+    makes one Python accumulator call per group and almost every LSH
+    bucket is a singleton — measured 3.9 s of a 6.6 s minhash query at
+    sf0.1 went to that aggregate shape.
 
-    return AggregateFn(
-        init=lambda k: [],
-        merge=lambda a, b: (a + b)[: cap + 1],
-        accumulate_block=accumulate_block,
-        name="members",
+    Oversize buckets (> ``max_bucket``) are dropped WITH a warning —
+    never expanded to O(n²) pairs, never silently.
+    """
+    key_col = band_cols[-1]
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch[key_col].combine_chunks(), dtype=np.int64)
+        bucket = (h.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(bucket))
+
+    bucketed = bands.map_batches(bucketize, batch_format="pyarrow")
+
+    def expand(df):
+        import logging
+
+        import pandas as pd
+
+        df = df.sort_values(band_cols + [id_column], kind="mergesort")
+        ids = df[id_column].to_numpy()
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        boundary = np.zeros(n, dtype=bool)
+        boundary[0] = True
+        for c in band_cols:
+            v = df[c].to_numpy()
+            boundary[1:] |= v[1:] != v[:-1]
+        run_id = np.cumsum(boundary) - 1
+        counts = np.bincount(run_id)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        out_a, out_b = [], []
+        # only duplicate runs (rare) reach Python
+        for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+            if c > max_bucket:
+                logging.getLogger(__name__).warning(
+                    "LSH bucket exceeds max_bucket=%d; its pairs are skipped",
+                    max_bucket,
+                )
+                continue
+            mem = np.sort(ids[s:s + c])
+            ia, ib = np.triu_indices(c, k=1)
+            out_a.extend(mem[ia])
+            out_b.extend(mem[ib])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    pairs = bucketed.groupby("__bucket").map_groups(
+        expand, batch_format="pandas"
+    ).map_batches(  # pandas may widen the id dtype; restore the input's
+        lambda t: pa.table({"id_a": pc.cast(t["id_a"], id_type),
+                            "id_b": pc.cast(t["id_b"], id_type)}),
+        batch_format="pyarrow",
     )
-
-
-def _expand_bucket_pairs(batch: pa.Table, max_bucket: int) -> pa.Table:
-    """(bucket key, members) rows → (id_a, id_b) candidate pairs."""
-    import logging
-
-    out_a, out_b = [], []
-    for members in batch["members"].to_pylist():
-        if len(members) < 2:
-            continue
-        if len(members) > max_bucket:
-            # oversize buckets are logged, not silently expanded to O(n^2)
-            logging.getLogger(__name__).warning(
-                "LSH bucket exceeds max_bucket=%d; its pairs are skipped",
-                max_bucket,
-            )
-            continue
-        ids = sorted(members)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-    id_type = batch.schema.field("members").type.value_type
-    return pa.table(
-        {
-            "id_a": pa.array(out_a, type=id_type),
-            "id_b": pa.array(out_b, type=id_type),
-        }
-    )
+    # distinct (a, b) across bands/tables
+    return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
 
 def minhash_lsh_pairs(
@@ -205,9 +234,15 @@ def minhash_lsh_pairs(
 ) -> rd.Dataset:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
-    signatures (actor pool) → band explode → groupby(band, band_hash) →
-    in-bucket pairs → distinct pairs. One shuffle on the band key plus a
-    final distinct on the (small) pair set.
+    signatures (actor pool) → band explode → ONE hash shuffle keyed on
+    ``hash(band_hash) % P`` → per-BUCKET vectorized run detection + pair
+    expansion → distinct pairs. Buckets (not LSH keys) are the shuffle
+    groups: a per-(band, band_hash) aggregate makes one Python
+    accumulator call per group, and almost every group is a singleton —
+    measured 3.9 s of a 6.6 s query at sf0.1 went to that aggregate;
+    the bucket shape replaced it with P pandas frames whose duplicate
+    runs are found by one vectorized boundary scan each (6.6 → 5.1 s
+    warm, identical pairs).
 
     Default banding 32 bands x 4 rows (128 perms): candidate recall
     1-(1-s^4)^32 is ~0.87 at s=0.5 and >1-1e-14 at s=0.9, so pairs at a
@@ -220,6 +255,7 @@ def minhash_lsh_pairs(
             f"num_perm ({num_perm}) must be divisible by num_bands "
             f"({num_bands}) — trailing permutations would be silently dropped"
         )
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
     sigs = ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={
@@ -233,17 +269,11 @@ def minhash_lsh_pairs(
 
     bands = sigs.map_batches(
         lambda b: _band_rows(b, num_bands, id_column), batch_format="pyarrow"
-    ).repartition(  # coalesce: see canonicalize.py on reduce-task overhead
-        shuffle_partitions(num_bands, ds)
     )
-    buckets = bands.groupby(["band", "band_hash"]).aggregate(
-        _bucket_members_agg(id_column, max_bucket)
+    return expand_bucketed_pairs(
+        bands, ["band", "band_hash"], id_column, id_type,
+        max_bucket, shuffle_partitions(num_bands, ds),
     )
-    pairs = buckets.map_batches(
-        lambda b: _expand_bucket_pairs(b, max_bucket), batch_format="pyarrow"
-    )
-    # distinct (a, b) across bands
-    return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
 
 def _shingle_set(text: str, k: int) -> set:
@@ -527,27 +557,6 @@ def dedup_documents_exact(docs: rd.Dataset, id_column: str = "doc_id") -> rd.Dat
     return _min_id_survivors(_interleaved_fingerprints(docs, id_column), id_column)
 
 
-def _expand_dropped(batch: pa.Table, max_group: int) -> pa.Table:
-    """(fingerprint, members) rows → every member id except the min."""
-    import logging
-
-    out = []
-    for members in batch["members"].to_pylist():
-        if len(members) < 2:
-            continue
-        if len(members) > max_group:
-            # the aggregate collected max_group+1 of an oversize dup
-            # group: the uncollected duplicates SURVIVE (conservative —
-            # a drop-list must never drop a survivor), logged not silent
-            logging.getLogger(__name__).warning(
-                "exact-dup group exceeds max_group=%d; uncollected "
-                "duplicates are kept", max_group,
-            )
-        out.extend(sorted(members)[1:])
-    id_type = batch.schema.field("members").type.value_type
-    return pa.table({"doc_id": pa.array(out, type=id_type)})
-
-
 def exact_dropped_ids(
     docs: rd.Dataset, id_column: str = "doc_id", max_group: int = 1024
 ) -> rd.Dataset:
@@ -555,21 +564,64 @@ def exact_dropped_ids(
     row per document that an exact dedup would remove (everything but
     the min-id survivor of each identical span sequence).
 
-    Same single keyed shuffle as the survivor query; per-fingerprint
-    member collection is capped (``max_group``) so a degenerate
-    fingerprint shared by millions of rows cannot build an unbounded
-    accumulator — the overflow duplicates are kept, with a warning.
-    Output column is always ``doc_id`` (the job runner's drop-list
-    schema) whatever ``id_column`` names the input.
+    Same bucket-keyed shuffle shape as ``expand_bucketed_pairs``:
+    fingerprints hash into P bucket groups (every copy of one
+    fingerprint lands in one group), each group frame finds duplicate
+    runs with one vectorized boundary scan and emits the non-min run
+    members. Per-fingerprint drops are capped at ``max_group`` so a
+    degenerate fingerprint shared by millions of rows cannot explode
+    the drop-list — the overflow duplicates SURVIVE (conservative: a
+    drop-list must never drop a survivor), logged not silent. Output
+    column is always ``doc_id`` (the job runner's drop-list schema)
+    whatever ``id_column`` names the input.
     """
+    from ..functions.hashing import hash_str_array
     from ..functions.partitioning import shuffle_partitions
 
+    n_buckets = shuffle_partitions(8, docs)
+    id_type = dict(zip(docs.schema().names, docs.schema().types))[id_column]
     fps = _interleaved_fingerprints(docs, id_column)
-    groups = fps.repartition(shuffle_partitions(8, docs)).groupby(
-        "fingerprint"
-    ).aggregate(_bucket_members_agg(id_column, max_group))
-    return groups.map_batches(
-        lambda b: _expand_dropped(b, max_group), batch_format="pyarrow"
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = hash_str_array(batch["fingerprint"].to_pylist())
+        return batch.append_column(
+            "__bucket",
+            pa.array((h % np.uint64(n_buckets)).astype(np.int32)),
+        )
+
+    def dropped(df):
+        import logging
+
+        import pandas as pd
+
+        df = df.sort_values(["fingerprint", id_column], kind="mergesort")
+        ids = df[id_column].to_numpy()
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"doc_id": ids[:0]})
+        f = df["fingerprint"].to_numpy()
+        boundary = np.ones(n, dtype=bool)
+        boundary[1:] = f[1:] != f[:-1]
+        run_id = np.cumsum(boundary) - 1
+        counts = np.bincount(run_id)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = np.arange(n) - starts[run_id]
+        if (counts > max_group + 1).any():
+            logging.getLogger(__name__).warning(
+                "exact-dup group exceeds max_group=%d; uncollected "
+                "duplicates are kept", max_group,
+            )
+        drop = (pos >= 1) & (pos <= max_group)
+        return pd.DataFrame({"doc_id": ids[drop]})
+
+    return (
+        fps.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dropped, batch_format="pandas")
+        .map_batches(
+            lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], id_type)}),
+            batch_format="pyarrow",
+        )
     )
 
 

@@ -528,10 +528,12 @@ def lsh_candidate_pairs(
     """Candidate near-dup pairs by multi-table sign-LSH banding: each
     vector lands in one bucket per table (one matmul per batch for ALL
     tables), pairs sharing any bucket become candidates — the only
-    shuffle is the bucket groupby, moving (id, table, key) rows, never
-    vectors. Oversize buckets are capped with a logged drop (dedup.py).
+    shuffle hashes band rows into bucket groups, moving (id, table, key)
+    rows, never vectors. Pair expansion is the shared bucket-keyed
+    vectorized shape (``dedup.expand_bucketed_pairs``); oversize buckets
+    are capped with a logged drop.
     """
-    from .dedup import _bucket_members_agg, _expand_bucket_pairs
+    from .dedup import expand_bucketed_pairs
     from ..functions.partitioning import shuffle_partitions
 
     bits, num_tables = _lsh_band_params(threshold, bits, num_tables)
@@ -567,16 +569,12 @@ def lsh_candidate_pairs(
             }
         )
 
-    banded = ds.map_batches(band_rows, batch_format="pyarrow").repartition(
-        shuffle_partitions(16, ds)
+    banded = ds.map_batches(band_rows, batch_format="pyarrow")
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
+    return expand_bucketed_pairs(
+        banded, ["t", "key"], id_column, id_type,
+        max_bucket, shuffle_partitions(16, ds),
     )
-    buckets = banded.groupby(["t", "key"]).aggregate(
-        _bucket_members_agg(id_column, max_bucket)
-    )
-    cand = buckets.map_batches(
-        lambda b: _expand_bucket_pairs(b, max_bucket), batch_format="pyarrow"
-    )
-    return cand.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
 
 #: Above this row count ``embedding_dup_pairs`` switches from the exact
