@@ -458,66 +458,75 @@ def simhash_near_pairs(
                          "key": pa.array(keys, type=pa.int64()),
                          "simhash": pa.array(sims, type=pa.int64())})
 
-    import json
-
-    from ray.data.aggregate import AggregateFn
-
     id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
 
-    def accumulate_block(acc: list, block) -> list:
-        # members JSON-encoded so the accumulator stays a uniform string
-        # list whatever the id type (Arrow can't hold (str, int) tuples)
-        if len(acc) > max_bucket:
-            return acc
-        got = [
-            json.dumps([i, s])
-            for i, s in zip(block[id_column].to_pylist(), block["simhash"].to_pylist())
-        ]
-        return (acc + got)[: max_bucket + 1]
+    from ..functions.partitioning import shuffle_partitions
 
-    members_agg = AggregateFn(
-        init=lambda k: [],
-        merge=lambda a, b: (a + b)[: max_bucket + 1],
-        accumulate_block=accumulate_block,
-        name="members",
-    )
+    n_buckets = shuffle_partitions(num_tables, ds)
 
-    def expand(batch: pa.Table) -> pa.Table:
+    def bucketize(batch: pa.Table) -> pa.Table:
+        # bucket on (t, key) jointly — key alone is only 16 bits, so two
+        # tables' identical keys would needlessly co-locate
+        k = np.asarray(batch["key"].combine_chunks(), dtype=np.uint64)
+        t = np.asarray(batch["t"].combine_chunks(), dtype=np.uint64)
+        bucket = (((t << np.uint64(16)) | k) % np.uint64(n_buckets)).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(bucket))
+
+    def expand(df):
+        # bucket-keyed vectorized run detection (expand_bucketed_pairs'
+        # shape), plus the in-bucket Hamming verification on the simhash
+        # values that ride along with each band row
         import logging
 
+        import pandas as pd
+
+        df = df.sort_values(["t", "key", id_column], kind="mergesort")
+        ids = df[id_column].to_numpy()
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        sims = df["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        boundary = np.zeros(n, dtype=bool)
+        boundary[0] = True
+        for c in ("t", "key"):
+            v = df[c].to_numpy()
+            boundary[1:] |= v[1:] != v[:-1]
+        run_id = np.cumsum(boundary) - 1
+        counts = np.bincount(run_id)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         out_a, out_b = [], []
-        for members in batch["members"].to_pylist():
-            if len(members) < 2:
-                continue
-            if len(members) > max_bucket:
+        for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+            if c > max_bucket:
                 logging.getLogger(__name__).warning(
                     "simhash bucket exceeds max_bucket=%d; its pairs are skipped",
                     max_bucket,
                 )
                 continue
-            rows = sorted(tuple(json.loads(m)) for m in members)
-            from ..functions.hashing import hamming64
+            order = np.argsort(ids[s:s + c], kind="stable")
+            mem = ids[s:s + c][order]
+            sh = sims[s:s + c][order]
+            ia, ib = np.triu_indices(c, k=1)
+            # vectorized Hamming over the run's candidate pairs
+            x = sh[ia] ^ sh[ib]
+            dist = np.zeros(len(x), dtype=np.int64)
+            while x.any():
+                dist += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = dist <= max_hamming
+            out_a.extend(mem[ia[keep]])
+            out_b.extend(mem[ib[keep]])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
-            for i in range(len(rows)):
-                for j in range(i + 1, len(rows)):
-                    if hamming64(rows[i][1] & ((1 << 64) - 1),
-                                 rows[j][1] & ((1 << 64) - 1)) <= max_hamming:
-                        out_a.append(rows[i][0])
-                        out_b.append(rows[j][0])
-        return pa.table(
-            {
-                "id_a": pa.array(out_a, type=id_type),
-                "id_b": pa.array(out_b, type=id_type),
-            }
-        )
-
-    from ..functions.partitioning import shuffle_partitions
-
-    banded = sigs.map_batches(bands, batch_format="pyarrow").repartition(
-        shuffle_partitions(num_tables, ds)
+    banded = sigs.map_batches(bands, batch_format="pyarrow").map_batches(
+        bucketize, batch_format="pyarrow"
     )
-    buckets = banded.groupby(["t", "key"]).aggregate(members_agg)
-    cand = buckets.map_batches(expand, batch_format="pyarrow")
+    cand = banded.groupby("__bucket").map_groups(
+        expand, batch_format="pandas"
+    ).map_batches(  # pandas may widen the id dtype; restore the input's
+        lambda t: pa.table({"id_a": pc.cast(t["id_a"], id_type),
+                            "id_b": pc.cast(t["id_b"], id_type)}),
+        batch_format="pyarrow",
+    )
     return cand.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
 
