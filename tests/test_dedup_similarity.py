@@ -407,3 +407,55 @@ def test_stack_reports_bad_rows():
         _stack(pa.array([[1.0, 2.0], None, [3.0, 4.0]]))
     with pytest.raises(ValueError, match="ragged"):
         _stack(pa.array([[1.0, 2.0], [3.0]]))
+
+
+def test_expand_bucketed_pairs_cap_and_cross_block():
+    """The shared pair-expansion kernel: (a) an oversize LSH bucket is
+    dropped (logged, never expanded to O(n^2)); (b) a bucket whose rows
+    arrive in DIFFERENT input blocks still pairs (the hash shuffle
+    co-locates them); (c) ids keep their Arrow type through the pandas
+    group frames."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from saber_ray.stages.dedup import expand_bucketed_pairs
+
+    # bucket key 1 has 3 members split across two blocks; key 2 has 30
+    # members (> max_bucket=8) and must vanish; key 3 is a singleton
+    rows_a = [{"doc_id": i, "band": 0, "band_hash": 1} for i in (10, 11)]
+    rows_a += [{"doc_id": 100 + i, "band": 0, "band_hash": 2} for i in range(15)]
+    rows_b = [{"doc_id": 12, "band": 0, "band_hash": 1}]
+    rows_b += [{"doc_id": 200 + i, "band": 0, "band_hash": 2} for i in range(15)]
+    rows_b += [{"doc_id": 999, "band": 0, "band_hash": 3}]
+    bands = rd.from_arrow([
+        pa.Table.from_pylist(rows_a), pa.Table.from_pylist(rows_b)
+    ])
+    out = expand_bucketed_pairs(
+        bands, ["band", "band_hash"], "doc_id", pa.int64(),
+        max_bucket=8, n_buckets=4,
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in out.take_all())
+    assert got == [(10, 11), (10, 12), (11, 12)]
+    sch = out.schema()
+    assert dict(zip(sch.names, sch.types))["id_a"] == pa.int64()
+
+
+def test_exact_dropped_ids_cap_keeps_overflow():
+    """A degenerate fingerprint shared by more than max_group docs drops
+    only max_group of them — the overflow SURVIVES (a drop-list must
+    never drop a survivor)."""
+    import ray.data as rd
+    from saber_ray.stages.dedup import exact_dropped_ids
+
+    docs = rd.from_items([
+        {"doc_id": i,
+         "spans": [{"kind": "text", "text": "same", "media_ref": ""}]}
+        for i in range(10)
+    ] + [
+        {"doc_id": 100,
+         "spans": [{"kind": "text", "text": "unique", "media_ref": ""}]}
+    ])
+    dropped = sorted(r["doc_id"] for r in
+                     exact_dropped_ids(docs, max_group=4).take_all())
+    # min id 0 survives; ids 1..4 dropped (cap 4); 5..9 overflow survives
+    assert dropped == [1, 2, 3, 4]
