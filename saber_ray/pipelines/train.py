@@ -397,6 +397,13 @@ class RecurrentTrainConfig:
     k_folds: int = 5               # CV strategy (no valid partition given)
     seed: int = 42
     lr: float = 0.03
+    # pre-trained word2vec text file loaded into the embedding table
+    # (reference saber.load_embeddings, saber/embeddings.py:54-106);
+    # fine_tune mirrors config.ini `fine_tune_word_embeddings` — False
+    # freezes the loaded vectors (their gradients are zeroed; OOV/<UNK>
+    # rows still train)
+    embeddings_path: str = ""
+    fine_tune_word_embeddings: bool = True
     batch_size: int = 16
     word_dim: int = 12
     char_dim: int = 6
@@ -445,16 +452,21 @@ def _encode_train_batch(sents, tags_list, word2idx, char2idx, tag2idx,
     return word_ids, char_ids, gold
 
 
-def _train_shard_recurrent(params_ref, word2idx, char2idx, tag2idx, cfg):
+def _train_shard_recurrent(params_ref, word2idx, char2idx, tag2idx, cfg,
+                           frozen_ref=None):
     """Per-shard gradient pass (map_groups callable): local Adam over
     deterministic-order minibatches from the broadcast epoch weights;
-    returns the shard-trained parameter dict (pickled) for mixing."""
+    returns the shard-trained parameter dict (pickled) for mixing.
+    ``frozen_ref`` (optional) broadcasts the embedding rows whose
+    vectors are pre-trained and FROZEN (`fine_tune_word_embeddings =
+    False`, reference config.ini:78) — their gradients are zeroed."""
     import pickle
 
     def train_group(group: pa.Table) -> pa.Table:
         from ..functions.recurrent_grad import AdamState, tagger_loss_and_grads
 
         params = {k: v.copy() for k, v in ray.get(params_ref).items()}
+        frozen = ray.get(frozen_ref) if frozen_ref is not None else None
         opt = AdamState(params, lr=cfg.lr)
         idx = sorted(
             range(group.num_rows),
@@ -472,6 +484,8 @@ def _train_shard_recurrent(params_ref, word2idx, char2idx, tag2idx, cfg):
             word_ids, char_ids, gold = _encode_train_batch(
                 sents, tags, word2idx, char2idx, tag2idx)
             loss, grads = tagger_loss_and_grads(word_ids, char_ids, gold, params)
+            if frozen is not None:
+                grads["embeddings"][frozen] = 0.0
             params = opt.step(params, grads)
             total_loss += loss
             n_batches += 1
@@ -559,21 +573,44 @@ class RecurrentTrainer:
         from ..functions.recurrent import init_bilstm_weights
 
         cfg = self.config
-        return init_bilstm_weights(
+        word_dim = cfg.word_dim
+        pretrained = None
+        if cfg.embeddings_path:
+            # reference saber.load_embeddings: the word2vec matrix
+            # REPLACES the embedding table (zeros for PAD/UNK/OOV,
+            # saber/embeddings.py:74-106); its dimension wins
+            from ..state.bundle import load_word2vec_text
+
+            pretrained = load_word2vec_text(cfg.embeddings_path, self.word2idx)
+            word_dim = pretrained.shape[1]
+        params = init_bilstm_weights(
             len(self.word2idx), len(self.char2idx), len(self.idx2tag),
-            word_dim=cfg.word_dim, char_dim=cfg.char_dim,
+            word_dim=word_dim, char_dim=cfg.char_dim,
             char_units=cfg.char_units, word_units=cfg.word_units,
             seed=cfg.seed + seed_offset,
         )
+        if pretrained is not None:
+            params["embeddings"] = pretrained.astype(np.float64)
+            self._frozen_rows = (
+                None if cfg.fine_tune_word_embeddings
+                else np.flatnonzero(np.abs(pretrained).sum(axis=1) > 0)
+            )
+        else:
+            self._frozen_rows = None
+        return params
 
     def _epoch_pass(self, sharded: rd.Dataset, params: dict) -> tuple[dict, float]:
         """One distributed epoch: broadcast → per-shard Adam → mix."""
         import pickle
 
         ref = ray.put(params)
+        frozen_ref = (ray.put(self._frozen_rows)
+                      if getattr(self, "_frozen_rows", None) is not None
+                      else None)
         rows = sharded.groupby("shard").map_groups(
             _train_shard_recurrent(ref, self.word2idx, self.char2idx,
-                                   self.tag2idx, self.config),
+                                   self.tag2idx, self.config,
+                                   frozen_ref=frozen_ref),
             batch_format="pyarrow",
         ).take_all()
         mixed = {k: np.zeros_like(v) for k, v in params.items()}

@@ -310,3 +310,54 @@ def test_recurrent_cross_validation_strategy(ctx_corpus):
     assert all(s["f1"] == 1.0 for s in res["folds"]), res["folds"]
     assert res["mean_f1"] == 1.0
     assert rt.params is not None  # best fold's weights kept for save()
+
+
+def test_pretrained_embeddings_load_and_freeze(ctx_corpus, tmp_path):
+    """Reference load_embeddings parity: a word2vec text file replaces
+    the embedding table (its dimension wins; PAD/UNK/OOV rows zero) and
+    `fine_tune_word_embeddings=False` freezes the loaded rows through
+    training while OOV rows still learn."""
+    import numpy as np
+
+    from saber_ray.pipelines.train import RecurrentTrainer
+
+    train = rd.from_arrow(ctx_corpus.slice(0, 200))
+    valid = rd.from_arrow(ctx_corpus.slice(200, 40))
+    probe = RecurrentTrainer(train, valid=valid, config=_small_rcfg(epochs=1))
+    vocab_words = [w for w in probe.word2idx
+                   if w not in ("<PAD>", "<UNK>")]
+    w2v = tmp_path / "vecs.txt"
+    rng = np.random.RandomState(3)
+    dim = 10
+    loaded_words = vocab_words[: len(vocab_words) // 2]  # half stay OOV
+    with open(w2v, "w") as f:
+        f.write(f"{len(loaded_words)} {dim}\n")
+        for w in loaded_words:
+            vec = rng.randn(dim)
+            f.write(w + " " + " ".join(f"{v:.6f}" for v in vec) + "\n")
+
+    rt = RecurrentTrainer(train, valid=valid, config=_small_rcfg(
+        epochs=4, embeddings_path=str(w2v),
+        fine_tune_word_embeddings=False))
+    res = rt.train()
+    assert res["history"][res["best_epoch"]]["f1"] == 1.0
+
+    from saber_ray.state.bundle import load_word2vec_text
+
+    original = load_word2vec_text(str(w2v), rt.word2idx)
+    emb = rt.params["embeddings"]
+    assert emb.shape[1] == dim  # loaded dimension won over the config's
+    loaded_rows = np.flatnonzero(np.abs(original).sum(axis=1) > 0)
+    np.testing.assert_allclose(emb[loaded_rows],
+                               original[loaded_rows], atol=1e-12)
+    # at least one trainable (OOV) row actually moved
+    oov_rows = [i for i in range(2, emb.shape[0]) if i not in set(loaded_rows)]
+    assert any(np.abs(emb[i]).sum() > 0 for i in oov_rows)
+
+    # fine_tune=True: loaded rows DO move
+    rt2 = RecurrentTrainer(train, valid=valid, config=_small_rcfg(
+        epochs=2, embeddings_path=str(w2v),
+        fine_tune_word_embeddings=True))
+    rt2.train()
+    assert np.abs(rt2.params["embeddings"][loaded_rows]
+                  - original[loaded_rows]).max() > 1e-6
