@@ -954,6 +954,20 @@ def _q_length_quantiles(sf_dir: str):
     return exact_quantiles(ds, [0.5, 0.9, 0.99], "n_tokens")
 
 
+def _q_approx_quantiles(sf_dir: str):
+    # continuous-column quantile SCALE path: fixed-bin histogram fold
+    # (exact_quantiles' distinct-value compression would hold one row
+    # per double); value-checked because every float step is
+    # SQL-reproducible
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.sampling import approx_quantiles
+
+    return approx_quantiles(
+        read_table(sf_dir, "events", columns=["value"]),
+        [0.1, 0.5, 0.9, 0.99], "value",
+    )
+
+
 def _q_grouped_quantiles(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.sampling import grouped_quantiles
@@ -1032,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "length_quantiles": _q_length_quantiles,
         "grouped_quantiles": _q_grouped_quantiles,
+        "approx_quantiles": _q_approx_quantiles,
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
         "sample_mixture": _q_sample_mixture,
@@ -2215,4 +2230,41 @@ def oracle_sql() -> dict[str, str]:
     # probing every inverted list is EXACT kNN, so the IVF-index query
     # shares the brute-force oracle verbatim (see _q_knn_ivf)
     sql["knn_search_ivf"] = sql["knn_search"]
+    # approx_quantiles: the SAME fixed-bin histogram algorithm in SQL —
+    # bucket = floor((v-lo)/width) clamped, rank = ceil(q*n), linear
+    # interpolation inside the bucket; identical IEEE double steps
+    sql["approx_quantiles"] = """
+        WITH params AS (
+            SELECT min(value) AS lo, max(value) AS hi,
+                   (max(value) - min(value)) / 4096 AS w,
+                   CAST(count(value) AS BIGINT) AS n
+            FROM events
+        ),
+        hist AS (
+            SELECT LEAST(GREATEST(CAST(floor((value - p.lo) / p.w) AS BIGINT), 0), 4095) AS b,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events, params p
+            WHERE value IS NOT NULL
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT b, c, sum(c) OVER (ORDER BY b) AS cumc FROM hist
+        ),
+        targets AS (
+            SELECT q, GREATEST(1, CAST(ceil(q * p.n) AS BIGINT)) AS r
+            FROM (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS q), params p
+        ),
+        picked AS (
+            SELECT t.q, min_by(c.b, c.b) AS b,
+                   min_by(c.cumc - c.c, c.b) AS before,
+                   min_by(c.c, c.b) AS cnt
+            FROM targets t JOIN cum c ON c.cumc >= t.r
+            GROUP BY t.q
+        ),
+        tr AS (SELECT q, r FROM targets)
+        SELECT p.q,
+               round(pr.lo + (p.b + CAST(tr.r - p.before AS DOUBLE) / p.cnt) * pr.w, 6) AS value
+        FROM picked p JOIN tr ON tr.q = p.q, params pr
+        ORDER BY p.q
+    """
     return sql

@@ -147,6 +147,88 @@ def exact_quantiles(
                      "value": pa.array(out_v, type=pa.int64())})
 
 
+def approx_quantiles(
+    ds: rd.Dataset, qs: list[float], column: str, bins: int = 4096
+) -> pa.Table:
+    """Approximate quantiles of a CONTINUOUS column at corpus scale —
+    the scale path where ``exact_quantiles``' distinct-value compression
+    breaks down (a double column has ~one distinct value per row).
+
+    Two streaming passes, no shuffle of the corpus: (1) global min/max
+    (per-batch partials, Ray's native aggregate); (2) a fixed
+    ``bins``-bucket histogram — each batch reduces to ONE [bins] int64
+    vector, vectors fold pairwise through a coalesced second level (the
+    ``build_bloom`` fold shape) so the driver sums a handful of arrays
+    whatever the corpus size. Quantile = the lower-rank bucket
+    (``ceil(q·n)``) with linear interpolation inside it; worst-case
+    value error is one bucket width, (max−min)/bins.
+
+    Every arithmetic step (bucket assignment ``floor((v−lo)/width)``,
+    the interpolation) is plain IEEE double math reproducible in SQL, so
+    the driver value-checks this against a DuckDB oracle (outputs
+    rounded to 6 decimals, the pagerank convention). Returns
+    ``pa.Table (q:double, value:double)``.
+    """
+    import math
+
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.select_columns([column]).aggregate(Min(column), Max(column))
+    if mm is None or mm.get(f"min({column})") is None:
+        return pa.table({"q": pa.array(qs, type=pa.float64()),
+                         "value": pa.array([None] * len(qs), type=pa.float64())})
+    lo = float(mm[f"min({column})"])
+    hi = float(mm[f"max({column})"])
+    width = (hi - lo) / bins
+    if width <= 0.0:  # constant column: every quantile is that value
+        return pa.table({"q": pa.array(qs, type=pa.float64()),
+                         "value": pa.array([lo] * len(qs), type=pa.float64())})
+
+    def hist_batch(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.clip(np.floor((v - lo) / width).astype(np.int64), 0, bins - 1)
+        h = np.bincount(idx, minlength=bins)
+        return pa.table({"h": pa.array([h.tobytes()], type=pa.large_binary())})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        acc = np.zeros(bins, dtype=np.int64)
+        for buf in batch["h"].to_pylist():
+            acc += np.frombuffer(buf, dtype=np.int64)
+        return pa.table({"h": pa.array([acc.tobytes()], type=pa.large_binary())})
+
+    import numpy as np
+
+    partials = (
+        ds.select_columns([column])
+        .map_batches(hist_batch, batch_format="pyarrow", batch_size=None)
+        .repartition(16)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+    )
+    hist = np.zeros(bins, dtype=np.int64)
+    for row in partials.take_all():
+        hist += np.frombuffer(row["h"], dtype=np.int64)
+    cum = np.cumsum(hist)
+    n = int(cum[-1])
+    out_v = []
+    for q in qs:
+        target = max(1, math.ceil(q * n))
+        b = int(np.searchsorted(cum, target))
+        before = int(cum[b - 1]) if b else 0
+        # uniform-within-bucket interpolation (SQL-reproducible math)
+        frac = (target - before) / int(hist[b])
+        out_v.append(lo + (b + frac) * width)
+    # half-away rounding for DuckDB round() parity (Python round is
+    # half-even — the established oracle convention in this repo)
+    vals = pc.round(pa.array(out_v, type=pa.float64()), 6,
+                    round_mode="half_towards_infinity")
+    return pa.table({"q": pa.array(qs, type=pa.float64()), "value": vals})
+
+
 def grouped_quantiles(
     ds: rd.Dataset, qs: list[float], column: str, group_column: str
 ) -> pa.Table:

@@ -288,3 +288,32 @@ def test_weighted_sample_determinism_and_bias():
     ids = {r["doc_id"] for r in weighted_sample(
         rd.from_arrow(t2), "w", k=10, id_column="doc_id").take_all()}
     assert ids == set(range(5, 10))
+
+
+def test_approx_quantiles_accuracy_and_edges():
+    import numpy as np
+    import ray.data as rd
+
+    from saber_ray.stages.sampling import approx_quantiles
+
+    rng = np.random.RandomState(0)
+    vals = rng.lognormal(0.0, 1.0, size=20000)
+    ds = rd.from_items([{"value": float(v)} for v in vals]).repartition(8)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    out = approx_quantiles(ds, qs, "value", bins=4096)
+    got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
+    width = (vals.max() - vals.min()) / 4096
+    for q in qs:
+        exact = np.quantile(vals, q)
+        assert abs(got[q] - exact) <= width + 0.02 * max(1.0, exact), (
+            q, got[q], exact)
+
+    # constant column: every quantile is the constant
+    const = rd.from_items([{"value": 7.5}] * 50)
+    cq = approx_quantiles(const, [0.5, 0.9], "value")
+    assert cq["value"].to_pylist() == [7.5, 7.5]
+
+    # all-null column: null quantiles, not a crash
+    nulls = rd.from_items([{"value": None}] * 10)
+    nq = approx_quantiles(nulls, [0.5], "value")
+    assert nq["value"].to_pylist() == [None]
