@@ -230,3 +230,42 @@ def test_media_decode_query_matches_duckdb():
     assert len(got) == len(want) > 0
     for c in ("doc_id", "media_ref", "height", "width", "channels"):
         assert list(got[c]) == list(want[c])
+
+
+def test_demo_annotated_staged_cache_keys_on_content(tmp_path):
+    """The staged-annotate cache is load-bearing for the correctness
+    driver: a regenerated corpus at the same path MUST re-stage (key =
+    realpath + mtime + size), and an unchanged corpus must reuse the
+    stage (no second annotate pass)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from saber_ray.pipelines.demo import demo_annotated_staged
+
+    sf = tmp_path / "sf"
+    os.makedirs(sf)
+    def write(doc_texts):
+        pq.write_table(pa.table({
+            "doc_id": list(range(len(doc_texts))),
+            "text": doc_texts,
+        }), str(sf / "documents.parquet"))
+
+    write(["the join runs on spark data"] * 5)
+    first = demo_annotated_staged(str(sf))
+    n1 = first.count()
+    # unchanged corpus: same staged parquet dir is read back
+    import glob
+    dirs_before = set(glob.glob("/tmp/saber_ray_stage/*"))
+    again = demo_annotated_staged(str(sf))
+    assert again.count() == n1
+    assert set(glob.glob("/tmp/saber_ray_stage/*")) == dirs_before
+
+    # regenerated corpus (different content, same path): re-stages
+    time.sleep(0.01)  # ensure a distinct mtime_ns
+    write(["completely different filter text here"] * 9)
+    fresh = demo_annotated_staged(str(sf))
+    assert fresh.count() == 9
+    assert len(set(glob.glob("/tmp/saber_ray_stage/*"))) > len(dirs_before)
