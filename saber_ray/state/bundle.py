@@ -87,6 +87,48 @@ def load_word2vec_text(path: str, word2idx: dict[str, int]) -> np.ndarray:
     return matrix
 
 
+def load_word2vec_all(
+    path: str, limit: int | None = None
+) -> tuple["np.ndarray", dict, dict]:
+    """word2vec text → (matrix, word2idx, char2idx) with the vocab
+    generated FROM THE EMBEDDING FILE — the reference's ``load_all``
+    mode (saber/embeddings.py:74-106 + ``_generate_type_to_idx``),
+    used at predict time so a word unseen in training but present in
+    the pre-trained embeddings still resolves instead of becoming
+    <UNK>. <PAD>=0 and <UNK>=1 rows are zero; word ids follow FILE
+    order (the reference's insertion order); char ids are sorted (the
+    reference iterates a Python set there, which is run-dependent — we
+    pin a deterministic order). ``limit`` mirrors the reference's
+    ``debug`` 10k-vector cap.
+    """
+    from ..constants import PAD, UNK
+
+    words: list[str] = []
+    vecs: list[np.ndarray] = []
+    with open(path) as f:
+        header = f.readline().split()
+        dim = int(header[1])
+        for line in f:
+            parts = line.rstrip("\n").split(" ")
+            words.append(parts[0])
+            vecs.append(np.asarray(parts[1 : dim + 1], dtype=np.float32))
+            if limit is not None and len(words) >= limit:
+                break
+    word2idx = {PAD: 0, UNK: 1}
+    matrix = np.zeros((2 + len(words), dim), dtype=np.float32)
+    for w, v in zip(words, vecs):
+        if w in word2idx:
+            continue
+        word2idx[w] = len(word2idx)
+        matrix[word2idx[w]] = v
+    matrix = matrix[: len(word2idx)]
+    chars = sorted({c for w in words for c in w})
+    char2idx = {PAD: 0, UNK: 1}
+    for c in chars:
+        char2idx[c] = len(char2idx)
+    return matrix, word2idx, char2idx
+
+
 def build_bilstm_bundle(
     path: str,
     word2idx: dict[str, int],

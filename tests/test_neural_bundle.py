@@ -367,3 +367,33 @@ def test_neural_tagger_columnar_batch_parity(tmp_path):
     for ents, d in zip(together, docs):
         for e in ents:
             assert d["spans"][e["span_idx"]]["kind"] == "text"
+
+
+def test_load_word2vec_all_generates_vocab(tmp_path):
+    """Reference load_all mode: the vocab comes from the embedding FILE
+    (file-order word ids, PAD/UNK zero rows, char vocab from the words),
+    so a word unseen in any training corpus still resolves."""
+    import numpy as np
+
+    from saber_ray.state.bundle import load_word2vec_all
+
+    p = tmp_path / "vecs.txt"
+    p.write_text(
+        "3 4\n"
+        "alpha 1 2 3 4\n"
+        "beta 5 6 7 8\n"
+        "gamma 9 10 11 12\n"
+    )
+    matrix, word2idx, char2idx = load_word2vec_all(str(p))
+    assert word2idx == {"<PAD>": 0, "<UNK>": 1, "alpha": 2, "beta": 3,
+                        "gamma": 4}
+    assert matrix.shape == (5, 4)
+    np.testing.assert_array_equal(matrix[0], 0.0)
+    np.testing.assert_array_equal(matrix[1], 0.0)
+    np.testing.assert_array_equal(matrix[word2idx["beta"]], [5, 6, 7, 8])
+    # char vocab from the file's words, deterministic order
+    assert set("alphabetgamma") <= set(char2idx)
+    assert char2idx["<PAD>"] == 0 and char2idx["<UNK>"] == 1
+    # debug-style cap
+    m2, w2, _ = load_word2vec_all(str(p), limit=2)
+    assert len(w2) == 4 and m2.shape == (4, 4)
