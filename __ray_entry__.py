@@ -968,6 +968,16 @@ def _q_approx_quantiles(sf_dir: str):
     )
 
 
+def _q_grouped_approx_quantiles(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.sampling import grouped_approx_quantiles
+
+    return grouped_approx_quantiles(
+        read_table(sf_dir, "events", columns=["event_type", "value"]),
+        [0.5, 0.9], "value", "event_type",
+    )
+
+
 def _q_grouped_quantiles(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.sampling import grouped_quantiles
@@ -1047,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": _q_length_quantiles,
         "grouped_quantiles": _q_grouped_quantiles,
         "approx_quantiles": _q_approx_quantiles,
+        "grouped_approx_quantiles": _q_grouped_approx_quantiles,
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
         "sample_mixture": _q_sample_mixture,
@@ -2266,5 +2277,44 @@ def oracle_sql() -> dict[str, str]:
                round(pr.lo + (p.b + CAST(tr.r - p.before AS DOUBLE) / p.cnt) * pr.w, 6) AS value
         FROM picked p JOIN tr ON tr.q = p.q, params pr
         ORDER BY p.q
+    """
+    # grouped_approx_quantiles: per-group version of the same algorithm
+    sql["grouped_approx_quantiles"] = """
+        WITH params AS (
+            SELECT event_type, min(value) AS lo, max(value) AS hi,
+                   (max(value) - min(value)) / 4096 AS w,
+                   CAST(count(value) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        hist AS (
+            SELECT e.event_type,
+                   LEAST(GREATEST(CAST(floor((e.value - p.lo) / p.w) AS BIGINT), 0), 4095) AS b,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events e JOIN params p ON p.event_type = e.event_type
+            WHERE e.value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, b, c,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cumc
+            FROM hist
+        ),
+        targets AS (
+            SELECT p.event_type, q, GREATEST(1, CAST(ceil(q * p.n) AS BIGINT)) AS r
+            FROM (SELECT unnest([0.5, 0.9]) AS q), params p
+        ),
+        picked AS (
+            SELECT t.event_type, t.q, t.r,
+                   min_by(c.b, c.b) AS b,
+                   min_by(c.cumc - c.c, c.b) AS before,
+                   min_by(c.c, c.b) AS cnt
+            FROM targets t
+            JOIN cum c ON c.event_type = t.event_type AND c.cumc >= t.r
+            GROUP BY 1, 2, 3
+        )
+        SELECT p.event_type, p.q,
+               round(pr.lo + (p.b + CAST(p.r - p.before AS DOUBLE) / p.cnt) * pr.w, 6) AS value
+        FROM picked p JOIN params pr ON pr.event_type = p.event_type
+        ORDER BY p.event_type, p.q
     """
     return sql

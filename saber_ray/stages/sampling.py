@@ -229,6 +229,103 @@ def approx_quantiles(
     return pa.table({"q": pa.array(qs, type=pa.float64()), "value": vals})
 
 
+def grouped_approx_quantiles(
+    ds: rd.Dataset, qs: list[float], column: str, group_column: str,
+    bins: int = 4096,
+) -> pa.Table:
+    """Per-group :func:`approx_quantiles` for CONTINUOUS columns.
+
+    Pass 1: per-group min/max (native keyed aggregate — tiny result).
+    Pass 2: each batch reduces to ONE histogram vector per group it
+    sees; a ``groupby(group)`` merges the vectors (the shuffle moves
+    O(groups × batches) fixed-size rows, never the corpus). Quantile
+    math identical to ``approx_quantiles``, per group, on the driver —
+    |groups| × bins ints. Returns ``(group, q, value)`` sorted.
+    """
+    import math
+
+    import numpy as np
+
+    ranges = {
+        r[group_column]: (float(r[f"min({column})"]), float(r[f"max({column})"]))
+        for r in ds.groupby(group_column).min(column).join(
+            ds.groupby(group_column).max(column),
+            join_type="inner", num_partitions=2,
+            on=(group_column,), right_on=(group_column,),
+        ).take_all()
+    }
+    import ray
+
+    ranges_ref = ray.put(ranges)
+
+    def hist_batch(batch: pa.Table) -> pa.Table:
+        rng = ray.get(ranges_ref)
+        groups, blobs = [], []
+        g = batch[group_column].to_numpy(zero_copy_only=False)
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        for grp in np.unique(g):
+            lo, hi = rng[grp]
+            width = (hi - lo) / bins
+            vals = v[g == grp]
+            vals = vals[~np.isnan(vals)]
+            if width <= 0.0:
+                h = np.zeros(bins, dtype=np.int64)
+                h[0] = len(vals)
+            else:
+                idx = np.clip(np.floor((vals - lo) / width).astype(np.int64),
+                              0, bins - 1)
+                h = np.bincount(idx, minlength=bins)
+            groups.append(grp)
+            blobs.append(h.tobytes())
+        return pa.table({
+            group_column: pa.array(groups, type=batch.schema.field(group_column).type),
+            "h": pa.array(blobs, type=pa.large_binary()),
+        })
+
+    def fold(df):
+        import pandas as pd
+
+        acc = np.zeros(bins, dtype=np.int64)
+        for buf in df["h"]:
+            acc += np.frombuffer(buf, dtype=np.int64)
+        return pd.DataFrame({group_column: [df[group_column].iloc[0]],
+                             "h": [acc.tobytes()]})
+
+    folded = (
+        ds.select_columns([group_column, column])
+        .map_batches(hist_batch, batch_format="pyarrow", batch_size=None)
+        .groupby(group_column)
+        .map_groups(fold, batch_format="pandas")
+    )
+    out_g, out_q, out_v = [], [], []
+    for row in sorted(folded.take_all(), key=lambda r: r[group_column]):
+        grp = row[group_column]
+        lo, hi = ranges[grp]
+        width = (hi - lo) / bins
+        hist = np.frombuffer(row["h"], dtype=np.int64)
+        cum = np.cumsum(hist)
+        n = int(cum[-1])
+        for q in qs:
+            out_g.append(grp)
+            out_q.append(q)
+            if n == 0:
+                out_v.append(None)
+                continue
+            if width <= 0.0:  # constant group
+                out_v.append(lo)
+                continue
+            target = max(1, math.ceil(q * n))
+            b = int(np.searchsorted(cum, target))
+            before = int(cum[b - 1]) if b else 0
+            frac = (target - before) / int(hist[b])
+            out_v.append(lo + (b + frac) * width)
+    vals = pc.round(pa.array(out_v, type=pa.float64()), 6,
+                    round_mode="half_towards_infinity")
+    return pa.table({group_column: pa.array(out_g),
+                     "q": pa.array(out_q, type=pa.float64()),
+                     "value": vals})
+
+
 def grouped_quantiles(
     ds: rd.Dataset, qs: list[float], column: str, group_column: str
 ) -> pa.Table:

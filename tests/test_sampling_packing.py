@@ -317,3 +317,29 @@ def test_approx_quantiles_accuracy_and_edges():
     nulls = rd.from_items([{"value": None}] * 10)
     nq = approx_quantiles(nulls, [0.5], "value")
     assert nq["value"].to_pylist() == [None]
+
+
+def test_grouped_approx_quantiles_accuracy():
+    import numpy as np
+    import ray.data as rd
+
+    from saber_ray.stages.sampling import grouped_approx_quantiles
+
+    rng = np.random.RandomState(1)
+    rows = ([{"g": "a", "value": float(v)} for v in rng.normal(10, 2, 5000)]
+            + [{"g": "b", "value": float(v)} for v in rng.normal(100, 20, 5000)]
+            + [{"g": "c", "value": 5.0}] * 50)  # constant group
+    ds = rd.from_items(rows).repartition(6)
+    out = grouped_approx_quantiles(ds, [0.5, 0.9], "value", "g", bins=4096)
+    got = {(g, q): v for g, q, v in zip(out["g"].to_pylist(),
+                                        out["q"].to_pylist(),
+                                        out["value"].to_pylist())}
+    a_vals = np.array([r["value"] for r in rows if r["g"] == "a"])
+    b_vals = np.array([r["value"] for r in rows if r["g"] == "b"])
+    for g, vals in (("a", a_vals), ("b", b_vals)):
+        width = (vals.max() - vals.min()) / 4096
+        for q in (0.5, 0.9):
+            exact = np.quantile(vals, q)
+            assert abs(got[(g, q)] - exact) <= width + 0.02 * abs(exact), (
+                g, q, got[(g, q)], exact)
+    assert got[("c", 0.5)] == 5.0 and got[("c", 0.9)] == 5.0
