@@ -246,13 +246,15 @@ def grouped_approx_quantiles(
 
     import numpy as np
 
+    from ray.data.aggregate import Max, Min
+
+    # ONE keyed aggregate carries both bounds — a min⨝max self-join
+    # would also trip Ray's empty-block join poisoning (schema-less
+    # blocks out of groupby, see semi_join's rationale)
     ranges = {
         r[group_column]: (float(r[f"min({column})"]), float(r[f"max({column})"]))
-        for r in ds.groupby(group_column).min(column).join(
-            ds.groupby(group_column).max(column),
-            join_type="inner", num_partitions=2,
-            on=(group_column,), right_on=(group_column,),
-        ).take_all()
+        for r in ds.groupby(group_column)
+        .aggregate(Min(column), Max(column)).take_all()
     }
     import ray
 
