@@ -242,7 +242,22 @@ def _q_knn_ivf(sf_dir: str):
     ).hexdigest()[:16]
     index_dir = f"/tmp/saber_ray_stage/ivf_{key}"
     if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
-        ivf_write_index(ds, index_dir, num_centroids=num_centroids, seed=42)
+        # build into a tmp dir and rename: centroids.npy lands last
+        # inside tmp, so index_dir-exists-with-centroids ⇒ complete —
+        # a crash mid-build can never leave partial parquet that a
+        # rebuild would append duplicate rows onto
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+        tmp = f"{index_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ivf_write_index(ds, tmp, num_centroids=num_centroids, seed=42)
+        try:
+            os.rename(tmp, index_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+                raise
     return ivf_query_index(
         index_dir, queries, [r["vec_id"] for r in qrows], k=10,
         nprobe=num_centroids,

@@ -118,11 +118,13 @@ def cmd_train(args: argparse.Namespace) -> None:
             RecurrentTrainer,
         )
 
-        cfg = RecurrentTrainConfig(epochs=args.epochs, shards=args.shards)
+        cfg = RecurrentTrainConfig(epochs=args.epochs, shards=args.shards,
+                                   k_folds=args.k_folds)
         if len(folders) == 1:
             parts = all_parts[0]
             trainer = RecurrentTrainer(
-                parts["train"], valid=parts.get("valid"), config=cfg)
+                parts["train"], valid=parts.get("valid"),
+                test=parts.get("test"), config=cfg)
             result = trainer.train()
             if args.out:
                 trainer.save(args.out)

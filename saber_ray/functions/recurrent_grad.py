@@ -237,10 +237,8 @@ def crf_nll_and_grads(emissions, trans, gold, lengths):
     for t in range(max_len):
         live = lengths > t
         gold_score[live] += emissions[rows[live], t, gold[live, t]]
-        live2 = lengths > t
-        if t >= 1:
-            live2 = lengths > t
-            gold_score[live2] += trans[gold[live2, t - 1], gold[live2, t]]
+        if t >= 1:  # the transition term shares the emission term's mask
+            gold_score[live] += trans[gold[live, t - 1], gold[live, t]]
     loss = float(np.where(valid, logZ - gold_score, 0.0).sum() / n_eff)
 
     # ---- backward (log beta)

@@ -69,19 +69,26 @@ def demo_annotated_staged(sf_dir: str) -> rd.Dataset:
     path = os.path.join(_STAGE_ROOT, key)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
+        # the marker is created INSIDE the tmp dir BEFORE the rename, so
+        # the atomic rename is the commit point: path-exists-with-marker
+        # ⇒ complete. A marker-less path is a torn write from a crashed
+        # run (or a pre-marker layout) — remove it rather than wedging
+        # every later call on a rename-onto-nonempty-dir error.
+        shutil.rmtree(path, ignore_errors=True)
         tmp = f"{path}.tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         demo_annotated(sf_dir).write_parquet(tmp)
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
         try:
             os.rename(tmp, path)
-            with open(marker, "w"):
-                pass
         except OSError:
             # concurrent stager won the rename; use theirs if complete
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.exists(marker):
                 raise
-    return rd.read_parquet(path)
+    # exclude the marker: read the parquet files only
+    return rd.read_parquet(path, file_extensions=["parquet"])
 
 
 def demo_mentions(sf_dir: str) -> rd.Dataset:

@@ -263,7 +263,9 @@ def run_kg_job(
     drop_dir = os.path.join(out_dir, "dedup", "dropped")
     if config.dedup:
         if not manifest.is_done("dedup", 0):
-            manifest.invalidate("graph", 0)  # graph derives from the drop-list
+            # graph AND curation both derive from the drop-list
+            manifest.invalidate("graph", 0)
+            manifest.invalidate("curation", 0)
             with StageTimer() as timer:
                 shutil.rmtree(os.path.join(out_dir, "dedup"), ignore_errors=True)
                 ann = _staged_read(os.path.join(out_dir, "annotated"))
@@ -308,13 +310,29 @@ def run_kg_job(
                 ann = _staged_read(os.path.join(out_dir, "annotated")).filter(
                     expr="valid == True")
                 texts = ann.map_batches(_doc_text, batch_format="pyarrow")
+                if config.dedup:
+                    # curation samples AFTER dedup: duplicated documents
+                    # must not multiply their sampling probability or
+                    # land as duplicate copies in the packed output
+                    dup_set = _read_drop_ids(drop_dir)
+                    if dup_set is not None and len(dup_set):
+                        def not_dup(batch, _ds=dup_set):
+                            import pyarrow.compute as _pc
+
+                            return batch.filter(_pc.invert(
+                                _pc.is_in(batch["doc_id"], value_set=_ds)))
+
+                        texts = texts.map_batches(
+                            not_dup, batch_format="pyarrow")
+                sch = texts.schema()
+                id_type = sch.types[sch.names.index("doc_id")]
                 kept_dir = os.path.join(out_dir, "curation", "kept")
                 packed_dir = os.path.join(out_dir, "curation", "packed")
                 _curation_kept_ids(texts, config).write_parquet(kept_dir)
                 # both samplers return O(k) rows by construction, so the
                 # kept-id set broadcasts as an is_in mask — the corpus
                 # streams once with no shuffle (the dedup drop-list shape)
-                keep_ids = _read_keep_ids(kept_dir)
+                keep_ids = _read_keep_ids(kept_dir, id_type)
 
                 def keep(batch, _ks=keep_ids):
                     import pyarrow.compute as _pc
@@ -497,13 +515,16 @@ def _curation_kept_ids(texts: rd.Dataset, config: KGConfig) -> rd.Dataset:
     )
 
 
-def _read_keep_ids(kept_dir: str):
-    """Keep-list parquet dir → one combined doc_id array (empty-safe)."""
+def _read_keep_ids(kept_dir: str, id_type):
+    """Keep-list parquet dir → one combined doc_id array. ``id_type``
+    types the empty case (an empty sampler output writes no files; a
+    string-typed empty default would make ``is_in`` against an int64
+    doc_id column raise instead of keeping nothing)."""
     import pyarrow as pa
 
     files = sorted(glob.glob(os.path.join(kept_dir, "*.parquet")))
     if not files:
-        return pa.chunked_array([pa.array([], type=pa.string())])
+        return pa.array([], type=id_type)
     cols = [pq.read_table(f, columns=["doc_id"])["doc_id"] for f in files]
     return pa.concat_arrays([c for col in cols for c in col.chunks])
 

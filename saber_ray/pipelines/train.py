@@ -558,10 +558,12 @@ class RecurrentTrainer:
     """
 
     def __init__(self, train: rd.Dataset, valid: rd.Dataset | None = None,
+                 test: rd.Dataset | None = None,
                  config: RecurrentTrainConfig | None = None):
         self.config = config or RecurrentTrainConfig()
         self._train = train
         self._valid = valid
+        self._test = test
         self.word2idx = _build_word_vocab(train)
         self.char2idx = _build_char_vocab(train)
         self.idx2tag = _build_tag_vocab(train)
@@ -651,9 +653,11 @@ class RecurrentTrainer:
 
     def train(self) -> dict:
         """Strategy selection exactly as the reference (trainer.py:40-45):
-        a valid partition present → train/valid; none → k-fold CV with a
-        model reset per fold (trainer.py:87-131)."""
-        if self._valid is not None:
+        a valid OR test partition present → train/valid (valid carved
+        from train when only test was given, data_utils.collect_valid_
+        data); neither → k-fold CV with a model reset per fold
+        (trainer.py:87-131)."""
+        if self._valid is not None or self._test is not None:
             return self._train_valid()
         return self._cross_validation()
 
@@ -681,13 +685,16 @@ class RecurrentTrainer:
         if valid is None:
             train, valid = train_valid_split(train, self.config.valid_fraction)
         self.params = self._run_epochs(train, valid, self.history)
-        return {
+        result = {
             "strategy": "train_valid_test",
             "history": self.history,
             "best_epoch": best_epoch([
                 (h["precision"], h["recall"], h["f1"]) for h in self.history
             ]),
         }
+        if self._test is not None:
+            result["test"] = self._evaluate(self._test, self.params)
+        return result
 
     def _cross_validation(self) -> dict:
         from .splits import k_fold_splits
@@ -782,15 +789,31 @@ class MultiTaskRecurrentTrainer:
         from .splits import train_valid_split
 
         cfg = self.config
+        # pre-trained embeddings load into the SHARED table exactly as
+        # in the single-task trainer (reference load_embeddings; freeze
+        # via fine_tune_word_embeddings=False)
+        word_dim = cfg.word_dim
+        pretrained = None
+        if cfg.embeddings_path:
+            from ..state.bundle import load_word2vec_text
+
+            pretrained = load_word2vec_text(cfg.embeddings_path, self.word2idx)
+            word_dim = pretrained.shape[1]
         # init: shared encoder from task 0's shapes; one head per task
         base = init_bilstm_weights(
             len(self.word2idx), len(self.char2idx),
             len(self.tasks[0]["idx2tag"]),
-            word_dim=cfg.word_dim, char_dim=cfg.char_dim,
+            word_dim=word_dim, char_dim=cfg.char_dim,
             char_units=cfg.char_units, word_units=cfg.word_units,
             seed=cfg.seed,
         )
         shared = {k: v for k, v in base.items() if k not in self._HEAD_KEYS}
+        frozen_ref = None
+        if pretrained is not None:
+            shared["embeddings"] = pretrained.astype(np.float64)
+            if not cfg.fine_tune_word_embeddings:
+                frozen_ref = ray.put(
+                    np.flatnonzero(np.abs(pretrained).sum(axis=1) > 0))
         heads = []
         for i, task in enumerate(self.tasks):
             head_src = init_bilstm_weights(
@@ -828,7 +851,7 @@ class MultiTaskRecurrentTrainer:
                 rows = stage["sharded"].groupby("shard").map_groups(
                     _train_shard_recurrent(
                         ref, self.word2idx, self.char2idx,
-                        task["tag2idx"], cfg),
+                        task["tag2idx"], cfg, frozen_ref=frozen_ref),
                     batch_format="pyarrow",
                 ).take_all()
                 mixed = {k: np.zeros_like(v) for k, v in params.items()}

@@ -173,7 +173,19 @@ def approx_quantiles(
 
     from ray.data.aggregate import Max, Min
 
-    mm = ds.select_columns([column]).aggregate(Min(column), Max(column))
+    def drop_nan(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        mask = col.is_valid()
+        if pa.types.is_floating(col.type):
+            mask = pc.and_(mask, pc.invert(pc.is_nan(col)))
+        return batch.filter(mask)
+
+    # NaNs are dropped BEFORE the min/max aggregate: a NaN-propagating
+    # Min over a mixed column would poison the bucket math, and an
+    # all-NaN column must yield null quantiles, not an IndexError
+    clean = ds.select_columns([column]).map_batches(
+        drop_nan, batch_format="pyarrow")
+    mm = clean.aggregate(Min(column), Max(column))
     if mm is None or mm.get(f"min({column})") is None:
         return pa.table({"q": pa.array(qs, type=pa.float64()),
                          "value": pa.array([None] * len(qs), type=pa.float64())})
@@ -250,12 +262,17 @@ def grouped_approx_quantiles(
 
     # ONE keyed aggregate carries both bounds — a min⨝max self-join
     # would also trip Ray's empty-block join poisoning (schema-less
-    # blocks out of groupby, see semi_join's rationale)
-    ranges = {
-        r[group_column]: (float(r[f"min({column})"]), float(r[f"max({column})"]))
-        for r in ds.groupby(group_column)
-        .aggregate(Min(column), Max(column)).take_all()
-    }
+    # blocks out of groupby, see semi_join's rationale). A group whose
+    # values are all null/NaN gets a None range → null quantiles below,
+    # never a float(None) crash.
+    def _bound(v):
+        return None if v is None or (isinstance(v, float) and math.isnan(v)) else float(v)
+
+    ranges = {}
+    for r in (ds.groupby(group_column)
+              .aggregate(Min(column), Max(column)).take_all()):
+        lo, hi = _bound(r[f"min({column})"]), _bound(r[f"max({column})"])
+        ranges[r[group_column]] = None if lo is None or hi is None else (lo, hi)
     import ray
 
     ranges_ref = ray.put(ranges)
@@ -266,6 +283,8 @@ def grouped_approx_quantiles(
         g = batch[group_column].to_numpy(zero_copy_only=False)
         v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
         for grp in np.unique(g):
+            if rng.get(grp) is None:  # all-null/NaN group: no histogram
+                continue
             lo, hi = rng[grp]
             width = (hi - lo) / bins
             vals = v[g == grp]
@@ -299,17 +318,22 @@ def grouped_approx_quantiles(
         .groupby(group_column)
         .map_groups(fold, batch_format="pandas")
     )
+    hists = {row[group_column]: np.frombuffer(row["h"], dtype=np.int64)
+             for row in folded.take_all()}
     out_g, out_q, out_v = [], [], []
-    for row in sorted(folded.take_all(), key=lambda r: r[group_column]):
-        grp = row[group_column]
-        lo, hi = ranges[grp]
-        width = (hi - lo) / bins
-        hist = np.frombuffer(row["h"], dtype=np.int64)
-        cum = np.cumsum(hist)
-        n = int(cum[-1])
+    for grp in sorted(ranges):
+        bounds = ranges[grp]
+        hist = hists.get(grp)
         for q in qs:
             out_g.append(grp)
             out_q.append(q)
+            if bounds is None or hist is None:
+                out_v.append(None)  # all-null/NaN group
+                continue
+            lo, hi = bounds
+            width = (hi - lo) / bins
+            cum = np.cumsum(hist)
+            n = int(cum[-1])
             if n == 0:
                 out_v.append(None)
                 continue

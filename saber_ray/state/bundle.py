@@ -81,6 +81,8 @@ def load_word2vec_text(path: str, word2idx: dict[str, int]) -> np.ndarray:
         matrix = np.zeros((len(word2idx), dim), dtype=np.float32)
         for line in f:
             parts = line.rstrip("\n").split(" ")
+            if len(parts) < dim + 1:  # blank/short line (trailing newline)
+                continue
             word = parts[0]
             if word in word2idx:
                 matrix[word2idx[word]] = np.asarray(parts[1 : dim + 1], dtype=np.float32)
@@ -110,6 +112,8 @@ def load_word2vec_all(
         dim = int(header[1])
         for line in f:
             parts = line.rstrip("\n").split(" ")
+            if len(parts) < dim + 1:  # blank/short line (trailing newline)
+                continue
             words.append(parts[0])
             vecs.append(np.asarray(parts[1 : dim + 1], dtype=np.float32))
             if limit is not None and len(words) >= limit:
