@@ -241,22 +241,36 @@ def _q_knn_ivf(sf_dir: str):
         f"{emb}|{st.st_mtime_ns}|{st.st_size}|ivf-v1".encode()
     ).hexdigest()[:16]
     index_dir = f"/tmp/saber_ray_stage/ivf_{key}"
-    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+    centroids_marker = os.path.join(index_dir, "centroids.npy")
+    if not os.path.exists(centroids_marker):
         # build into a tmp dir and rename: centroids.npy lands last
-        # inside tmp, so index_dir-exists-with-centroids ⇒ complete —
-        # a crash mid-build can never leave partial parquet that a
-        # rebuild would append duplicate rows onto
+        # INSIDE tmp, so index_dir-exists ⇒ complete — a crash mid-build
+        # can never leave partial parquet a rebuild would append
+        # duplicate rows onto. A centroids-less dir (legacy layout) is
+        # moved ASIDE atomically, never rmtree'd in place, so a
+        # concurrent builder's fresh commit cannot be deleted (the
+        # demo_annotated_staged protocol).
         import shutil
 
-        shutil.rmtree(index_dir, ignore_errors=True)
         tmp = f"{index_dir}.tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         ivf_write_index(ds, tmp, num_centroids=num_centroids, seed=42)
         try:
             os.rename(tmp, index_dir)
         except OSError:
+            if not os.path.exists(centroids_marker):
+                stale = f"{index_dir}.stale.{os.getpid()}"
+                try:
+                    os.rename(index_dir, stale)
+                except OSError:
+                    pass
+                shutil.rmtree(stale, ignore_errors=True)
+                try:
+                    os.rename(tmp, index_dir)
+                except OSError:
+                    pass
             shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+            if not os.path.exists(centroids_marker):
                 raise
     return ivf_query_index(
         index_dir, queries, [r["vec_id"] for r in qrows], k=10,
@@ -2278,7 +2292,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         targets AS (
             SELECT q, GREATEST(1, CAST(ceil(q * p.n) AS BIGINT)) AS r
-            FROM (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS q), params p
+            FROM (SELECT CAST(unnest([0.1, 0.5, 0.9, 0.99]) AS DOUBLE) AS q), params p
         ),
         picked AS (
             SELECT t.q, min_by(c.b, c.b) AS b,
@@ -2316,7 +2330,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         targets AS (
             SELECT p.event_type, q, GREATEST(1, CAST(ceil(q * p.n) AS BIGINT)) AS r
-            FROM (SELECT unnest([0.5, 0.9]) AS q), params p
+            FROM (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q), params p
         ),
         picked AS (
             SELECT t.event_type, t.q, t.r,

@@ -70,11 +70,11 @@ def demo_annotated_staged(sf_dir: str) -> rd.Dataset:
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         # the marker is created INSIDE the tmp dir BEFORE the rename, so
-        # the atomic rename is the commit point: path-exists-with-marker
-        # ⇒ complete. A marker-less path is a torn write from a crashed
-        # run (or a pre-marker layout) — remove it rather than wedging
-        # every later call on a rename-onto-nonempty-dir error.
-        shutil.rmtree(path, ignore_errors=True)
+        # the atomic rename is the commit point: path-exists ⇒ complete-
+        # with-marker. A marker-less path can only be a pre-marker-layout
+        # leftover; it is moved ASIDE (atomic rename, never rmtree'd in
+        # place) so a concurrent stager that commits between our marker
+        # check and the cleanup cannot have its fresh stage deleted.
         tmp = f"{path}.tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         demo_annotated(sf_dir).write_parquet(tmp)
@@ -83,7 +83,19 @@ def demo_annotated_staged(sf_dir: str) -> rd.Dataset:
         try:
             os.rename(tmp, path)
         except OSError:
-            # concurrent stager won the rename; use theirs if complete
+            if not os.path.exists(marker):
+                stale = f"{path}.stale.{os.getpid()}"
+                try:
+                    os.rename(path, stale)  # atomic move-aside
+                except OSError:
+                    pass
+                shutil.rmtree(stale, ignore_errors=True)
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    pass
+            # concurrent stager may have won either rename: theirs is
+            # complete iff the marker now exists
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.exists(marker):
                 raise

@@ -324,8 +324,12 @@ def run_kg_job(
 
                         texts = texts.map_batches(
                             not_dup, batch_format="pyarrow")
-                sch = texts.schema()
-                id_type = sch.types[sch.names.index("doc_id")]
+                # doc_id type from a staged parquet FOOTER (metadata-only
+                # read) — Dataset.schema() on a map_batches lineage would
+                # execute the UDF chain for a block just to learn a type
+                ann_files = glob.glob(os.path.join(
+                    out_dir, "annotated", "**", "*.parquet"), recursive=True)
+                id_type = pq.read_schema(ann_files[0]).field("doc_id").type
                 kept_dir = os.path.join(out_dir, "curation", "kept")
                 packed_dir = os.path.join(out_dir, "curation", "packed")
                 _curation_kept_ids(texts, config).write_parquet(kept_dir)

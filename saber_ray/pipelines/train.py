@@ -580,10 +580,15 @@ class RecurrentTrainer:
         if cfg.embeddings_path:
             # reference saber.load_embeddings: the word2vec matrix
             # REPLACES the embedding table (zeros for PAD/UNK/OOV,
-            # saber/embeddings.py:74-106); its dimension wins
-            from ..state.bundle import load_word2vec_text
+            # saber/embeddings.py:74-106); its dimension wins. Parsed
+            # ONCE per trainer — a k-fold run calls _init_params per
+            # fold and reference-scale word2vec text files are large
+            if getattr(self, "_pretrained_cache", None) is None:
+                from ..state.bundle import load_word2vec_text
 
-            pretrained = load_word2vec_text(cfg.embeddings_path, self.word2idx)
+                self._pretrained_cache = load_word2vec_text(
+                    cfg.embeddings_path, self.word2idx)
+            pretrained = self._pretrained_cache
             word_dim = pretrained.shape[1]
         params = init_bilstm_weights(
             len(self.word2idx), len(self.char2idx), len(self.idx2tag),
@@ -593,12 +598,14 @@ class RecurrentTrainer:
         )
         if pretrained is not None:
             params["embeddings"] = pretrained.astype(np.float64)
-            self._frozen_rows = (
-                None if cfg.fine_tune_word_embeddings
-                else np.flatnonzero(np.abs(pretrained).sum(axis=1) > 0)
-            )
+            if cfg.fine_tune_word_embeddings:
+                self._frozen_ref = None
+            elif getattr(self, "_frozen_ref", None) is None:
+                # put ONCE per trainer; every epoch's map_groups reuses it
+                self._frozen_ref = ray.put(
+                    np.flatnonzero(np.abs(pretrained).sum(axis=1) > 0))
         else:
-            self._frozen_rows = None
+            self._frozen_ref = None
         return params
 
     def _epoch_pass(self, sharded: rd.Dataset, params: dict) -> tuple[dict, float]:
@@ -606,13 +613,10 @@ class RecurrentTrainer:
         import pickle
 
         ref = ray.put(params)
-        frozen_ref = (ray.put(self._frozen_rows)
-                      if getattr(self, "_frozen_rows", None) is not None
-                      else None)
         rows = sharded.groupby("shard").map_groups(
             _train_shard_recurrent(ref, self.word2idx, self.char2idx,
                                    self.tag2idx, self.config,
-                                   frozen_ref=frozen_ref),
+                                   frozen_ref=getattr(self, "_frozen_ref", None)),
             batch_format="pyarrow",
         ).take_all()
         mixed = {k: np.zeros_like(v) for k, v in params.items()}

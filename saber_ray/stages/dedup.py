@@ -153,18 +153,26 @@ def expand_bucketed_pairs(
     id_type,
     max_bucket: int,
     n_buckets: int,
+    payload_column: str | None = None,
+    pair_filter=None,
 ) -> rd.Dataset:
     """(LSH band rows) → DISTINCT (id_a, id_b) candidate pairs.
 
     The shared candidate-expansion shape for every LSH flavor (MinHash
-    banding, multi-table sign-LSH): rows hash into ``n_buckets`` shuffle
-    groups on the LAST band column (the 64-bit bucket key — every row of
-    one LSH bucket lands in one group), then each group frame finds its
-    duplicate runs with ONE vectorized boundary scan and expands only
-    those. Buckets, not LSH keys, are the work unit: a per-key aggregate
-    makes one Python accumulator call per group and almost every LSH
-    bucket is a singleton — measured 3.9 s of a 6.6 s minhash query at
-    sf0.1 went to that aggregate shape.
+    banding, multi-table sign-LSH, SimHash banding): rows hash into
+    ``n_buckets`` shuffle groups on the LAST band column (the bucket key
+    — every row of one LSH bucket lands in one group), then each group
+    frame finds its duplicate runs with ONE vectorized boundary scan and
+    expands only those. Buckets, not LSH keys, are the work unit: a
+    per-key aggregate makes one Python accumulator call per group and
+    almost every LSH bucket is a singleton — measured 3.9 s of a 6.6 s
+    minhash query at sf0.1 went to that aggregate shape.
+
+    ``payload_column`` + ``pair_filter`` add in-bucket verification:
+    the payload value rides with each band row, and
+    ``pair_filter(payload_a, payload_b) -> bool mask`` (vectorized over
+    a run's candidate pairs) keeps only verified pairs — SimHash uses
+    this for the Hamming check.
 
     Oversize buckets (> ``max_bucket``) are dropped WITH a warning —
     never expanded to O(n²) pairs, never silently.
@@ -188,6 +196,8 @@ def expand_bucketed_pairs(
         n = len(df)
         if n == 0:
             return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        payload = (df[payload_column].to_numpy()
+                   if payload_column is not None else None)
         boundary = np.zeros(n, dtype=bool)
         boundary[0] = True
         for c in band_cols:
@@ -205,8 +215,13 @@ def expand_bucketed_pairs(
                     max_bucket,
                 )
                 continue
-            mem = np.sort(ids[s:s + c])
+            order = np.argsort(ids[s:s + c], kind="stable")
+            mem = ids[s:s + c][order]
             ia, ib = np.triu_indices(c, k=1)
+            if pair_filter is not None:
+                pl = payload[s:s + c][order]
+                keep = pair_filter(pl[ia], pl[ib])
+                ia, ib = ia[keep], ib[keep]
             out_a.extend(mem[ia])
             out_b.extend(mem[ib])
         return pd.DataFrame({"id_a": out_a, "id_b": out_b})
@@ -462,72 +477,23 @@ def simhash_near_pairs(
 
     from ..functions.partitioning import shuffle_partitions
 
-    n_buckets = shuffle_partitions(num_tables, ds)
+    def hamming_ok(sh_a, sh_b):
+        # vectorized Hamming over a run's candidate pairs (the payload
+        # hook of expand_bucketed_pairs)
+        x = sh_a.astype(np.int64).view(np.uint64) ^ \
+            sh_b.astype(np.int64).view(np.uint64)
+        dist = np.zeros(len(x), dtype=np.int64)
+        while x.any():
+            dist += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        return dist <= max_hamming
 
-    def bucketize(batch: pa.Table) -> pa.Table:
-        # bucket on (t, key) jointly — key alone is only 16 bits, so two
-        # tables' identical keys would needlessly co-locate
-        k = np.asarray(batch["key"].combine_chunks(), dtype=np.uint64)
-        t = np.asarray(batch["t"].combine_chunks(), dtype=np.uint64)
-        bucket = (((t << np.uint64(16)) | k) % np.uint64(n_buckets)).astype(np.int32)
-        return batch.append_column("__bucket", pa.array(bucket))
-
-    def expand(df):
-        # bucket-keyed vectorized run detection (expand_bucketed_pairs'
-        # shape), plus the in-bucket Hamming verification on the simhash
-        # values that ride along with each band row
-        import logging
-
-        import pandas as pd
-
-        df = df.sort_values(["t", "key", id_column], kind="mergesort")
-        ids = df[id_column].to_numpy()
-        n = len(df)
-        if n == 0:
-            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
-        sims = df["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        boundary = np.zeros(n, dtype=bool)
-        boundary[0] = True
-        for c in ("t", "key"):
-            v = df[c].to_numpy()
-            boundary[1:] |= v[1:] != v[:-1]
-        run_id = np.cumsum(boundary) - 1
-        counts = np.bincount(run_id)
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        out_a, out_b = [], []
-        for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
-            if c > max_bucket:
-                logging.getLogger(__name__).warning(
-                    "simhash bucket exceeds max_bucket=%d; its pairs are skipped",
-                    max_bucket,
-                )
-                continue
-            order = np.argsort(ids[s:s + c], kind="stable")
-            mem = ids[s:s + c][order]
-            sh = sims[s:s + c][order]
-            ia, ib = np.triu_indices(c, k=1)
-            # vectorized Hamming over the run's candidate pairs
-            x = sh[ia] ^ sh[ib]
-            dist = np.zeros(len(x), dtype=np.int64)
-            while x.any():
-                dist += (x & np.uint64(1)).astype(np.int64)
-                x >>= np.uint64(1)
-            keep = dist <= max_hamming
-            out_a.extend(mem[ia[keep]])
-            out_b.extend(mem[ib[keep]])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
-
-    banded = sigs.map_batches(bands, batch_format="pyarrow").map_batches(
-        bucketize, batch_format="pyarrow"
+    banded = sigs.map_batches(bands, batch_format="pyarrow")
+    return expand_bucketed_pairs(
+        banded, ["t", "key"], id_column, id_type,
+        max_bucket, shuffle_partitions(num_tables, ds),
+        payload_column="simhash", pair_filter=hamming_ok,
     )
-    cand = banded.groupby("__bucket").map_groups(
-        expand, batch_format="pandas"
-    ).map_batches(  # pandas may widen the id dtype; restore the input's
-        lambda t: pa.table({"id_a": pc.cast(t["id_a"], id_type),
-                            "id_b": pc.cast(t["id_b"], id_type)}),
-        batch_format="pyarrow",
-    )
-    return cand.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
 
 def _interleaved_fingerprints(docs: rd.Dataset, id_column: str) -> rd.Dataset:

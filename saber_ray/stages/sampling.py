@@ -147,6 +147,24 @@ def exact_quantiles(
                      "value": pa.array(out_v, type=pa.int64())})
 
 
+def _hist_quantile(hist, cum, lo: float, width: float, q: float) -> float:
+    """Lower-rank (``ceil(q·n)``) bucket + uniform-within-bucket
+    interpolation — the ONE oracle-parity-critical arithmetic shared by
+    ``approx_quantiles`` and ``grouped_approx_quantiles`` (every IEEE
+    step here is mirrored verbatim in their SQL oracles; change both
+    together)."""
+    import math
+
+    import numpy as np
+
+    n = int(cum[-1])
+    target = max(1, math.ceil(q * n))
+    b = int(np.searchsorted(cum, target))
+    before = int(cum[b - 1]) if b else 0
+    frac = (target - before) / int(hist[b])
+    return lo + (b + frac) * width
+
+
 def approx_quantiles(
     ds: rd.Dataset, qs: list[float], column: str, bins: int = 4096
 ) -> pa.Table:
@@ -216,7 +234,7 @@ def approx_quantiles(
     import numpy as np
 
     partials = (
-        ds.select_columns([column])
+        clean
         .map_batches(hist_batch, batch_format="pyarrow", batch_size=None)
         .repartition(16)
         .map_batches(fold, batch_format="pyarrow", batch_size=None)
@@ -225,15 +243,7 @@ def approx_quantiles(
     for row in partials.take_all():
         hist += np.frombuffer(row["h"], dtype=np.int64)
     cum = np.cumsum(hist)
-    n = int(cum[-1])
-    out_v = []
-    for q in qs:
-        target = max(1, math.ceil(q * n))
-        b = int(np.searchsorted(cum, target))
-        before = int(cum[b - 1]) if b else 0
-        # uniform-within-bucket interpolation (SQL-reproducible math)
-        frac = (target - before) / int(hist[b])
-        out_v.append(lo + (b + frac) * width)
+    out_v = [_hist_quantile(hist, cum, lo, width, q) for q in qs]
     # half-away rounding for DuckDB round() parity (Python round is
     # half-even — the established oracle convention in this repo)
     vals = pc.round(pa.array(out_v, type=pa.float64()), 6,
@@ -252,7 +262,9 @@ def grouped_approx_quantiles(
     sees; a ``groupby(group)`` merges the vectors (the shuffle moves
     O(groups × batches) fixed-size rows, never the corpus). Quantile
     math identical to ``approx_quantiles``, per group, on the driver —
-    |groups| × bins ints. Returns ``(group, q, value)`` sorted.
+    |groups| × bins ints. Null/NaN values are dropped first; a group
+    with no real values is ABSENT from the output (the SQL inner-join
+    semantics). Returns ``(group, q, value)`` sorted.
     """
     import math
 
@@ -260,19 +272,32 @@ def grouped_approx_quantiles(
 
     from ray.data.aggregate import Max, Min
 
-    # ONE keyed aggregate carries both bounds — a min⨝max self-join
-    # would also trip Ray's empty-block join poisoning (schema-less
-    # blocks out of groupby, see semi_join's rationale). A group whose
-    # values are all null/NaN gets a None range → null quantiles below,
-    # never a float(None) crash.
-    def _bound(v):
+    # null/NaN values are dropped BEFORE everything (the same discipline
+    # as approx_quantiles — a NaN-propagating Min on some engine version
+    # must not poison the bucket math): a group with no real values then
+    # simply doesn't appear in the output, exactly the SQL oracle's
+    # inner-join semantics. ONE keyed aggregate carries both bounds — a
+    # min⨝max self-join would trip Ray's empty-block join poisoning
+    # (schema-less blocks out of groupby, see semi_join's rationale).
+    def drop_nan(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        mask = col.is_valid()
+        if pa.types.is_floating(col.type):
+            mask = pc.and_(mask, pc.invert(pc.is_nan(col)))
+        return batch.filter(mask)
+
+    clean = ds.select_columns([group_column, column]).map_batches(
+        drop_nan, batch_format="pyarrow")
+
+    def _bound(v):  # belt: None/NaN can't normally reach here post-filter
         return None if v is None or (isinstance(v, float) and math.isnan(v)) else float(v)
 
     ranges = {}
-    for r in (ds.groupby(group_column)
+    for r in (clean.groupby(group_column)
               .aggregate(Min(column), Max(column)).take_all()):
         lo, hi = _bound(r[f"min({column})"]), _bound(r[f"max({column})"])
-        ranges[r[group_column]] = None if lo is None or hi is None else (lo, hi)
+        if lo is not None and hi is not None:
+            ranges[r[group_column]] = (lo, hi)
     import ray
 
     ranges_ref = ray.put(ranges)
@@ -313,7 +338,7 @@ def grouped_approx_quantiles(
                              "h": [acc.tobytes()]})
 
     folded = (
-        ds.select_columns([group_column, column])
+        clean
         .map_batches(hist_batch, batch_format="pyarrow", batch_size=None)
         .groupby(group_column)
         .map_groups(fold, batch_format="pandas")
@@ -333,18 +358,13 @@ def grouped_approx_quantiles(
             lo, hi = bounds
             width = (hi - lo) / bins
             cum = np.cumsum(hist)
-            n = int(cum[-1])
-            if n == 0:
+            if int(cum[-1]) == 0:
                 out_v.append(None)
                 continue
             if width <= 0.0:  # constant group
                 out_v.append(lo)
                 continue
-            target = max(1, math.ceil(q * n))
-            b = int(np.searchsorted(cum, target))
-            before = int(cum[b - 1]) if b else 0
-            frac = (target - before) / int(hist[b])
-            out_v.append(lo + (b + frac) * width)
+            out_v.append(_hist_quantile(hist, cum, lo, width, q))
     vals = pc.round(pa.array(out_v, type=pa.float64()), 6,
                     round_mode="half_towards_infinity")
     return pa.table({group_column: pa.array(out_g),
