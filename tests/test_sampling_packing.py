@@ -343,3 +343,30 @@ def test_grouped_approx_quantiles_accuracy():
             assert abs(got[(g, q)] - exact) <= width + 0.02 * abs(exact), (
                 g, q, got[(g, q)], exact)
     assert got[("c", 0.5)] == 5.0 and got[("c", 0.9)] == 5.0
+
+
+def test_approx_quantiles_null_and_nan_handling():
+    """NaN/null discipline (review-hardened): all-NaN column -> null
+    quantiles; a group with no real values is ABSENT from the grouped
+    output (the SQL oracle's inner-join semantics); mixed NaN rows are
+    dropped, not propagated into the bucket math."""
+    import numpy as np
+    import ray.data as rd
+
+    from saber_ray.stages.sampling import approx_quantiles, grouped_approx_quantiles
+
+    all_nan = rd.from_items([{"value": float("nan")}] * 20)
+    assert approx_quantiles(all_nan, [0.5], "value")["value"].to_pylist() == [None]
+
+    mixed = rd.from_items(
+        [{"value": float(v)} for v in np.arange(1.0, 101.0)]
+        + [{"value": float("nan")}] * 30)
+    got = approx_quantiles(mixed, [0.5], "value")["value"].to_pylist()[0]
+    assert abs(got - 50.0) <= (99.0 / 4096) + 1.0  # NaNs excluded from n
+
+    g = rd.from_items(
+        [{"g": "a", "value": float(v)} for v in np.arange(10.0)]
+        + [{"g": "b", "value": None}] * 5
+        + [{"g": "c", "value": float("nan")}] * 5)
+    t = grouped_approx_quantiles(g, [0.5], "value", "g")
+    assert t["g"].to_pylist() == ["a"]  # b (null) and c (NaN) absent
