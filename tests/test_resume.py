@@ -317,3 +317,35 @@ def test_curation_invalidated_by_annotate_rerun(tmp_path_factory):
     s2 = run_kg_job(f"{corpus}/*.parquet", out, cfg, partitions=2)
     assert len(s2["ran"]) >= 1
     assert s2["curation"] == "ran" and s2["graph"] == "ran"
+
+
+def test_curation_samples_after_dedup(tmp_path_factory):
+    """Duplicated documents must not reach the curated keep-list or the
+    packed output (curation draws from the dedup SURVIVORS)."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    corpus = str(tmp_path_factory.mktemp("corpus3"))
+    table, _, _ = generate_documents(50, seed=21)
+    dup = table.slice(0, 10).set_column(
+        0, "doc_id", pa.array([f"dup{i:03d}" for i in range(10)]))
+    _pq.write_table(table, os.path.join(corpus, "a.parquet"))
+    _pq.write_table(dup, os.path.join(corpus, "b.parquet"))
+    out = str(tmp_path_factory.mktemp("out3"))
+    cfg = KGConfig(batch_size=32, num_salts=2, dedup="exact",
+                   curation="weighted", curation_k=100, pack_budget=64)
+    s = run_kg_job(f"{corpus}/*.parquet", out, cfg, partitions=2)
+    assert s["complete"] and s["curation"] == "ran"
+    kept, dropped, packed = set(), set(), set()
+    for f in glob.glob(f"{out}/curation/kept/*.parquet"):
+        kept |= set(_pq.read_table(f)["doc_id"].to_pylist())
+    for f in glob.glob(f"{out}/dedup/dropped/*.parquet"):
+        dropped |= set(_pq.read_table(f)["doc_id"].to_pylist())
+    for f in glob.glob(f"{out}/curation/packed/*.parquet"):
+        packed |= set(_pq.read_table(f)["doc_id"].to_pylist())
+    # every planted duplicate drops ('doc-*' < 'dup*', so originals are
+    # the min-id survivors); the generator may add natural dups too
+    assert {f"dup{i:03d}" for i in range(10)} <= dropped
+    assert not (kept & dropped)        # sampled from survivors only
+    assert not (packed & dropped)
+    assert packed == kept              # every kept doc packed
