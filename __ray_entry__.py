@@ -1060,15 +1060,48 @@ def _q_pack_sequences(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Registry order is COST order (cheap single-pass maps/aggregates →
-    # windows/relational → dedup/ANN → the staged kg family →
-    # multi-stage compositions): a time-budgeted driver that truncates
-    # the sweep still completes the maximum number of rows. The kg_*
-    # family shares ONE annotate pass per sf_dir via
-    # demo_annotated_staged (the r02 driver run truncated at 50/71
-    # because every kg query re-ran the tagger pool from scratch).
+    # Registry order is RECORD-PRIORITY order for a driver that records
+    # only the first 50 entries: the flagship KG family, ANN/media and
+    # multi-stage compositions come FIRST (they were past the 50-cap in
+    # rounds 2-3 and have the thinnest driver record), followed by
+    # queries whose code changed this round, then the long-stable cheap
+    # text/relational queries (driver-green in r01-r03) at the tail.
+    # The kg_* family shares ONE annotate pass per sf_dir via
+    # demo_annotated_staged, so running it first is cheap.
     return {
-        # -- cheap single-pass text/statistics queries
+        # -- KG family (one shared staged annotate pass per sf_dir)
+        "chunk_spans": _q_chunk_spans,
+        "kg_mentions": _q_kg_mentions,
+        "kg_mentions_filtered": _q_kg_mentions_filtered,
+        "kg_mention_counts": _q_kg_mention_counts,
+        "kg_triples": _q_kg_triples,
+        "kg_nodes": _q_kg_nodes,
+        "kg_edges": _q_kg_edges,
+        "kg_degrees": _q_kg_degrees,
+        "kg_top_edges": _q_kg_top_edges,
+        "kg_two_hop": _q_kg_two_hop,
+        "kg_three_hop": _q_kg_three_hop,
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_triangles": _q_kg_triangles,
+        "kg_clustering": _q_kg_clustering,
+        "kg_annotation_stats": _q_kg_annotation_stats,
+        "eval_confusion": _q_eval_confusion,
+        # -- similarity / media (no driver row in r03)
+        "embedding_dup_pairs": _q_embedding_dups,
+        "knn_search": _q_knn,
+        "knn_search_ivf": _q_knn_ivf,
+        "media_decode": _q_media_decode,
+        "media_dims_dedup": _q_media_dims_dedup,
+        # -- multi-stage compositions (no driver row in r03)
+        "curate_pack": _q_curate_pack,
+        "pack_interleaved": _q_pack_interleaved,
+        # -- queries whose implementation changed in round 4
+        "events_sessions": _q_events_sessions,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_components": _q_dedup_components,
+        # -- cheap single-pass text/statistics queries (stable since r01)
         "sterilize": _q_sterilize,
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
@@ -1093,7 +1126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_weighted": _q_sample_weighted,
         "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
-        # -- windows / relational / TPC-H
+        # -- windows / relational / TPC-H (stable since r01/r02; entries
+        # past position 50 fall outside a 50-capped driver record)
         "events_window": _q_events_window,
         "events_sliding": _q_events_sliding,
         "events_asof": _q_events_asof,
@@ -1103,7 +1137,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_avg": _q_rolling_avg,
         "events_props_summary": _q_events_props_summary,
         "events_filtered_window": _q_events_filtered_window,
-        "events_sessions": _q_events_sessions,
         "top_events_per_type": _q_top_events_per_type,
         "events_pivot": _q_events_pivot,
         "pricing_rollup": _q_pricing_rollup,
@@ -1116,36 +1149,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14": _q_tpch_q14,
         "tpch_q10": _q_tpch_q10,
         "tpch_q18": _q_tpch_q18,
-        # -- dedup / similarity / media
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_pairs": _q_minhash_pairs,
-        "dedup_simhash_pairs": _q_simhash_pairs,
-        "dedup_components": _q_dedup_components,
-        "embedding_dup_pairs": _q_embedding_dups,
-        "knn_search": _q_knn,
-        "knn_search_ivf": _q_knn_ivf,
-        "media_decode": _q_media_decode,
-        "media_dims_dedup": _q_media_dims_dedup,
-        # -- KG family (one shared staged annotate pass per sf_dir)
-        "chunk_spans": _q_chunk_spans,
-        "kg_mentions": _q_kg_mentions,
-        "kg_mentions_filtered": _q_kg_mentions_filtered,
-        "kg_mention_counts": _q_kg_mention_counts,
-        "kg_triples": _q_kg_triples,
-        "kg_nodes": _q_kg_nodes,
-        "kg_edges": _q_kg_edges,
-        "kg_degrees": _q_kg_degrees,
-        "kg_top_edges": _q_kg_top_edges,
-        "kg_two_hop": _q_kg_two_hop,
-        "kg_three_hop": _q_kg_three_hop,
-        "kg_pagerank": _q_kg_pagerank,
-        "kg_triangles": _q_kg_triangles,
-        "kg_clustering": _q_kg_clustering,
-        "kg_annotation_stats": _q_kg_annotation_stats,
-        "eval_confusion": _q_eval_confusion,
-        # -- multi-stage compositions
-        "curate_pack": _q_curate_pack,
-        "pack_interleaved": _q_pack_interleaved,
     }
 
 

@@ -93,32 +93,53 @@ def sessionize(
     ts_column: str = "ts",
 ) -> rd.Dataset:
     """Gap-based sessionization: per user, a new session starts when the
-    gap to the previous event exceeds ``gap_minutes``. One shuffle keyed
-    on the user; session assembly is a sorted per-group pass.
+    gap to the previous event exceeds ``gap_minutes``.
 
     Returns (user_id, session_num, n, session_start, session_end);
     session_num is 1-based in event-time order (deterministic).
+
+    Scale shape: ONE hash shuffle on ``hash(user) % P`` buckets (the
+    ``running_totals`` shape), NOT ``groupby(user)`` — per-user
+    ``map_groups`` pays a Python/pandas call per distinct user, which
+    dies at 10^8 users. Inside a bucket the whole computation is
+    vectorized: one sort, one ``groupby(user).diff()`` for the gap
+    test, one grouped cumsum for session numbering, one grouped
+    aggregate for the session rows. Keys never become Python-level
+    groups.
     """
     import pandas as pd
 
-    gap = pd.Timedelta(minutes=gap_minutes)
+    from ..functions.partitioning import shuffle_partitions
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_column)
-        new_session = (g[ts_column].diff() > gap) | g[ts_column].diff().isna()
-        g = g.assign(session_num=new_session.cumsum().astype("int64"))
-        out = g.groupby("session_num", sort=True).agg(
-            n=(ts_column, "size"),
-            session_start=(ts_column, "min"),
-            session_end=(ts_column, "max"),
-        ).reset_index()
-        out.insert(0, user_column, g[user_column].iloc[0])
+    gap = pd.Timedelta(minutes=gap_minutes)
+    n = shuffle_partitions(8, events)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bucket", _key_buckets(batch, user_column, n))
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values([user_column, ts_column]).drop(columns="__bucket")
+        grp = df.groupby(user_column, sort=False)
+        new_session = grp[ts_column].diff().gt(gap) | ~df[user_column].duplicated()
+        df = df.assign(session_num=new_session.groupby(df[user_column], sort=False).cumsum().astype("int64"))
+        out = (
+            df.groupby([user_column, "session_num"], sort=True)
+            .agg(
+                n=(ts_column, "size"),
+                session_start=(ts_column, "min"),
+                session_end=(ts_column, "max"),
+            )
+            .reset_index()
+        )
         out["n"] = out["n"].astype("int64")
         return out
 
-    return events.select_columns([user_column, ts_column]).groupby(
-        user_column
-    ).map_groups(per_user, batch_format="pandas")
+    return (
+        events.select_columns([user_column, ts_column])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def lineitem_pricing_summary(lineitem: rd.Dataset) -> rd.Dataset:

@@ -393,3 +393,52 @@ def test_window_count_join_numeric_on_column_guards():
 
     with pytest.raises(TypeError):
         window_count_join(left, right, on="pos", before=datetime.timedelta(minutes=1))
+
+
+def test_sessionize_matches_duckdb():
+    import __ray_entry__ as e
+
+    got = e.queries()["events_sessions"](SF).to_pandas()
+    want = _duck(e.oracle_sql()["events_sessions"])
+    _frames_equal(got, want)
+
+
+def test_sessionize_many_users_vectorized():
+    """≥10^5 distinct users must NOT become 10^5 Python-level groups:
+    sessionize buckets on hash(user) % P, so the pandas session kernel
+    runs once per bucket. Correctness is asserted per-user on known
+    gap patterns on known users."""
+    import numpy as np
+
+    from saber_ray.stages.relational import sessionize
+
+    n_users = 100_000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    hour = np.timedelta64(3600, "s")
+    minute = np.timedelta64(60, "s")
+    # every user gets 2 events 1 h apart (2 sessions); users ≡ 0 (mod 10)
+    # get a third event 1 min after the first (still session 1)
+    users = np.repeat(np.arange(n_users, dtype=np.int64), 2)
+    ts = np.tile(np.array([base, base + hour]), n_users)
+    extra = np.arange(0, n_users, 10, dtype=np.int64)
+    users = np.concatenate([users, extra])
+    ts = np.concatenate([ts, np.full(len(extra), base + minute)])
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(users, type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "event_id": pa.array(np.arange(len(users), dtype=np.int64)),
+        "value": pa.array(np.zeros(len(users))),
+    }))
+
+    # take_all() converts 200k timestamp rows one Python scalar at a
+    # time (~minutes); to_pandas() is the vectorized consumption path.
+    out = sessionize(ds).to_pandas()
+
+    assert len(out) == 2 * n_users               # 2 sessions per user
+    per_user = out.groupby("user_id").size()
+    assert len(per_user) == n_users
+    assert (per_user == 2).all()
+    u0 = out[out["user_id"] == 0].sort_values("session_num")
+    assert list(u0["n"]) == [2, 1]               # user 0: 3 events, gap after 2
+    u1 = out[out["user_id"] == 1].sort_values("session_num")
+    assert list(u1["n"]) == [1, 1]
