@@ -200,6 +200,37 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> in
     return int(out)
 
 
+def simhash64_many(token_hashes: np.ndarray, doc_lengths: np.ndarray) -> np.ndarray:
+    """Batched ``simhash64``: one ``[N_tokens, 64]`` ±1 bit-vote matrix
+    and one ``np.add.reduceat`` segment-sum for a whole batch of
+    documents, instead of a Python-level ``simhash64`` call per
+    document.
+
+    ``token_hashes`` concatenates every document's uint64 token hashes
+    in document order; ``doc_lengths[i]`` is document i's token count.
+    Returns one uint64 signature per document; empty documents get 0
+    (matching ``simhash64``'s empty-input return — callers null them
+    out). Bit-for-bit identical to mapping ``simhash64`` over the
+    per-document slices (asserted in tests)."""
+    doc_lengths = np.asarray(doc_lengths, dtype=np.int64)
+    out = np.zeros(len(doc_lengths), dtype=np.uint64)
+    valid = doc_lengths > 0
+    if not valid.any():
+        return out
+    bits = (
+        (token_hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.int64) * 2 - 1
+    # reduceat segment starts: only non-empty documents (an empty
+    # segment would alias the next document's first row, not sum to 0)
+    offsets = np.concatenate(([0], np.cumsum(doc_lengths)[:-1]))
+    seg = np.add.reduceat(bits, offsets[valid], axis=0)
+    packed = (
+        (seg > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+    ).sum(axis=1, dtype=np.uint64)
+    out[valid] = packed
+    return out
+
+
 def hamming64(x: int, y: int) -> int:
     return bin(x ^ y).count("1")
 

@@ -459,3 +459,46 @@ def test_exact_dropped_ids_cap_keeps_overflow():
                      exact_dropped_ids(docs, max_group=4).take_all())
     # min id 0 survives; ids 1..4 dropped (cap 4); 5..9 overflow survives
     assert dropped == [1, 2, 3, 4]
+
+
+def test_simhash64_many_matches_scalar_kernel():
+    """The batched segment-sum kernel must be bit-for-bit identical to
+    mapping simhash64 over per-document slices, including empty docs
+    and heavy token repetition."""
+    import numpy as np
+
+    from saber_ray.functions.hashing import simhash64, simhash64_many
+
+    rng = np.random.default_rng(11)
+    lengths = np.array([0, 1, 7, 0, 128, 3, 0], dtype=np.int64)
+    hashes = rng.integers(0, 2**64, size=int(lengths.sum()), dtype=np.uint64)
+    # heavy repetition in one doc (multiplicity must be preserved)
+    hashes[8:12] = hashes[8]
+    got = simhash64_many(hashes, lengths)
+    pos = 0
+    for i, n in enumerate(lengths):
+        want = simhash64(hashes[pos:pos + n])
+        assert int(got[i]) == want, i
+        pos += n
+
+
+def test_simhash_batch_null_and_values():
+    import pyarrow as pa
+
+    from saber_ray.functions.hashing import simhash64, stable_u64_md5
+    from saber_ray.stages.dedup import simhash_batch, _TOKEN_RE
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": ["the cat sat on the mat", "", "Cat CAT cat!"]})
+    out = simhash_batch(t)["simhash"].to_pylist()
+    assert out[1] is None                        # token-less doc → NULL
+
+    def scalar(text):
+        toks = _TOKEN_RE.findall(text.lower())
+        import numpy as np
+        h = np.array([stable_u64_md5(x) for x in toks], dtype=np.uint64)
+        v = simhash64(h)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    assert out[0] == scalar("the cat sat on the mat")
+    assert out[2] == scalar("Cat CAT cat!")
