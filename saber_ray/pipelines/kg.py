@@ -48,6 +48,12 @@ class KGConfig:
     curation: str = ""
     curation_k: Any = 64
     pack_budget: int = 2048        # token budget per packed sequence
+    # run_kg_job graph stage: number of key-hash groups the
+    # canonicalization reduce is split into — each group is its own
+    # checkpointed unit (crash mid-graph resumes at group granularity).
+    # NOT part of the job identity hash (the graph stage carries its own
+    # hash), so retuning it never re-runs the annotate partitions.
+    graph_groups: int = 4
 
 
 def _pool_width(n_pools: int = 1) -> int:

@@ -11,8 +11,10 @@ per-partition checkpointing:
   atomically AFTER the partition's outputs are complete — on resume,
   partitions with a matching "done" record are skipped entirely;
 * the graph stage (salted canonicalization over ALL staged
-  mentions/triples) runs once at the end and is itself checkpointed as
-  stage records.
+  mentions/triples) runs at the end in two checkpointed levels: one
+  partials pass staged to parquet hive-partitioned by key-hash group,
+  then one reduce PER group — a crash mid-graph resumes at group
+  granularity instead of redoing the whole reduce.
 
 Partition granularity is the resume granularity: at 100 TB a partition
 should be ~one storage fragment group (tens of GB), so a failed run
@@ -40,7 +42,6 @@ import ray.data as rd
 from .. import __version__
 from ..functions.hashing import span_sequence_hash, stable_hex
 from ..state.manifest import Manifest, PartitionRecord, StageTimer, config_hash
-from ..stages.canonicalize import canonicalize_edges, canonicalize_nodes
 from ..stages.preprocess import validate_documents
 from ..stages.triples import emit_triples, explode_mentions
 from .kg import KGConfig, annotate, dedicated_pool
@@ -178,7 +179,8 @@ def run_kg_job(
         # mid-way cannot leave a trusted stale aggregate
         manifest.invalidate("dedup", 0)
         manifest.invalidate("curation", 0)
-        manifest.invalidate("graph", 0)
+        manifest.invalidate("graph_partials", 0)
+        manifest.invalidate_stage("graph")
         with StageTimer() as timer:
             docs = rd.read_parquet(group)
             rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in group)
@@ -253,7 +255,8 @@ def run_kg_job(
     if stale:
         manifest.invalidate("dedup", 0)
         manifest.invalidate("curation", 0)
-        manifest.invalidate("graph", 0)
+        manifest.invalidate("graph_partials", 0)
+        manifest.invalidate_stage("graph")
 
     # ---- dedup stage: global dup drop-list over staged documents ----
     # (optional; checkpointed like the graph stage — any annotate
@@ -264,7 +267,8 @@ def run_kg_job(
     if config.dedup:
         if not manifest.is_done("dedup", 0):
             # graph AND curation both derive from the drop-list
-            manifest.invalidate("graph", 0)
+            manifest.invalidate("graph_partials", 0)
+            manifest.invalidate_stage("graph")
             manifest.invalidate("curation", 0)
             with StageTimer() as timer:
                 shutil.rmtree(os.path.join(out_dir, "dedup"), ignore_errors=True)
@@ -371,10 +375,47 @@ def run_kg_job(
             summary["curation"] = "skipped"
 
     # ---- graph stage: global canonicalization over all staged outputs ----
-    # (re-run partitions already invalidated the graph record above)
-    if not manifest.is_done("graph", 0):
+    # Two checkpointed levels (re-run partitions invalidated both above):
+    #
+    # * ``graph_partials`` (ONE record): a single streaming pass over the
+    #   staged mentions/triples computing per-batch partial aggregates,
+    #   written as parquet hive-partitioned by ``group = stable_u64(key)
+    #   % graph_groups`` (entity_id for nodes, (src,pred,dst) for edges —
+    #   deterministic, so every partial of a key lands in one group);
+    # * ``graph`` (one record PER group): the salted two-level reduce of
+    #   one group's partials → ``nodes/group=<g>/``, ``edges/group=<g>/``.
+    #
+    # A crash mid-graph resumes at GROUP granularity: completed groups'
+    # reduces are skipped entirely. At 100 TB the global reduce is the
+    # long tail of the job — an all-or-nothing stage record would redo
+    # all of it on a crash in the last group.
+    from ..stages.canonicalize import (
+        partial_edges,
+        partial_nodes,
+        reduce_edge_partials,
+        reduce_node_partials,
+    )
+
+    n_groups = max(1, config.graph_groups)
+    # graph identity: its OWN hash (job hash + grouping), so retuning
+    # graph_groups re-runs only the graph stage, never annotate
+    graph_hash = config_hash(cfg_hash + f"|graph_groups={n_groups}", __version__)
+    gp_dir = os.path.join(out_dir, "graph_partials")
+    nodes_dir = os.path.join(out_dir, "nodes")
+    edges_dir = os.path.join(out_dir, "edges")
+    num_salts = config.num_salts
+
+    def _graph_done(stage: str, pid: int) -> bool:
+        rec = manifest.read(stage, pid)
+        return (rec is not None and rec.status == "done"
+                and rec.config_hash == graph_hash)
+
+    ran_graph = False
+    if not _graph_done("graph_partials", 0):
+        # stale partials invalidate every group reduce AND their outputs
+        manifest.invalidate_stage("graph")
         with StageTimer() as timer:
-            for d in (os.path.join(out_dir, "nodes"), os.path.join(out_dir, "edges")):
+            for d in (gp_dir, nodes_dir, edges_dir):
                 shutil.rmtree(d, ignore_errors=True)
             mentions = _staged_read(os.path.join(out_dir, "mentions"))
             triples = _staged_read(os.path.join(out_dir, "triples"))
@@ -394,32 +435,99 @@ def run_kg_job(
 
                 mentions = mentions.map_batches(keep, batch_format="pyarrow")
                 triples = triples.map_batches(keep, batch_format="pyarrow")
-            nodes_dir = os.path.join(out_dir, "nodes")
-            edges_dir = os.path.join(out_dir, "edges")
-            canonicalize_nodes(mentions, num_salts=config.num_salts).write_parquet(
-                nodes_dir
-            )
-            canonicalize_edges(triples, num_salts=config.num_salts).write_parquet(
-                edges_dir
-            )
+            mentions.map_batches(
+                lambda b: _with_group(
+                    partial_nodes(b, num_salts), ["entity_id"], n_groups),
+                batch_format="pyarrow",
+            ).write_parquet(os.path.join(gp_dir, "nodes"),
+                            partition_cols=["group"])
+            triples.map_batches(
+                lambda b: _with_group(
+                    partial_edges(b, num_salts), ["src", "pred", "dst"],
+                    n_groups),
+                batch_format="pyarrow",
+            ).write_parquet(os.path.join(gp_dir, "edges"),
+                            partition_cols=["group"])
         manifest.write(
             PartitionRecord(
-                stage="graph",
+                stage="graph_partials",
                 partition_id=0,
                 input_fragments=["mentions/", "triples/"],
                 rows_in=_written_rows_tree(os.path.join(out_dir, "triples")),
-                rows_out=_written_rows(os.path.join(out_dir, "edges")),
+                rows_out=_written_rows_tree(gp_dir),
                 span_hash="",
                 wall_ms=timer.wall_ms,
                 status="done",
-                config_hash=cfg_hash,
-                extra={"nodes_rows": _written_rows(os.path.join(out_dir, "nodes"))},
+                config_hash=graph_hash,
+                extra={"graph_groups": n_groups},
             )
         )
-        summary["graph"] = "ran"
-    else:
-        summary["graph"] = "skipped"
+        ran_graph = True
+
+    for g in range(n_groups):
+        if _graph_done("graph", g):
+            continue
+        with StageTimer() as timer:
+            out_n = os.path.join(nodes_dir, f"group={g}")
+            out_e = os.path.join(edges_dir, f"group={g}")
+            for d in (out_n, out_e):
+                shutil.rmtree(d, ignore_errors=True)
+            part_n = os.path.join(gp_dir, "nodes", f"group={g}")
+            part_e = os.path.join(gp_dir, "edges", f"group={g}")
+            # a group can be empty (no key hashed to it) — valid, 0 rows
+            if os.path.isdir(part_n):
+                reduce_node_partials(_staged_read(part_n)).write_parquet(out_n)
+            if os.path.isdir(part_e):
+                reduce_edge_partials(_staged_read(part_e)).write_parquet(out_e)
+        manifest.write(
+            PartitionRecord(
+                stage="graph",
+                partition_id=g,
+                input_fragments=[f"graph_partials/*/group={g}/"],
+                rows_in=(_written_rows(part_n) if os.path.isdir(part_n) else 0)
+                + (_written_rows(part_e) if os.path.isdir(part_e) else 0),
+                rows_out=_written_rows(out_e) if os.path.isdir(out_e) else 0,
+                span_hash="",
+                wall_ms=timer.wall_ms,
+                status="done",
+                config_hash=graph_hash,
+                extra={"nodes_rows":
+                       _written_rows(out_n) if os.path.isdir(out_n) else 0},
+            )
+        )
+        ran_graph = True
+    summary["graph"] = "ran" if ran_graph else "skipped"
     return summary
+
+
+def _with_group(t, key_cols: list[str], num_groups: int):
+    """Append ``group = stable_u64(key) % num_groups`` to a partials
+    table. The key is the REDUCE key (entity_id / (src,pred,dst)), not
+    the salt — every partial of one key must land in one group so each
+    group's two-level reduce is self-contained. stable_u64 (blake2b) is
+    stable across processes and runs, which the resume contract needs
+    (partials written by run A are reduced by run B). blake2b runs once
+    per DISTINCT key in the batch (np.unique + inverse gather — partials
+    repeat each key once per salt/batch)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import stable_u64
+
+    if t.num_rows == 0:
+        return t.append_column("group", pa.array([], type=pa.int64()))
+    if len(key_cols) == 1:
+        keys = t[key_cols[0]].to_pylist()
+    else:
+        keys = ["\x1f".join(vals)
+                for vals in zip(*(t[c].to_pylist() for c in key_cols))]
+    uniq, inverse = np.unique(np.array(keys, dtype=object), return_inverse=True)
+    uniq_groups = np.array(
+        [stable_u64(k) % num_groups for k in uniq.tolist()], dtype=np.int64
+    )
+    return t.append_column(
+        "group", pa.array(uniq_groups[inverse], type=pa.int64())
+    )
 
 
 def _remove_stale_parts(out_dir: str, valid_pids: set[int]) -> int:

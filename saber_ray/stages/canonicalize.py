@@ -203,24 +203,33 @@ def _states_to_nodes(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict(rows, schema=NODES)
 
 
-def canonicalize_nodes(mentions, num_salts: int = 16):
-    """MENTIONS Dataset → NODES Dataset.
+def reduce_node_partials(partials, num_partitions: int | None = None):
+    """Salted two-level merge of ``partial_nodes`` rows → NODES rows.
 
-    Salted two-level merge, both levels native ``groupby().aggregate``
-    with a multiset-merging AggregateFn — no per-group Python/pandas.
+    Both levels are native ``groupby().aggregate`` with a
+    multiset-merging AggregateFn — no per-group Python/pandas. Split out
+    of ``canonicalize_nodes`` so the resumable job can stage partials to
+    parquet (hive-partitioned by key-hash group) and reduce each group
+    as its own checkpointed unit.
     """
+    if num_partitions:
+        # coalesce the (small) partial stream — see canonicalize_edges;
+        # partition count scales with the cluster, never a fixed constant
+        partials = partials.repartition(num_partitions)
+    level1 = partials.groupby(["entity_id", "salt"]).aggregate(_node_state_agg())
+    level2_in = level1.map_batches(_state_to_partials, batch_format="pyarrow")
+    final = level2_in.groupby("entity_id").aggregate(_node_state_agg())
+    return final.map_batches(_states_to_nodes, batch_format="pyarrow")
+
+
+def canonicalize_nodes(mentions, num_salts: int = 16):
+    """MENTIONS Dataset → NODES Dataset (partials + salted reduce)."""
     from ..functions.partitioning import shuffle_partitions
 
     partials = mentions.map_batches(
         lambda b: partial_nodes(b, num_salts), batch_format="pyarrow"
     )
-    # coalesce the (small) partial stream — see canonicalize_edges;
-    # partition count scales with the cluster, never a fixed constant
-    partials = partials.repartition(shuffle_partitions(num_salts, mentions))
-    level1 = partials.groupby(["entity_id", "salt"]).aggregate(_node_state_agg())
-    level2_in = level1.map_batches(_state_to_partials, batch_format="pyarrow")
-    final = level2_in.groupby("entity_id").aggregate(_node_state_agg())
-    return final.map_batches(_states_to_nodes, batch_format="pyarrow")
+    return reduce_node_partials(partials, shuffle_partitions(num_salts, mentions))
 
 
 # ---------------------------------------------------------------- edges ---
@@ -297,24 +306,20 @@ def _doc_sample_agg():
     )
 
 
-def canonicalize_edges(triples, num_salts: int = 16):
-    """TRIPLES Dataset → EDGES Dataset.
-
-    Salted two-level merge, both levels native ``groupby().aggregate``
+def reduce_edge_partials(partials, num_partitions: int | None = None):
+    """Salted two-level merge of ``partial_edges`` rows → EDGES rows
     (vectorized Sum + block-wise lineage union) — no per-group Python.
-    """
+    Split out of ``canonicalize_edges`` for the resumable job's staged,
+    per-group checkpointed graph reduce."""
     from ray.data.aggregate import Sum
 
-    from ..functions.partitioning import shuffle_partitions
-
-    partials = triples.map_batches(
-        lambda b: partial_edges(b, num_salts), batch_format="pyarrow"
-    )
-    # coalesce the (small) partial stream: sort-based Aggregate creates one
-    # reduce partition per input block, and hundreds of near-empty reduce
-    # tasks cost more than the aggregation itself; the count scales with
-    # cluster width so a 4N-node run gets 4x the reduce partitions
-    partials = partials.repartition(shuffle_partitions(num_salts, triples))
+    if num_partitions:
+        # coalesce the (small) partial stream: sort-based Aggregate creates
+        # one reduce partition per input block, and hundreds of near-empty
+        # reduce tasks cost more than the aggregation itself; the count
+        # scales with cluster width so a 4N-node run gets 4x the reduce
+        # partitions
+        partials = partials.repartition(num_partitions)
     level1 = partials.groupby(["src", "pred", "dst", "salt"]).aggregate(
         Sum("support", alias_name="support"), _doc_sample_agg()
     )
@@ -335,3 +340,13 @@ def canonicalize_edges(triples, num_salts: int = 16):
         return out.cast(EDGES)
 
     return edges.map_batches(finalize, batch_format="pyarrow")
+
+
+def canonicalize_edges(triples, num_salts: int = 16):
+    """TRIPLES Dataset → EDGES Dataset (partials + salted reduce)."""
+    from ..functions.partitioning import shuffle_partitions
+
+    partials = triples.map_batches(
+        lambda b: partial_edges(b, num_salts), batch_format="pyarrow"
+    )
+    return reduce_edge_partials(partials, shuffle_partitions(num_salts, triples))

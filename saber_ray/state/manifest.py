@@ -86,6 +86,21 @@ class Manifest:
         except FileNotFoundError:
             pass
 
+    def invalidate_stage(self, stage: str) -> None:
+        """Persistently remove EVERY record of a stage (used for stages
+        whose partition count is config-dependent, e.g. the per-group
+        graph reduces — a stale group record from an old grouping must
+        never be trusted)."""
+        d = os.path.join(self.root, stage)
+        if not os.path.isdir(d):
+            return
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                try:
+                    os.unlink(os.path.join(d, name))
+                except FileNotFoundError:
+                    pass
+
     def records(self, stage: str | None = None) -> list[PartitionRecord]:
         out: list[PartitionRecord] = []
         stages = [stage] if stage else sorted(os.listdir(self.root))

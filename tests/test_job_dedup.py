@@ -72,7 +72,7 @@ def near_dup_corpus(tmp_path_factory):
 
 def _graph_rows(out: str, table: str) -> list[tuple]:
     rows = []
-    for f in glob.glob(os.path.join(out, table, "*.parquet")):
+    for f in glob.glob(os.path.join(out, table, "**", "*.parquet"), recursive=True):
         t = pq.read_table(f)
         # doc_ids is a SAMPLED lineage column (per-batch min/max union,
         # capped) — legitimately differs across batchings; exclude it

@@ -48,7 +48,7 @@ def test_interrupted_run_resumes(corpus_dir, tmp_path_factory):
     )
     node_support = sum(
         sum(pq.read_table(f)["support"].to_pylist())
-        for f in glob.glob(f"{out}/nodes/*.parquet")
+        for f in glob.glob(f"{out}/nodes/**/*.parquet", recursive=True)
     )
     assert node_support == mentions
     assert mentions > 0
@@ -175,7 +175,7 @@ def test_incremental_append_reruns_only_affected(tmp_path_factory):
     )
     node_support = sum(
         sum(pq.read_table(f)["support"].to_pylist())
-        for f in glob.glob(f"{out}/nodes/*.parquet")
+        for f in glob.glob(f"{out}/nodes/**/*.parquet", recursive=True)
     )
     assert node_support == mentions
 
@@ -214,15 +214,74 @@ def test_crash_between_rerun_and_graph_invalidates_graph(tmp_path_factory):
     # starts; run it for real now, killing before graph via max_partitions)
     s3 = run_kg_job(f"{d}/*.parquet", out, cfg, partitions=2, max_partitions=1)
     assert len(s3["ran"]) == 1
-    man = Manifest(out, cfg_hash)
+    # graph records carry their OWN hash (job hash + graph grouping)
+    graph_hash = config_hash(cfg_hash + f"|graph_groups={cfg.graph_groups}",
+                             __import__("saber_ray").__version__)
+    man = Manifest(out, graph_hash)
     if s3["complete"]:
         # single affected partition: graph re-ran in the same call
         assert s3["graph"] == "ran"
     else:
-        assert man.read("graph", 0) is None  # invalidated, not stale
-    # final resume completes and re-aggregates
+        # invalidated, not stale: no partials record, no group records
+        assert man.read("graph_partials", 0) is None
+        assert all(man.read("graph", g) is None
+                   for g in range(cfg.graph_groups))
+    # final resume completes and re-aggregates every group
     s4 = run_kg_job(f"{d}/*.parquet", out, cfg, partitions=2)
-    assert s4["complete"] and man.is_done("graph", 0)
+    assert s4["complete"] and man.is_done("graph_partials", 0)
+    assert all(man.is_done("graph", g) for g in range(cfg.graph_groups))
+
+
+def test_graph_stage_resumes_at_group_granularity(tmp_path_factory):
+    """A crash mid-graph (some key-hash groups reduced, some not) must
+    resume by re-reducing ONLY the missing groups: completed groups'
+    outputs are untouched on disk and their partials are not re-read."""
+    d = tmp_path_factory.mktemp("gg_corpus")
+    table, _, _ = generate_documents(120, seed=53)
+    pq.write_table(table, str(d / "frag-0.parquet"))
+    out = str(tmp_path_factory.mktemp("gg_out"))
+    cfg = KGConfig(batch_size=32, num_salts=2, graph_groups=4)
+
+    run_kg_job(f"{d}/*.parquet", out, cfg, partitions=1)
+    edge_rows = sorted(
+        tuple(r)
+        for f in glob.glob(f"{out}/edges/**/*.parquet", recursive=True)
+        for r in zip(*[pq.read_table(f)[c].to_pylist()
+                       for c in ("src", "pred", "dst", "support")])
+    )
+    assert edge_rows
+
+    # simulate a crash after groups 0-1 reduced: drop groups 2-3's
+    # records + outputs (exactly what a mid-loop kill leaves behind)
+    cfg_hash = config_hash(repr(asdict_like(cfg)) + "|partitions=1",
+                           __import__("saber_ray").__version__)
+    graph_hash = config_hash(cfg_hash + "|graph_groups=4",
+                             __import__("saber_ray").__version__)
+    man = Manifest(out, graph_hash)
+    import shutil
+    for g in (2, 3):
+        man.invalidate("graph", g)
+        shutil.rmtree(f"{out}/nodes/group={g}", ignore_errors=True)
+        shutil.rmtree(f"{out}/edges/group={g}", ignore_errors=True)
+
+    survivors = glob.glob(f"{out}/nodes/group=0/*.parquet") + \
+        glob.glob(f"{out}/edges/group=0/*.parquet")
+    mtimes = {f: os.path.getmtime(f) for f in survivors}
+
+    s2 = run_kg_job(f"{d}/*.parquet", out, cfg, partitions=1)
+    assert s2["graph"] == "ran"            # groups 2-3 re-reduced
+    assert man.is_done("graph_partials", 0)  # partials pass NOT redone
+    assert all(man.is_done("graph", g) for g in range(4))
+    # completed groups untouched (same files, same mtimes)
+    assert {f: os.path.getmtime(f) for f in survivors} == mtimes
+    # and the union of groups is byte-identical to the uninterrupted run
+    edge_rows2 = sorted(
+        tuple(r)
+        for f in glob.glob(f"{out}/edges/**/*.parquet", recursive=True)
+        for r in zip(*[pq.read_table(f)[c].to_pylist()
+                       for c in ("src", "pred", "dst", "support")])
+    )
+    assert edge_rows2 == edge_rows
 
 
 def test_partition_count_change_no_double_count(tmp_path_factory):
@@ -250,7 +309,7 @@ def test_partition_count_change_no_double_count(tmp_path_factory):
     assert mentions_after == mentions_before  # same corpus, no duplicates
     node_support = sum(
         sum(pq.read_table(f)["support"].to_pylist())
-        for f in glob.glob(f"{out}/nodes/*.parquet")
+        for f in glob.glob(f"{out}/nodes/**/*.parquet", recursive=True)
     )
     assert node_support == mentions_after
 
