@@ -47,7 +47,7 @@ from ..stages.triples import emit_triples, explode_mentions
 from .kg import KGConfig, annotate, dedicated_pool
 
 
-def _staged_read(path) -> rd.Dataset:
+def _staged_read(path, columns: list[str] | None = None) -> rd.Dataset:
     """Re-read a staged table in ~cluster-CPU-count blocks.
 
     Staged dirs hold one small file per upstream block; re-reading them
@@ -55,6 +55,11 @@ def _staged_read(path) -> rd.Dataset:
     tasks/s — the downstream stage then runs ~10-wide no matter how many
     CPUs exist (measured: canonicalize 5.2 s -> 2.7 s at 2M docs /
     32 cpus after coalescing the read).
+
+    ``columns`` prunes the read at the parquet layer — each consumer of
+    the staged annotated table names exactly what it uses (quarantine
+    never reads ``ents``, triples never reads the raw ``spans``
+    payload), so unneeded column bytes never leave storage.
     """
     import ray
 
@@ -62,7 +67,7 @@ def _staged_read(path) -> rd.Dataset:
         nb = max(16, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:
         nb = 16
-    return rd.read_parquet(path, override_num_blocks=nb)
+    return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
 
 
 def _partition_inputs(paths: list[str], partitions: int) -> list[list[str]]:
@@ -203,19 +208,21 @@ def run_kg_job(
             # twice.
             flagged = docs.map_batches(validate_documents, batch_format="pyarrow")
             annotate(flagged, config).write_parquet(ann_dir)
-            staged = _staged_read(ann_dir)
-            staged.filter(expr="valid == False").drop_columns(
-                ["ents", "span_hash"]
-            ).write_parquet(quarantine_dir)
+            # quarantine keeps the document payload but never reads the
+            # (large) ents column; mentions/triples read ONLY doc_id +
+            # ents — the raw spans payload never leaves storage for them
+            _staged_read(
+                ann_dir, columns=["doc_id", "spans", "valid", "invalid_reason"]
+            ).filter(expr="valid == False").write_parquet(quarantine_dir)
             n_quarantined = _written_rows(quarantine_dir)
-            _staged_read(ann_dir).map_batches(
+            _staged_read(ann_dir, columns=["doc_id", "ents"]).map_batches(
                 explode_mentions, batch_format="pyarrow"
             ).write_parquet(mentions_dir)
             # capture only the bool: a `config` closure would pickle the
             # whole KGConfig (incl. production-scale gazetteer dicts)
             # into every task of this stateless stage
             same_sentence = config.same_sentence
-            _staged_read(ann_dir).map_batches(
+            _staged_read(ann_dir, columns=["doc_id", "ents"]).map_batches(
                 lambda b: emit_triples(b, same_sentence=same_sentence),
                 batch_format="pyarrow",
             ).write_parquet(triples_dir)
@@ -272,7 +279,13 @@ def run_kg_job(
             manifest.invalidate("curation", 0)
             with StageTimer() as timer:
                 shutil.rmtree(os.path.join(out_dir, "dedup"), ignore_errors=True)
-                ann = _staged_read(os.path.join(out_dir, "annotated"))
+                # exact dedup fingerprints via the span_hash invariant;
+                # minhash shingles the span text — neither reads ents
+                dedup_cols = (["doc_id", "valid", "span_hash"]
+                              if config.dedup == "exact"
+                              else ["doc_id", "valid", "spans"])
+                ann = _staged_read(os.path.join(out_dir, "annotated"),
+                                   columns=dedup_cols)
                 _dropped_ids(ann, config).write_parquet(drop_dir)
             manifest.write(
                 PartitionRecord(
@@ -311,8 +324,10 @@ def run_kg_job(
             with StageTimer() as timer:
                 shutil.rmtree(os.path.join(out_dir, "curation"),
                               ignore_errors=True)
-                ann = _staged_read(os.path.join(out_dir, "annotated")).filter(
-                    expr="valid == True")
+                ann = _staged_read(
+                    os.path.join(out_dir, "annotated"),
+                    columns=["doc_id", "valid", "spans"],
+                ).filter(expr="valid == True")
                 texts = ann.map_batches(_doc_text, batch_format="pyarrow")
                 if config.dedup:
                     # curation samples AFTER dedup: duplicated documents
@@ -417,8 +432,14 @@ def run_kg_job(
         with StageTimer() as timer:
             for d in (gp_dir, nodes_dir, edges_dir):
                 shutil.rmtree(d, ignore_errors=True)
-            mentions = _staged_read(os.path.join(out_dir, "mentions"))
-            triples = _staged_read(os.path.join(out_dir, "triples"))
+            # partial_nodes reads (text, entity_id, doc_id); partial_edges
+            # reads (doc_id, subj, pred, obj, score) — offsets/labels/xrefs
+            # never leave storage for the graph reduce
+            mentions = _staged_read(os.path.join(out_dir, "mentions"),
+                                    columns=["doc_id", "text", "entity_id"])
+            triples = _staged_read(os.path.join(out_dir, "triples"),
+                                   columns=["doc_id", "subj", "pred",
+                                            "obj", "score"])
             drop_set = _read_drop_ids(drop_dir) if config.dedup else None
             if drop_set is not None and len(drop_set):
                 # the drop-list (dup doc ids) is orders of magnitude
