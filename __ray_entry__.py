@@ -234,13 +234,19 @@ def _q_knn_ivf(sf_dir: str):
     )
     queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     num_centroids = 16
-    # index is resumable input: build once per corpus, reuse across calls
+    # index is resumable input: build once per corpus, reuse across
+    # calls. Cache tag = package version + index params (not a
+    # hand-bumped literal); root is the per-user stage dir.
+    import saber_ray
+    from saber_ray.pipelines.demo import _STAGE_ROOT
+
     emb = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
     st = os.stat(emb)
     key = hashlib.md5(
-        f"{emb}|{st.st_mtime_ns}|{st.st_size}|ivf-v1".encode()
+        f"{emb}|{st.st_mtime_ns}|{st.st_size}"
+        f"|ivf-{saber_ray.__version__}-c{num_centroids}-s42".encode()
     ).hexdigest()[:16]
-    index_dir = f"/tmp/saber_ray_stage/ivf_{key}"
+    index_dir = os.path.join(_STAGE_ROOT, f"ivf_{key}")
     centroids_marker = os.path.join(index_dir, "centroids.npy")
     if not os.path.exists(centroids_marker):
         # build into a tmp dir and rename: centroids.npy lands last
@@ -2282,12 +2288,13 @@ def oracle_sql() -> dict[str, str]:
                    (max(value) - min(value)) / 4096 AS w,
                    CAST(count(value) AS BIGINT) AS n
             FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
         ),
         hist AS (
             SELECT LEAST(GREATEST(CAST(floor((value - p.lo) / p.w) AS BIGINT), 0), 4095) AS b,
                    CAST(count(*) AS BIGINT) AS c
             FROM events, params p
-            WHERE value IS NOT NULL
+            WHERE value IS NOT NULL AND NOT isnan(value)
             GROUP BY 1
         ),
         cum AS (
@@ -2316,14 +2323,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, min(value) AS lo, max(value) AS hi,
                    (max(value) - min(value)) / 4096 AS w,
                    CAST(count(value) AS BIGINT) AS n
-            FROM events GROUP BY 1
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1
         ),
         hist AS (
             SELECT e.event_type,
                    LEAST(GREATEST(CAST(floor((e.value - p.lo) / p.w) AS BIGINT), 0), 4095) AS b,
                    CAST(count(*) AS BIGINT) AS c
             FROM events e JOIN params p ON p.event_type = e.event_type
-            WHERE e.value IS NOT NULL
+            WHERE e.value IS NOT NULL AND NOT isnan(e.value)
             GROUP BY 1, 2
         ),
         cum AS (

@@ -263,7 +263,9 @@ def main_bench() -> None:
     # the kg_* queries share a staged annotate pass per corpus
     # (pipelines/demo.py:demo_annotated_staged); start cold so the first
     # rep PAYS the staging cost instead of inheriting a previous run's
-    shutil.rmtree("/tmp/saber_ray_stage", ignore_errors=True)
+    from saber_ray.pipelines.demo import _STAGE_ROOT
+
+    shutil.rmtree(_STAGE_ROOT, ignore_errors=True)
     _init_ray(NUM_CPUS)
     queries = run_suite(SF_DIR)
     kg = run_synthetic_kg(SYNTH_DOCS)

@@ -11,6 +11,9 @@ the subject being the earlier occurrence; integer supports).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -37,7 +40,26 @@ def demo_annotated(sf_dir: str, config: KGConfig | None = None) -> rd.Dataset:
     return annotate(docs, config or demo_config())
 
 
-_STAGE_ROOT = "/tmp/saber_ray_stage"
+# Per-user cache root: a fixed world-writable /tmp path lets another
+# local user pre-seed a stage dir that the marker check would trust,
+# and a shared path means one session's cache clear deletes another's.
+_STAGE_ROOT = os.path.join(
+    tempfile.gettempdir(),
+    f"saber_ray_stage-{getattr(os, 'getuid', lambda: 0)()}",
+)
+
+
+def _demo_stage_tag() -> str:
+    """Cache-key tag derived from the package version + the demo
+    pipeline's effective config (surfaces, grounding, salts, batch
+    size) — any change to demo semantics re-stages automatically
+    instead of silently serving a stale cache behind a hand-bumped
+    literal."""
+    from .. import __version__
+    from ..state.manifest import config_hash
+    from .run import asdict_like
+
+    return config_hash(repr(asdict_like(demo_config())), __version__)
 
 
 def demo_annotated_staged(sf_dir: str) -> rd.Dataset:
@@ -57,14 +79,13 @@ def demo_annotated_staged(sf_dir: str) -> rd.Dataset:
     makes a torn write invisible.
     """
     import hashlib
-    import os
     import shutil
 
     real = os.path.realpath(sf_dir)
     doc = os.path.join(real, "documents.parquet")
     st = os.stat(doc)
     key = hashlib.md5(
-        f"{real}|{st.st_mtime_ns}|{st.st_size}|demo-v1".encode()
+        f"{real}|{st.st_mtime_ns}|{st.st_size}|{_demo_stage_tag()}".encode()
     ).hexdigest()[:16]
     path = os.path.join(_STAGE_ROOT, key)
     marker = os.path.join(path, "_SUCCESS")

@@ -659,7 +659,10 @@ def _read_keep_ids(kept_dir: str, id_type):
     if not files:
         return pa.array([], type=id_type)
     cols = [pq.read_table(f, columns=["doc_id"])["doc_id"] for f in files]
-    return pa.concat_arrays([c for col in cols for c in col.chunks])
+    chunks = [c for col in cols for c in col.chunks]
+    if not chunks:  # files exist but hold zero rows → zero chunks
+        return pa.array([], type=id_type)
+    return pa.concat_arrays(chunks)
 
 
 def _read_drop_ids(drop_dir: str):
@@ -671,9 +674,10 @@ def _read_drop_ids(drop_dir: str):
     if not files:
         return None
     cols = [pq.read_table(f, columns=["doc_id"])["doc_id"] for f in files]
-    return pa.concat_arrays(
-        [c for col in cols for c in col.chunks]
-    )
+    chunks = [c for col in cols for c in col.chunks]
+    if not chunks:  # files exist but hold zero rows → zero chunks
+        return None
+    return pa.concat_arrays(chunks)
 
 
 def _written_rows_tree(path: str) -> int:

@@ -629,10 +629,13 @@ class RecurrentTrainer:
                 mixed[k] += shard_params[k] * w
             n_sents += w
             loss += float(r["loss"]) * w
-        if n_sents:
-            for k in mixed:
-                mixed[k] /= n_sents
-            loss /= n_sents
+        if not n_sents:
+            # empty fold/split: an all-zeros "mixed" would silently
+            # replace (and wipe) the model — keep the previous params
+            return params, loss
+        for k in mixed:
+            mixed[k] /= n_sents
+        loss /= n_sents
         return mixed, loss
 
     def _evaluate(self, ds: rd.Dataset, params: dict) -> dict:
@@ -866,9 +869,13 @@ class MultiTaskRecurrentTrainer:
                     for k in mixed:
                         mixed[k] += sp[k] * w
                     n_sents += w
-                if n_sents:
-                    for k in mixed:
-                        mixed[k] /= n_sents
+                if not n_sents:
+                    # empty task train partition: keep the current
+                    # shared encoder + this task's head (an all-zeros
+                    # mix would wipe the SHARED weights for all tasks)
+                    continue
+                for k in mixed:
+                    mixed[k] /= n_sents
                 shared = {k: v for k, v in mixed.items()
                           if k not in self._HEAD_KEYS}
                 heads[ti] = {k: mixed[k] for k in self._HEAD_KEYS}

@@ -232,6 +232,25 @@ def test_crash_between_rerun_and_graph_invalidates_graph(tmp_path_factory):
     assert all(man.is_done("graph", g) for g in range(cfg.graph_groups))
 
 
+def test_keep_drop_readers_handle_zero_row_files(tmp_path):
+    """A kept/drop list parquet written with ZERO rows yields a
+    zero-chunk column; the readers must return an empty typed array /
+    None instead of crashing in pa.concat_arrays([])."""
+    import pyarrow as pa
+
+    from saber_ray.pipelines.run import _read_drop_ids, _read_keep_ids
+
+    # a ParquetWriter closed without writing emits a 0-row-group file
+    # (this pyarrow normalizes it to one empty chunk on read; older /
+    # other readers yield zero chunks, which the guard covers)
+    schema = pa.schema([("doc_id", pa.string())])
+    pq.ParquetWriter(str(tmp_path / "part-0.parquet"), schema).close()
+    kept = _read_keep_ids(str(tmp_path), pa.string())
+    assert len(kept) == 0 and kept.type == pa.string()
+    drop = _read_drop_ids(str(tmp_path))
+    assert drop is None or len(drop) == 0
+
+
 def test_graph_stage_resumes_at_group_granularity(tmp_path_factory):
     """A crash mid-graph (some key-hash groups reduced, some not) must
     resume by re-reducing ONLY the missing groups: completed groups'

@@ -370,3 +370,36 @@ def test_approx_quantiles_null_and_nan_handling():
         + [{"g": "c", "value": float("nan")}] * 5)
     t = grouped_approx_quantiles(g, [0.5], "value", "g")
     assert t["g"].to_pylist() == ["a"]  # b (null) and c (NaN) absent
+
+
+def test_approx_quantiles_oracle_nan_parity(tmp_path):
+    """The DuckDB oracle must share the engine's NaN discipline: a NaN
+    row in events changes neither side (DuckDB's min/max/count(value)
+    would otherwise INCLUDE NaN — NaN sorts above every double)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import __ray_entry__ as e
+    from saber_ray.stages.sampling import approx_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(50.0, 10.0, size=400).tolist() + [float("nan")] * 25
+    events = pa.table({
+        "event_type": pa.array(["x"] * len(vals)),
+        "value": pa.array(vals, type=pa.float64()),
+    })
+    f = tmp_path / "events.parquet"
+    pq.write_table(events, str(f))
+
+    got = approx_quantiles(
+        rd.from_arrow(events), [0.1, 0.5, 0.9, 0.99], "value"
+    ).to_pandas().sort_values("q").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{f}'")
+    want = con.execute(e.oracle_sql()["approx_quantiles"]).df()
+    want = want.sort_values("q").reset_index(drop=True)
+    assert list(got["q"]) == list(want["q"])
+    assert list(got["value"]) == list(want["value"])  # exact: same IEEE steps

@@ -243,7 +243,9 @@ def test_demo_annotated_staged_cache_keys_on_content(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from saber_ray.pipelines.demo import demo_annotated_staged
+    import os
+
+    from saber_ray.pipelines.demo import _STAGE_ROOT, demo_annotated_staged
 
     sf = tmp_path / "sf"
     os.makedirs(sf)
@@ -258,14 +260,14 @@ def test_demo_annotated_staged_cache_keys_on_content(tmp_path):
     n1 = first.count()
     # unchanged corpus: same staged parquet dir is read back
     import glob
-    dirs_before = set(glob.glob("/tmp/saber_ray_stage/*"))
+    dirs_before = set(glob.glob(os.path.join(_STAGE_ROOT, "*")))
     again = demo_annotated_staged(str(sf))
     assert again.count() == n1
-    assert set(glob.glob("/tmp/saber_ray_stage/*")) == dirs_before
+    assert set(glob.glob(os.path.join(_STAGE_ROOT, "*"))) == dirs_before
 
     # regenerated corpus (different content, same path): re-stages
     time.sleep(0.01)  # ensure a distinct mtime_ns
     write(["completely different filter text here"] * 9)
     fresh = demo_annotated_staged(str(sf))
     assert fresh.count() == 9
-    assert len(set(glob.glob("/tmp/saber_ray_stage/*"))) > len(dirs_before)
+    assert len(set(glob.glob(os.path.join(_STAGE_ROOT, "*")))) > len(dirs_before)

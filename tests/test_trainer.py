@@ -177,6 +177,23 @@ def test_recurrent_learns_context_linear_cannot(ctx_corpus):
     assert max(h["f1"] for h in lres["history"]) < 0.9
 
 
+def test_recurrent_empty_epoch_keeps_params(ctx_corpus):
+    """An epoch that trains zero sentences (empty fold/split) must keep
+    the previous params — an all-zeros mix silently wiping the model
+    (and, in the multi-task trainer, the SHARED encoder) was a bug."""
+    import numpy as np
+
+    from saber_ray.pipelines.train import RecurrentTrainer, _with_shard
+
+    train = rd.from_arrow(ctx_corpus.slice(0, 40))
+    rt = RecurrentTrainer(train, config=_small_rcfg(epochs=1))
+    params = rt._init_params()
+    empty = _with_shard(train.filter(lambda r: False), 2)
+    mixed, _ = rt._epoch_pass(empty, params)
+    assert mixed is params  # unchanged object, not a zero-filled copy
+    assert any(np.abs(v).sum() > 0 for v in params.values())
+
+
 def test_recurrent_bundle_serves_context_pattern(ctx_corpus, tmp_path):
     from saber_ray.pipelines.train import RecurrentTrainer
     from saber_ray.stages.neural import NeuralTagger
