@@ -680,6 +680,64 @@ def _q_dedup_components(sf_dir: str):
     return connected_components(verified).rename_columns({"node": "doc_id"})
 
 
+def _inject_pii_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic PII fixture injection (the corpus contains none):
+    per doc_id, 0-2 emails, 0-1 IPv4, 0-1 SSN appended to the text.
+    The oracle SQL builds the SAME string with ``repeat``/``CASE`` so
+    both sides redact identical inputs. Fixture construction only — the
+    operator itself (pii_redact_batch) is fully vectorized."""
+    texts = batch["text"].to_pylist()
+    ids = batch["doc_id"].to_pylist()
+    out = []
+    for i, t in zip(ids, texts):
+        if t is None:
+            out.append(None)
+            continue
+        s = (f"{t} " + f"user{i}@mail.example.com " * (i % 3)
+             + (f"10.{i % 256}.0.{i % 100} " if i % 2 == 1 else "")
+             + ("123-45-6789" if i % 5 == 0 else ""))
+        out.append(s)
+    return batch.set_column(
+        batch.schema.get_field_index("text"), "text",
+        pa.array(out, type=pa.string()),
+    )
+
+
+def _q_pii_redact(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.quality import pii_redact_batch
+
+    ds = read_documents_flat(sf_dir)
+    cols = ["doc_id", "n_emails", "n_ips", "n_ssns", "redacted"]
+    return ds.map_batches(
+        lambda b: pii_redact_batch(_inject_pii_batch(b)).select(cols),
+        batch_format="pyarrow",
+    )
+
+
+def _q_doc_logprob(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.quality import unigram_logprob
+
+    ds = read_documents_flat(sf_dir)
+    return unigram_logprob(ds).select_columns(["doc_id", "n_tokens", "logprob"])
+
+
+def _q_chunk_dedup(sf_dir: str):
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.quality import chunk_dedup
+
+    return chunk_dedup(read_documents_flat(sf_dir))
+
+
+def _q_cluster_assign(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.similarity import cluster_assign, fixed_centroids
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cluster_assign(ds, fixed_centroids(k=8, dim=64, seed=7))
+
+
 def _q_chunk_spans(sf_dir: str):
     from saber_ray.pipelines.demo import demo_chunk_spans
 
@@ -1107,6 +1165,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_exact": _q_dedup_exact,
         "dedup_components": _q_dedup_components,
+        # -- new in round 4 (never driver-recorded)
+        "pii_redact": _q_pii_redact,
+        "doc_logprob": _q_doc_logprob,
+        "chunk_dedup": _q_chunk_dedup,
+        "cluster_assign": _q_cluster_assign,
         # -- cheap single-pass text/statistics queries (stable since r01)
         "sterilize": _q_sterilize,
         "token_count": _q_token_count,
@@ -1327,11 +1390,24 @@ def _pagerank_ctes(iterations: int = 5, damping: float = 0.85) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from saber_ray.stages.quality import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        SSN_PATTERN,
+    )
+    from saber_ray.stages.similarity import fixed_centroids
     from saber_ray.stages.textstats import EN_STOPWORDS
 
     stop_list = ", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))
     gaz, ns, pred = _gaz_cte(), _ns_cte(), _pred_case()
     triples_cte = _TRIPLES_CTE.format(gaz=gaz, ns=ns, pred=pred)
+    # cluster_assign oracle: the centroid matrix is deterministic and
+    # data-independent (fixed_centroids) so its literal values embed here
+    cent = fixed_centroids(k=8, dim=64, seed=7)
+    cent_values = ",\n                ".join(
+        f"({cid}, [{', '.join(repr(float(v)) for v in row)}]::DOUBLE[])"
+        for cid, row in enumerate(cent)
+    )
 
     sql = {
         "sterilize": """
@@ -1424,6 +1500,91 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS doc_id
             FROM documents
             GROUP BY 1
+        """,
+        "pii_redact": f"""
+            WITH injected AS (
+                SELECT doc_id,
+                       text || ' '
+                       || repeat('user' || doc_id || '@mail.example.com ',
+                                 (doc_id % 3)::INT)
+                       || CASE WHEN doc_id % 2 = 1
+                               THEN '10.' || (doc_id % 256) || '.0.'
+                                    || (doc_id % 100) || ' '
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN '123-45-6789' ELSE '' END AS text
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+                       regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g') AS text
+                FROM injected
+            ),
+            s2 AS (
+                SELECT doc_id, n_emails,
+                       CAST(len(regexp_extract_all(text, '{IPV4_PATTERN}')) AS BIGINT) AS n_ips,
+                       regexp_replace(text, '{IPV4_PATTERN}', '<IP>', 'g') AS text
+                FROM s1
+            )
+            SELECT doc_id, n_emails, n_ips,
+                   CAST(len(regexp_extract_all(text, '{SSN_PATTERN}')) AS BIGINT) AS n_ssns,
+                   regexp_replace(text, '{SSN_PATTERN}', '<SSN>', 'g') AS redacted
+            FROM s2
+        """,
+        "doc_logprob": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+            ),
+            freq AS (SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY 1),
+            tot AS (SELECT sum(c) AS t FROM freq),
+            per AS (
+                SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                       avg(log2(c / t)) AS logprob
+                FROM toks JOIN freq USING (tok) CROSS JOIN tot
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+                   per.logprob
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "chunk_dedup": f"""
+            WITH toks AS (
+                SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+            ),
+            chunks AS (
+                SELECT doc_id, ((i - 1) // 10)::BIGINT AS chunk_idx,
+                       md5(array_to_string(toks[i:i+9], ' ')) AS chunk_hash
+                FROM toks, unnest(generate_series(1, len(toks), 10)) AS u(i)
+            ),
+            ranked AS (
+                SELECT chunk_hash, doc_id, chunk_idx,
+                       row_number() OVER (PARTITION BY chunk_hash
+                                          ORDER BY doc_id, chunk_idx) AS rn,
+                       count(*) OVER (PARTITION BY chunk_hash) AS n_dups
+                FROM chunks
+            )
+            SELECT chunk_hash, doc_id AS first_doc_id,
+                   chunk_idx AS first_idx, n_dups::BIGINT AS n_dups
+            FROM ranked WHERE rn = 1
+        """,
+        "cluster_assign": f"""
+            WITH cent(cid, c) AS (VALUES
+                {cent_values}
+            ),
+            sims AS (
+                SELECT vec_id, cid,
+                       list_cosine_similarity(embedding::DOUBLE[], c) AS cos
+                FROM embeddings, cent
+            ),
+            ranked AS (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, cid ASC) AS rn
+                FROM sims
+            )
+            SELECT vec_id, cid::BIGINT AS cluster FROM ranked WHERE rn = 1
         """,
         "lang_id": f"""
             WITH s AS (

@@ -1,0 +1,237 @@
+"""Training-data quality / safety operators: PII detection + redaction,
+unigram-LM document scoring, and chunk-level (sub-document) exact dedup.
+
+These extend the corpus-hygiene family (``stages/dedup.py``,
+``stages/textstats.py``, ``stages/decontam.py``) with three operators a
+production LLM-data pipeline runs before packing:
+
+* **PII redaction** — emails / IPv4s / SSN-shaped ids are counted and
+  replaced in one vectorized RE2 pass per pattern (Arrow
+  ``count_substring_regex`` / ``replace_substring_regex``; both Arrow and
+  DuckDB use RE2, so the oracle reproduces matches exactly);
+* **unigram-LM scoring** — a corpus-level unigram language model (one
+  ``token_frequency`` shuffle, result broadcast once via ``ray.put``)
+  scores every document by mean log2 token probability: the classic
+  cheap quality / outlier signal (degenerate and boilerplate docs score
+  far from the corpus mode);
+* **chunk-level exact dedup** — documents are split into fixed-size
+  token chunks and duplicate CHUNKS are found corpus-wide (the
+  sub-document analogue of ``dedup_exact``: catches boilerplate
+  paragraphs repeated across otherwise-distinct documents). One keyed
+  shuffle; the survivor (lexicographically-first (doc_id, chunk_idx))
+  is computed with NATIVE Min/Sum aggregates over a zero-padded sort key
+  — no per-group Python.
+
+Scale notes: every map is per-batch (no per-row Python in the Arrow
+kernels; tokenization is the same compiled-regex-per-row pattern as
+``token_frequency_partial``); the LM table is a compressed aggregate
+(distinct tokens, not occurrences) and ships to actors once; chunk dedup
+pre-aggregates per batch before its single shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from .textstats import TOKEN_PATTERN, token_frequency
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+# RE2-compatible on BOTH sides (Arrow kernels and DuckDB regexp_*):
+# no lookaround, no backreferences.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+SSN_PATTERN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+#: (pattern, replacement, count-column) — applied IN ORDER, each pattern
+#: counted on the text as left by the previous redaction (emails are
+#: redacted before the IP scan so a dotted-quad inside an email domain,
+#: e.g. ``user@1.2.3.4.example.com``, is one email, not an email plus
+#: an IP). The oracle applies the same chain.
+PII_RULES = [
+    (EMAIL_PATTERN, "<EMAIL>", "n_emails"),
+    (IPV4_PATTERN, "<IP>", "n_ips"),
+    (SSN_PATTERN, "<SSN>", "n_ssns"),
+]
+
+
+def pii_redact_batch(batch: pa.Table, column: str = "text",
+                     out: str = "redacted") -> pa.Table:
+    """Append per-pattern PII counts and a fully-redacted text column.
+
+    Pure vectorized Arrow: one ``count_substring_regex`` + one
+    ``replace_substring_regex`` per rule — no Python row loop. Null
+    texts yield null counts/redaction (callers treat null as "no text",
+    same as every other kernel here).
+    """
+    cur = batch[column]
+    for pattern, repl, count_col in PII_RULES:
+        n = pc.cast(pc.count_substring_regex(cur, pattern), pa.int64())
+        batch = batch.append_column(count_col, n)
+        cur = pc.replace_substring_regex(cur, pattern, repl)
+    return batch.append_column(out, cur)
+
+
+# ---------------------------------------------------------- unigram LM ---
+
+
+def unigram_model(ds: rd.Dataset, column: str = "text"):
+    """Train the corpus unigram LM: ONE partial-aggregated shuffle
+    (``token_frequency``), result pulled as a compressed aggregate
+    (one row per DISTINCT token — vocab-sized, not corpus-sized) and
+    returned as (sorted token array, counts, total) ready for
+    ``ray.put`` broadcast."""
+    rows = token_frequency(ds, column).take_all()
+    toks = np.array(sorted(r["token"] for r in rows), dtype=object)
+    by_tok = {r["token"]: r["n"] for r in rows}
+    counts = np.array([by_tok[t] for t in toks], dtype=np.float64)
+    return toks, counts, float(counts.sum())
+
+
+class UnigramScorer:
+    """Actor-pool stage: append ``n_tokens`` + ``logprob`` (mean log2
+    unigram probability per token) to each document.
+
+    The model (sorted vocab + counts) is fetched from the object store
+    ONCE per actor in ``__init__``; per batch, every token in the batch
+    is resolved with ONE vectorized ``searchsorted`` and per-document
+    means are one ``reduceat`` segment sum. Tokens outside the model
+    vocabulary (scoring a corpus the LM wasn't trained on) back off to
+    an add-one floor of ``1 / (total + 1)``."""
+
+    def __init__(self, model_ref, column: str = "text"):
+        toks, counts, total = ray.get(model_ref)
+        self._toks = toks
+        self._logp = np.log2(counts / total)
+        self._floor = float(np.log2(1.0 / (total + 1.0)))
+        self._column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_tokens = [
+            _TOKEN_RE.findall(t.lower()) if t else []
+            for t in batch[self._column].to_pylist()
+        ]
+        lengths = np.array([len(t) for t in doc_tokens], dtype=np.int64)
+        flat = np.array([t for ts in doc_tokens for t in ts], dtype=object)
+        if len(flat):
+            idx = np.searchsorted(self._toks, flat)
+            idx_c = np.clip(idx, 0, len(self._toks) - 1)
+            hit = self._toks[idx_c] == flat
+            lps = np.where(hit, self._logp[idx_c], self._floor)
+        else:
+            lps = np.empty(0, dtype=np.float64)
+        offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        valid = lengths > 0
+        sums = np.zeros(len(lengths), dtype=np.float64)
+        if valid.any():
+            sums[valid] = np.add.reduceat(lps, offsets[valid])
+        means = np.divide(sums, lengths, out=np.zeros_like(sums),
+                          where=valid)
+        out = batch.append_column("n_tokens", pa.array(lengths, type=pa.int64()))
+        # 0-token docs get NULL (SQL's avg over an empty group), not 0.0
+        return out.append_column(
+            "logprob", pa.array(means, type=pa.float64(), mask=~valid)
+        )
+
+
+def unigram_logprob(ds: rd.Dataset, column: str = "text",
+                    concurrency: int | None = None) -> rd.Dataset:
+    """Score every document with the corpus's own unigram LM.
+
+    Two passes over the corpus (train shuffle + score map) — the model
+    is broadcast once via ``ray.put``, never re-shipped per batch."""
+    from ..functions.partitioning import pinned_pool
+
+    model_ref = ray.put(unigram_model(ds, column))
+    return ds.map_batches(
+        UnigramScorer,
+        fn_constructor_kwargs={"model_ref": model_ref, "column": column},
+        batch_format="pyarrow",
+        concurrency=concurrency or pinned_pool(8),
+    )
+
+
+# --------------------------------------------------------- chunk dedup ---
+
+
+def chunk_partial(batch: pa.Table, id_column: str = "doc_id",
+                  column: str = "text", chunk_tokens: int = 10) -> pa.Table:
+    """Per-batch partial for chunk-level dedup: one row per DISTINCT
+    chunk fingerprint in the batch, carrying the batch-local
+    lexicographically-first (doc_id, chunk_idx) as a zero-padded sort
+    key plus the batch-local occurrence count.
+
+    Chunks are non-overlapping ``chunk_tokens``-token windows of the
+    lowercased token stream (trailing partial window kept) — the C4 /
+    RefinedWeb-style sub-document unit. Fingerprints are md5 of the
+    space-joined chunk so a DuckDB oracle reproduces them.
+
+    The sort key zero-pads doc_id and chunk_idx to fixed width, so
+    STRING min == lexicographic (doc_id, idx) min. Requires
+    non-negative integer doc ids (asserted)."""
+    first: dict[str, str] = {}
+    counts: dict[str, int] = {}
+    for doc_id, text in zip(batch[id_column].to_pylist(),
+                            batch[column].to_pylist()):
+        if doc_id is None:
+            continue
+        assert int(doc_id) >= 0, "chunk_dedup requires non-negative doc ids"
+        toks = _TOKEN_RE.findall(text.lower()) if text else []
+        for ci, start in enumerate(range(0, len(toks), chunk_tokens)):
+            chunk = " ".join(toks[start:start + chunk_tokens])
+            h = hashlib.md5(chunk.encode("utf-8")).hexdigest()
+            key = f"{int(doc_id):020d}|{ci:010d}"
+            prev = first.get(h)
+            if prev is None or key < prev:
+                first[h] = key
+            counts[h] = counts.get(h, 0) + 1
+    hashes = sorted(first)
+    return pa.table({
+        "chunk_hash": pa.array(hashes, type=pa.string()),
+        "first_key": pa.array([first[h] for h in hashes], type=pa.string()),
+        "n": pa.array([counts[h] for h in hashes], type=pa.int64()),
+    })
+
+
+def chunk_dedup(ds: rd.Dataset, id_column: str = "doc_id",
+                column: str = "text", chunk_tokens: int = 10) -> rd.Dataset:
+    """Corpus-wide duplicate-chunk table: (chunk_hash, first_doc_id,
+    first_idx, n_dups), survivor = lexicographically-first
+    (doc_id, chunk_idx) occurrence.
+
+    Shape: per-batch partials (one row per distinct chunk per batch)
+    → ONE ``groupby(chunk_hash)`` with NATIVE ``Min``/``Sum`` aggregates
+    (the packed sort key makes min-by-pair a plain string min) → tiny
+    decode map. No per-group Python; hot chunks (corpus-wide
+    boilerplate) ship one row per batch, not one per occurrence."""
+    from ray.data.aggregate import Min, Sum
+
+    partials = ds.map_batches(
+        lambda b: chunk_partial(b, id_column, column, chunk_tokens),
+        batch_format="pyarrow",
+    )
+    agg = partials.groupby("chunk_hash").aggregate(
+        Min("first_key", alias_name="first_key"),
+        Sum("n", alias_name="n_dups"),
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        keys = batch["first_key"]
+        doc = pc.cast(pc.utf8_slice_codeunits(keys, 0, 20), pa.int64())
+        idx = pc.cast(pc.utf8_slice_codeunits(keys, 21, 31), pa.int64())
+        return pa.table({
+            "chunk_hash": batch["chunk_hash"],
+            "first_doc_id": doc,
+            "first_idx": idx,
+            "n_dups": pc.cast(batch["n_dups"], pa.int64()),
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow")

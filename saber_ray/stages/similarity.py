@@ -336,6 +336,46 @@ def ivf_assign_batch(batch: pa.Table, centroids: np.ndarray,
     return batch.append_column("centroid", pa.array(assign))
 
 
+def fixed_centroids(k: int = 8, dim: int = 64, seed: int = 7) -> np.ndarray:
+    """Deterministic data-independent unit centroids (seeded Gaussian).
+
+    Used by ``cluster_assign`` when the caller wants a reproducible
+    bucketing whose centroid matrix can be re-derived anywhere (e.g. a
+    SQL oracle embedding the literals) — for data-trained centroids use
+    ``train_ivf_centroids``."""
+    rng = np.random.RandomState(seed)
+    return _normalize(rng.standard_normal((k, dim)))
+
+
+def cluster_assign(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> rd.Dataset:
+    """Nearest-centroid cluster assignment over an embedding column:
+    (id, cluster) with cluster = argmax cosine(embedding, centroid),
+    ties to the lowest centroid id.
+
+    The semantic building block under IVF partitioning, embedding-space
+    mixture balancing, and cluster-stratified sampling. Scale shape: the
+    centroid matrix is broadcast once via ``ray.put`` and fetched per
+    TASK (zero-copy plasma read), each batch is one float64 matmul +
+    argmax — no shuffle at all."""
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        mat = _normalize(_stack(batch[vector_column]))
+        cluster = (mat @ cent.T).argmax(axis=1).astype(np.int64)
+        return pa.table({
+            id_column: batch[id_column],
+            "cluster": pa.array(cluster, type=pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def knn_topk_ivf(
     ds: rd.Dataset,
     queries: np.ndarray,

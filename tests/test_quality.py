@@ -1,0 +1,123 @@
+"""Quality/safety operator tests: PII redaction counts + replacement,
+unigram-LM doc scoring against hand-computed probabilities, chunk-level
+exact dedup survivors, and nearest-centroid cluster assignment vs a
+brute-force numpy argmax."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from saber_ray.stages.quality import (
+    chunk_dedup,
+    pii_redact_batch,
+    unigram_logprob,
+)
+from saber_ray.stages.similarity import cluster_assign, fixed_centroids
+
+
+def test_pii_redact_counts_and_text():
+    batch = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "contact alice@example.com or bob@sub.example.org now",
+            "server at 192.168.1.1 and ssn 123-45-6789",
+            "clean text with no pii at all",
+            None,
+        ],
+    })
+    out = pii_redact_batch(batch)
+    assert out["n_emails"].to_pylist() == [2, 0, 0, None]
+    assert out["n_ips"].to_pylist() == [0, 1, 0, None]
+    assert out["n_ssns"].to_pylist() == [0, 1, 0, None]
+    red = out["redacted"].to_pylist()
+    assert red[0] == "contact <EMAIL> or <EMAIL> now"
+    assert red[1] == "server at <IP> and ssn <SSN>"
+    assert red[2] == "clean text with no pii at all"
+    assert red[3] is None
+
+
+def test_pii_redact_email_before_ip():
+    # emails redact first: a dotted-quad inside an email's domain is
+    # consumed by the email rule, not double-counted as an IP
+    batch = pa.table({"text": ["mail user@1.2.3.4.example.com end"]})
+    out = pii_redact_batch(batch)
+    assert out["n_emails"].to_pylist() == [1]
+    assert out["n_ips"].to_pylist() == [0]
+    assert out["redacted"].to_pylist() == ["mail <EMAIL> end"]
+    # bare dotted-quad "domain" has no alphabetic TLD → counted as an IP
+    out2 = pii_redact_batch(pa.table({"text": ["mail user@10.0.0.1 end"]}))
+    assert out2["n_emails"].to_pylist() == [0]
+    assert out2["n_ips"].to_pylist() == [1]
+
+
+def test_unigram_logprob_hand_computed():
+    # corpus: "a a b" + "a c" → counts a=3 b=1 c=1, total=5
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["a a b", "a c", ""],
+    }))
+    rows = {r["doc_id"]: r for r in unigram_logprob(ds).take_all()}
+    pa_, pb, c = 3 / 5, 1 / 5, 1 / 5
+    exp0 = (2 * math.log2(pa_) + math.log2(pb)) / 3
+    exp1 = (math.log2(pa_) + math.log2(c)) / 2
+    assert rows[0]["n_tokens"] == 3
+    assert abs(rows[0]["logprob"] - exp0) < 1e-12
+    assert abs(rows[1]["logprob"] - exp1) < 1e-12
+    # empty doc: zero tokens, NULL logprob (SQL avg-over-empty semantics)
+    assert rows[2]["n_tokens"] == 0
+    assert rows[2]["logprob"] is None
+
+
+def test_chunk_dedup_survivor_and_counts():
+    # 10-token chunks; doc 0 and doc 2 share their first chunk exactly,
+    # doc 1 is distinct; doc 2's second chunk repeats doc 0's first.
+    shared = " ".join(f"w{i}" for i in range(10))
+    other = " ".join(f"x{i}" for i in range(10))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": [shared, other, shared + " " + shared],
+    }))
+    out = {r["chunk_hash"]: r for r in chunk_dedup(ds).take_all()}
+    assert len(out) == 2  # two distinct chunk fingerprints
+    dups = {(r["first_doc_id"], r["first_idx"]): r["n_dups"]
+            for r in out.values()}
+    # shared chunk appears 3× (doc0 idx0, doc2 idx0, doc2 idx1);
+    # survivor is the lexicographically-first (doc_id, chunk_idx)
+    assert dups == {(0, 0): 3, (1, 0): 1}
+
+
+def test_chunk_dedup_many_partitions():
+    # same answers regardless of block layout (partial-agg correctness)
+    texts = [" ".join(f"t{i % 4}_{j}" for j in range(25)) for i in range(40)]
+    tbl = pa.table({"doc_id": list(range(40)), "text": texts})
+    a = {(r["chunk_hash"], r["first_doc_id"], r["first_idx"], r["n_dups"])
+         for r in chunk_dedup(rd.from_arrow(tbl)).take_all()}
+    b = {(r["chunk_hash"], r["first_doc_id"], r["first_idx"], r["n_dups"])
+         for r in chunk_dedup(
+             rd.from_arrow(tbl).repartition(13)).take_all()}
+    assert a == b and len(a) > 0
+
+
+def test_cluster_assign_matches_bruteforce():
+    rng = np.random.RandomState(3)
+    k, dim, n = 8, 64, 200
+    cent = fixed_centroids(k=k, dim=dim, seed=7)
+    vecs = rng.standard_normal((n, dim))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(n)),
+        "embedding": [v.tolist() for v in vecs],
+    }))
+    got = {r["vec_id"]: r["cluster"]
+           for r in cluster_assign(ds, cent).take_all()}
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    expect = (normed @ cent.T).argmax(axis=1)
+    assert got == {i: int(expect[i]) for i in range(n)}
+
+
+def test_fixed_centroids_deterministic_unit():
+    a = fixed_centroids(k=4, dim=16, seed=7)
+    b = fixed_centroids(k=4, dim=16, seed=7)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
