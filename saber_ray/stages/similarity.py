@@ -376,6 +376,84 @@ def cluster_assign(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def kmeans_fit(
+    ds: rd.Dataset,
+    init_centroids: np.ndarray,
+    iters: int = 5,
+    vector_column: str = "embedding",
+    fold_partitions: int = 8,
+) -> np.ndarray:
+    """Distributed full-corpus Lloyd iterations (spherical k-means).
+
+    The scale path next to the sample-based ``train_ivf_centroids``:
+    each iteration is ONE streaming pass over the corpus. Per batch, a
+    single matmul + argmax assigns rows and a one-hot matmul produces
+    the per-cluster (sum-vector, count) partial — one fixed-size
+    (k × dim) row per BATCH leaves each task, so the exchange is
+    O(k × dim × num_batches) regardless of corpus size. Partials fold
+    pairwise through ``fold_partitions`` coalesced blocks (the
+    ``build_bloom`` / ``approx_quantiles`` fold shape) and the driver
+    sums ≤ ``fold_partitions`` survivors. Vectors are L2-normalized
+    before assignment and the new centroid is the re-normalized mean of
+    its members' normalized vectors; an empty cluster keeps its previous
+    centroid. The centroid matrix is broadcast once per iteration via
+    ``ray.put``, never re-shipped per batch.
+
+    The canonical corpus-curation clusterer (SemDeDup-style semantic
+    bucketing, cluster-balanced mixtures) and the full-data refinement
+    step for IVF index centroids."""
+    cent = _normalize(np.asarray(init_centroids, dtype=np.float64))
+    k, dim = cent.shape
+    vectors = ds.select_columns([vector_column])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        s = np.zeros((k, dim), dtype=np.float64)
+        n = np.zeros(k, dtype=np.int64)
+        for sb, nb in zip(batch["s"].to_pylist(), batch["n"].to_pylist()):
+            s += np.frombuffer(sb, dtype=np.float64).reshape(k, dim)
+            n += np.frombuffer(nb, dtype=np.int64)
+        return pa.table({
+            "s": pa.array([s.tobytes()], type=pa.large_binary()),
+            "n": pa.array([n.tobytes()], type=pa.large_binary()),
+        })
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(batch: pa.Table, _ref=cent_ref) -> pa.Table:
+            c = ray.get(_ref)
+            mat = _normalize(_stack(batch[vector_column]))
+            if len(mat):
+                assign = (mat @ c.T).argmax(axis=1)
+                onehot = (assign[:, None] == np.arange(k)[None, :])
+                s = onehot.T.astype(np.float64) @ mat
+                n = np.bincount(assign, minlength=k).astype(np.int64)
+            else:
+                s = np.zeros((k, dim), dtype=np.float64)
+                n = np.zeros(k, dtype=np.int64)
+            return pa.table({
+                "s": pa.array([s.tobytes()], type=pa.large_binary()),
+                "n": pa.array([n.tobytes()], type=pa.large_binary()),
+            })
+
+        folded = (
+            vectors
+            .map_batches(partial, batch_format="pyarrow")
+            .repartition(fold_partitions)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None)
+        )
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for row in folded.take_all():
+            sums += np.frombuffer(row["s"], dtype=np.float64).reshape(k, dim)
+            counts += np.frombuffer(row["n"], dtype=np.int64)
+        new = cent.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        cent = _normalize(new)
+    return cent
+
+
 def knn_topk_ivf(
     ds: rd.Dataset,
     queries: np.ndarray,

@@ -14,7 +14,11 @@ from saber_ray.stages.quality import (
     pii_redact_batch,
     unigram_logprob,
 )
-from saber_ray.stages.similarity import cluster_assign, fixed_centroids
+from saber_ray.stages.similarity import (
+    cluster_assign,
+    fixed_centroids,
+    kmeans_fit,
+)
 
 
 def test_pii_redact_counts_and_text():
@@ -121,3 +125,67 @@ def test_fixed_centroids_deterministic_unit():
     b = fixed_centroids(k=4, dim=16, seed=7)
     assert np.array_equal(a, b)
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def _lloyd_local(vecs: np.ndarray, cent: np.ndarray, iters: int) -> np.ndarray:
+    """Single-process spherical Lloyd reference for kmeans_fit parity."""
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    c = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    for _ in range(iters):
+        assign = (v @ c.T).argmax(axis=1)
+        new = c.copy()
+        for j in range(c.shape[0]):
+            members = v[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                new[j] = m / np.linalg.norm(m)
+        c = new
+    return c
+
+
+def test_kmeans_fit_matches_local_lloyd():
+    rng = np.random.RandomState(11)
+    k, dim, n = 6, 16, 300
+    init = fixed_centroids(k=k, dim=dim, seed=7)
+    vecs = rng.standard_normal((n, dim))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(n)),
+        "embedding": [v.tolist() for v in vecs],
+    }))
+    got = kmeans_fit(ds, init, iters=3)
+    expect = _lloyd_local(vecs, init, iters=3)
+    assert np.allclose(got, expect, atol=1e-9)
+    assert np.allclose(np.linalg.norm(got, axis=1), 1.0)
+
+
+def test_kmeans_fit_partition_invariant():
+    rng = np.random.RandomState(12)
+    k, dim, n = 4, 8, 120
+    init = fixed_centroids(k=k, dim=dim, seed=3)
+    vecs = rng.standard_normal((n, dim))
+    tbl = pa.table({"embedding": [v.tolist() for v in vecs]})
+    one = kmeans_fit(rd.from_arrow(tbl), init, iters=2)
+    many = kmeans_fit(rd.from_arrow(tbl).repartition(13), init, iters=2)
+    assert np.allclose(one, many, atol=1e-9)
+
+
+def test_kmeans_fit_empty_cluster_keeps_centroid():
+    # two tight groups near +e0 / -e0; centroids near e1/-e1 never win a
+    # row after iteration 1 if any, so any empty cluster must keep its
+    # previous (normalized) centroid rather than collapse to zero/NaN.
+    vecs = np.vstack([
+        np.tile([1.0, 0.01, 0, 0], (10, 1)),
+        np.tile([-1.0, -0.01, 0, 0], (10, 1)),
+    ])
+    init = np.array([
+        [1.0, 0, 0, 0],
+        [-1.0, 0, 0, 0],
+        [0, 1.0, 0, 0],   # never nearest for any row
+        [0, 0, 1.0, 0],   # never nearest for any row
+    ])
+    ds = rd.from_arrow(pa.table({"embedding": [v.tolist() for v in vecs]}))
+    got = kmeans_fit(ds, init, iters=2)
+    assert np.allclose(got, _lloyd_local(vecs, init, iters=2), atol=1e-12)
+    assert not np.isnan(got).any()
+    assert np.allclose(got[2], [0, 1.0, 0, 0])
+    assert np.allclose(got[3], [0, 0, 1.0, 0])
