@@ -488,6 +488,7 @@ def ivf_write_index(
     num_centroids: int = 16,
     seed: int = 42,
     vector_column: str = "embedding",
+    refine_iters: int = 0,
 ) -> np.ndarray:
     """Build and PERSIST an IVF index: the corpus is written as parquet
     partitioned by nearest-centroid id (one directory per inverted
@@ -498,12 +499,23 @@ def ivf_write_index(
     bytes regardless of corpus size. Building is one streaming pass
     (assign column + partitioned write); the index is resumable input
     for any number of later query batches.
+
+    ``refine_iters > 0`` follows the bounded-sample training with that
+    many full-corpus ``kmeans_fit`` Lloyd passes — each is one streaming
+    scan with a fixed-size per-batch partial, so refinement cost is
+    linear in corpus bytes and independent of driver memory. Use it when
+    the sample under-represents the corpus (heavy skew, many small
+    modes) and list-size balance matters more than build time.
     """
     import os
 
     centroids = train_ivf_centroids(
         ds, num_centroids, seed=seed, vector_column=vector_column
     )
+    if refine_iters > 0:
+        centroids = kmeans_fit(
+            ds, centroids, iters=refine_iters, vector_column=vector_column
+        )
     assigned = ds.map_batches(
         lambda b: ivf_assign_batch(b, centroids, vector_column),
         batch_format="pyarrow",

@@ -502,3 +502,39 @@ def test_simhash_batch_null_and_values():
 
     assert out[0] == scalar("the cat sat on the mat")
     assert out[2] == scalar("Cat CAT cat!")
+
+
+def test_ivf_write_index_refined_centroids(tmp_path):
+    """refine_iters runs full-corpus Lloyd passes after sample training:
+    stored centroids == train_ivf_centroids + kmeans_fit, the refined
+    index still answers exactly at nprobe=all, and list dirs exist."""
+    import os
+
+    import numpy as np
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.similarity import (
+        ivf_query_index, ivf_write_index, kmeans_fit, knn_topk,
+        train_ivf_centroids)
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    qrows = sorted(ds.filter(expr="vec_id < 3").take_all(),
+                   key=lambda r: r["vec_id"])
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [r["vec_id"] for r in qrows]
+
+    idx = str(tmp_path / "ivf_refined")
+    got = ivf_write_index(ds, idx, num_centroids=8, seed=42, refine_iters=2)
+    expect = kmeans_fit(
+        ds, train_ivf_centroids(ds, 8, seed=42), iters=2)
+    assert np.allclose(got, expect, atol=1e-12)
+    assert np.allclose(
+        got, np.load(os.path.join(idx, "centroids.npy")), atol=0)
+
+    stored = ivf_query_index(idx, queries, qids, k=5, nprobe=8,
+                             centroids=got)
+    exact = knn_topk(ds, queries, qids, k=5)
+    key = lambda rows: sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                              for r in rows)
+    assert key(stored.take_all()) == key(exact.take_all())
