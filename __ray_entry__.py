@@ -738,6 +738,28 @@ def _q_cluster_assign(sf_dir: str):
     return cluster_assign(ds, fixed_centroids(k=8, dim=64, seed=7))
 
 
+def _q_semantic_dedup(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.similarity import (
+        fixed_centroids, semantic_dedup_pairs)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # threshold 0.4: at sf0.01 the corpus holds 15 same-cluster pairs
+    # (0.5 leaves only one global pair and it is cross-cluster — a
+    # 0-row comparison would verify nothing)
+    pairs = semantic_dedup_pairs(
+        ds, fixed_centroids(k=8, dim=64, seed=7), threshold=0.4)
+    # near-dup pairs are tiny by definition; collect into a TYPED table so
+    # an all-empty result still carries its schema
+    rows = pairs.take_all()
+    return pa.table(
+        {
+            "id_a": pa.array([r["id_a"] for r in rows], type=pa.int64()),
+            "id_b": pa.array([r["id_b"] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def _q_chunk_spans(sf_dir: str):
     from saber_ray.pipelines.demo import demo_chunk_spans
 
@@ -1170,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_logprob": _q_doc_logprob,
         "chunk_dedup": _q_chunk_dedup,
         "cluster_assign": _q_cluster_assign,
+        "semantic_dedup": _q_semantic_dedup,
         # -- cheap single-pass text/statistics queries (stable since r01)
         "sterilize": _q_sterilize,
         "token_count": _q_token_count,
@@ -1585,6 +1608,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims
             )
             SELECT vec_id, cid::BIGINT AS cluster FROM ranked WHERE rn = 1
+        """,
+        # same centroid literals as cluster_assign: pairs only WITHIN a
+        # cluster (the SemDeDup scoping), exact cosine at the threshold
+        "semantic_dedup": f"""
+            WITH cent(cid, c) AS (VALUES
+                {cent_values}
+            ),
+            sims AS (
+                SELECT vec_id, cid, embedding,
+                       list_cosine_similarity(embedding::DOUBLE[], c) AS cos
+                FROM embeddings, cent
+            ),
+            assigned AS (
+                SELECT vec_id, cid, embedding,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, cid ASC) AS rn
+                FROM sims
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM assigned a, assigned b
+            WHERE a.rn = 1 AND b.rn = 1 AND a.cid = b.cid
+              AND a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
         """,
         "lang_id": f"""
             WITH s AS (

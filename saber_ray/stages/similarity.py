@@ -454,6 +454,82 @@ def kmeans_fit(
     return cent
 
 
+def semantic_dedup_pairs(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    threshold: float = 0.9,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    max_cluster: int = 32768,
+    block: int = 512,
+) -> rd.Dataset:
+    """Cluster-scoped embedding near-duplicate pairs (the SemDeDup
+    shape, Abbas et al. 2023): assign every vector to its nearest
+    centroid, then compare pairs ONLY within a cluster — (id_a, id_b)
+    with cosine >= threshold, same cluster, id_a < id_b.
+
+    Scale shape: the centroid matrix is ``ray.put`` once and each batch
+    is one matmul+argmax (no driver pass); ONE shuffle keyed on the
+    cluster id moves each vector exactly once; within a cluster the
+    all-pairs scores run blockwise (``block`` rows x cluster matmuls,
+    bounded memory) and only hit pairs leave the task. Cross-cluster
+    near-dups are invisible by design — that is the SemDeDup recall
+    trade that makes all-pairs affordable; size k so clusters stay
+    under ``max_cluster`` (a larger cluster raises loudly rather than
+    quietly materializing an n^2 score matrix).
+
+    Contrast with ``embedding_dup_pairs``: sign-LSH banding is the
+    recall-tunable generic path; cluster scoping is the curation path
+    whose buckets are SEMANTIC, so its pair set is exactly "duplicates
+    within a semantic neighborhood" — the set SemDeDup prunes."""
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    cent_ref = ray.put(cent)
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _normalize(_stack(batch[vector_column]))
+        cluster = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table({
+            id_column: batch[id_column],
+            vector_column: batch[vector_column],
+            "cluster": pa.array(cluster, type=pa.int64()),
+        })
+
+    def pairs_in_cluster(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n > max_cluster:
+            raise ValueError(
+                f"semantic_dedup_pairs: cluster of {n} rows exceeds "
+                f"max_cluster={max_cluster} — raise the number of "
+                "centroids (smaller clusters) or max_cluster")
+        empty = pa.table({"id_a": pa.array([], type=id_type),
+                          "id_b": pa.array([], type=id_type)})
+        if n < 2:
+            return empty
+        ids = np.asarray(group[id_column].to_pylist())
+        mat = _normalize(_stack(group[vector_column]))
+        out_a, out_b = [], []
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            sims = mat[lo:hi] @ mat.T
+            bi, j = np.where(sims >= threshold)
+            a, b = ids[bi + lo], ids[j]
+            keep = a < b
+            out_a.append(a[keep])
+            out_b.append(b[keep])
+        a = np.concatenate(out_a)
+        if not len(a):
+            return empty
+        return pa.table({"id_a": pa.array(a, type=id_type),
+                         "id_b": pa.array(np.concatenate(out_b),
+                                          type=id_type)})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return assigned.groupby("cluster").map_groups(
+        pairs_in_cluster, batch_format="pyarrow")
+
+
 def knn_topk_ivf(
     ds: rd.Dataset,
     queries: np.ndarray,

@@ -538,3 +538,63 @@ def test_ivf_write_index_refined_centroids(tmp_path):
     key = lambda rows: sorted((r["query_id"], r["neighbor_id"], r["rank"])
                               for r in rows)
     assert key(stored.take_all()) == key(exact.take_all())
+
+
+def test_semantic_dedup_pairs_matches_bruteforce():
+    """Pairs == brute-force cosine>=t restricted to same nearest
+    centroid; cross-cluster near-dups are excluded by design."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.similarity import (
+        fixed_centroids, semantic_dedup_pairs)
+
+    rng = np.random.RandomState(5)
+    n, dim = 160, 16
+    base = rng.standard_normal((n, dim))
+    # plant near-dups: rows 2i+1 ~= rows 2i for the first 20 pairs
+    for i in range(20):
+        base[2 * i + 1] = base[2 * i] + 0.01 * rng.standard_normal(dim)
+    cent = fixed_centroids(k=4, dim=dim, seed=9)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(n)),
+        "embedding": [v.tolist() for v in base],
+    })).repartition(7)
+    got = sorted((r["id_a"], r["id_b"])
+                 for r in semantic_dedup_pairs(ds, cent, threshold=0.8,
+                                               block=13).take_all())
+    normed = base / np.linalg.norm(base, axis=1, keepdims=True)
+    cluster = (normed @ cent.T).argmax(axis=1)
+    sims = normed @ normed.T
+    expect = sorted(
+        (i, j) for i in range(n) for j in range(i + 1, n)
+        if cluster[i] == cluster[j] and sims[i, j] >= 0.8)
+    assert got == expect
+    assert len(expect) >= 20  # the planted dups are all same-cluster
+
+
+def test_semantic_dedup_pairs_empty_and_cap():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from saber_ray.stages.similarity import (
+        fixed_centroids, semantic_dedup_pairs)
+
+    rng = np.random.RandomState(6)
+    vecs = rng.standard_normal((30, 8))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(30)),
+        "embedding": [v.tolist() for v in vecs],
+    }))
+    cent = fixed_centroids(k=2, dim=8, seed=1)
+    # threshold above any random-pair cosine → typed empty result
+    out = semantic_dedup_pairs(ds, cent, threshold=0.999)
+    tbl = out.take_all()
+    assert tbl == []
+    assert set(out.schema().names) == {"id_a", "id_b"}
+    with pytest.raises(ValueError, match="max_cluster"):
+        semantic_dedup_pairs(ds, cent, threshold=0.9,
+                             max_cluster=10).take_all()
