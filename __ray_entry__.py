@@ -1026,6 +1026,59 @@ def _q_tpch_q18(sf_dir: str):
     )
 
 
+def _q_tpch_q12(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import line_priority_counts
+
+    return line_priority_counts(
+        read_table(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"]),
+        read_table(sf_dir, "lineitem",
+                   columns=["l_orderkey", "l_returnflag", "l_shipdate"]),
+        date_lo="1996-01-01", date_hi="1997-01-01",
+    )
+
+
+def _q_tpch_q13(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import customer_order_distribution
+
+    return customer_order_distribution(
+        read_table(sf_dir, "customer", columns=["c_custkey"]),
+        read_table(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"]),
+        exclude_priority="1-URGENT",
+    )
+
+
+def _q_tpch_q17(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import small_quantity_revenue
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    lineitem = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    return small_quantity_revenue(lineitem, part, brand="Brand#11")
+
+
+def _q_tpch_q22(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import inactive_customer_balances
+
+    return inactive_customer_balances(
+        read_table(sf_dir, "customer",
+                   columns=["c_custkey", "c_nationkey", "c_acctbal"]),
+        read_table(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"]),
+        nations=(1, 3, 5, 7, 9),
+        order_priority="1-URGENT",
+    )
+
+
 def _q_top_bigrams(sf_dir: str):
     # corpus boilerplate detector: global top-20 word bigrams — per-batch
     # distinct-ngram partials, one groupby shuffle, sort+limit on the
@@ -1241,6 +1294,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14": _q_tpch_q14,
         "tpch_q10": _q_tpch_q10,
         "tpch_q18": _q_tpch_q18,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q22": _q_tpch_q22,
     }
 
 
@@ -2002,6 +2059,54 @@ def oracle_sql() -> dict[str, str]:
             HAVING sum(l_quantity) > 200
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 20
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "tpch_q13": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+                FROM customer
+                LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q17": """
+            SELECT round(coalesce(sum(l_extendedprice), 0) / 7.0, 2) AS avg_yearly
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#11'
+              AND l_quantity < (
+                  SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = part.p_partkey)
+        """,
+        "tpch_q22": """
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_nationkey IN (1, 3, 5, 7, 9)
+              AND c_acctbal > (
+                  SELECT avg(c_acctbal) FROM customer
+                  WHERE c_acctbal > 0.0
+                    AND c_nationkey IN (1, 3, 5, 7, 9))
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
         """,
         "pricing_rollup": """
             SELECT l_returnflag, l_linestatus,

@@ -532,9 +532,10 @@ def semi_join(
     ``broadcast_join`` handles the small-side case).
 
     The right side first reduces to DISTINCT keys (a keyed shuffle over
-    the key column ONLY — payload never moves), then an inner hash join
-    against unique keys is exactly semi-join semantics (no row
-    multiplication).
+    the key column ONLY — payload never moves), then the bucketed
+    :func:`_filter_join` keeps left rows whose key appears in the set —
+    exactly semi-join semantics (no row multiplication) without the
+    native hash join's empty-partition schema loss.
 
     Empty-side handling (Ray's hash join breaks on the schema-less
     blocks an all-empty side carries): the LEFT side is probed FIRST
@@ -561,10 +562,78 @@ def semi_join(
     if keys.count() == 0:
         return left.limit(0)
     n = num_partitions or shuffle_partitions(8, left)
-    return left.join(
-        keys, join_type="inner", num_partitions=n,
-        on=(left_on,), right_on=(right_on,),
-    )
+    return _filter_join(left, keys, left_on, right_on, anti=False,
+                        num_partitions=n)
+
+
+def _filter_join(
+    left: rd.Dataset,
+    keys: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    anti: bool,
+    num_partitions: int,
+) -> rd.Dataset:
+    """Bucketed EXISTS / NOT-EXISTS engine under :func:`semi_join` and
+    :func:`anti_join`: tag left payload rows side=0 and right DISTINCT
+    keys side=1 (null-padded to the left schema so the union is
+    type-exact), ONE ``hash(key) % P`` groupby co-locates each key's
+    rows with its membership bit, and a vectorized ``is_in`` per bucket
+    keeps (semi) or drops (anti) matches.
+
+    Why not the native hash ``Dataset.join``: a shuffle partition that
+    receives ZERO left rows loses its schema and Acero rejects the key
+    FieldRef — guaranteed once P exceeds the left row count (a 13-row
+    candidate set at 16 partitions) and reachable at any scale under
+    key skew. Buckets only exist where rows exist, so the bucket shape
+    cannot manufacture an empty side. Cost is the same single co-shuffle
+    of (payload + key) rows the native join pays.
+
+    Null semantics match SQL EXISTS: a null left key never matches —
+    dropped by semi, KEPT by anti."""
+    import numpy as np
+
+    schema = left.schema()
+    names, types = list(schema.names), list(schema.types)
+    key_type = types[names.index(left_on)]
+    n = num_partitions
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        b = batch.select(names).append_column(
+            "__side", pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
+        return b.append_column("__bucket", _key_buckets(b, left_on, n))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = batch[right_on]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if k.type != key_type:
+            k = pc.cast(k, key_type)
+        cols = {name: (k if name == left_on else
+                       pa.nulls(batch.num_rows, type=typ))
+                for name, typ in zip(names, types)}
+        t = pa.table(cols).append_column(
+            "__side", pa.array(np.ones(batch.num_rows, dtype=np.int8)))
+        return t.append_column("__bucket", _key_buckets(t, left_on, n))
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        keys.map_batches(tag_right, batch_format="pyarrow"))
+
+    def in_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        lrows = group.filter(pc.equal(side, 0))
+        rkeys = group.filter(pc.equal(side, 1))[left_on]
+        if isinstance(rkeys, pa.ChunkedArray):
+            rkeys = rkeys.combine_chunks()
+        # drop null keys from the set: Arrow's is_in matches null to
+        # null, but SQL EXISTS equality never does
+        matched = pc.fill_null(
+            pc.is_in(lrows[left_on], value_set=rkeys.drop_null()), False)
+        mask = pc.invert(matched) if anti else matched
+        return lrows.filter(mask).drop_columns(["__side", "__bucket"])
+
+    return tagged.groupby("__bucket").map_groups(
+        in_bucket, batch_format="pyarrow")
 
 
 def order_priority_counts(
@@ -890,8 +959,8 @@ def anti_join(
     num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Distributed NOT-EXISTS anti-join: left rows with NO match in
-    ``right``. The complement of :func:`semi_join`, on Ray Data's native
-    hash-shuffle ``left_anti`` join. The right side reduces to DISTINCT
+    ``right``. The complement of :func:`semi_join`, on the same bucketed
+    :func:`_filter_join` engine. The right side reduces to DISTINCT
     keys first: anti never multiplies rows, so this is a size trade —
     when FK-style keys repeat it shrinks the join's build side (and its
     shuffle input) to unique keys; when keys are already near-unique it
@@ -915,10 +984,8 @@ def anti_join(
     if keys.count() == 0:
         return left
     n = num_partitions or shuffle_partitions(8, left)
-    return left.join(
-        keys, join_type="left_anti", num_partitions=n,
-        on=(left_on,), right_on=(right_on,),
-    )
+    return _filter_join(left, keys, left_on, right_on, anti=True,
+                        num_partitions=n)
 
 
 def running_totals(
@@ -1407,3 +1474,245 @@ def pivot_counts(
         cols[f"d_{d.replace('-', '_')}"] = pa.array(
             [cells.get((rk, d), 0) for rk in rows], type=pa.int64())
     return pa.table(cols)
+
+
+def line_priority_counts(
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> rd.Dataset:
+    """TPC-H Q12-shaped (adapted: the testdata lineitem has no shipmode
+    column, so ``l_returnflag`` plays the mode): per return flag over a
+    shipdate window, how many lines belong to HIGH-priority orders
+    (1-URGENT / 2-HIGH) vs the rest.
+
+    Scale shape: lineitem filters + projects to (orderkey, flag) at the
+    scan; orders projects to (orderkey, priority); ONE distributed hash
+    join on orderkey (both sides large — no broadcast); then a per-batch
+    partial (group flag → high/low sums, ≤ |flags| rows per batch)
+    feeds a tiny final groupby."""
+    import datetime
+
+    from ..functions.partitioning import shuffle_partitions
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+
+    def li_window(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+            pc.less(batch["l_shipdate"], pa.scalar(hi)),
+        )
+        return batch.filter(mask).select(["l_orderkey", "l_returnflag"])
+
+    li = lineitem.map_batches(li_window, batch_format="pyarrow")
+    joined = li.join(
+        orders.select_columns(["o_orderkey", "o_orderpriority"]),
+        join_type="inner",
+        num_partitions=shuffle_partitions(8, lineitem),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        high = pc.is_in(
+            batch["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "high_line_count": pc.cast(high, pa.int64()),
+            "low_line_count": pc.cast(pc.invert(high), pa.int64()),
+        })
+        return t.group_by("l_returnflag").aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .sum(["high_line_count_sum", "low_line_count_sum"])
+        .rename_columns({
+            "sum(high_line_count_sum)": "high_line_count",
+            "sum(low_line_count_sum)": "low_line_count",
+        })
+        .sort("l_returnflag")
+    )
+
+
+def customer_order_distribution(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    exclude_priority: str = "1-URGENT",
+) -> rd.Dataset:
+    """TPC-H Q13-shaped (adapted: no o_comment column, so the excluded
+    class is an order priority): the distribution of per-customer order
+    counts INCLUDING customers with zero qualifying orders — c_count →
+    how many customers placed exactly that many orders.
+
+    Scale shape: orders filter + groupby(custkey).count() reduces the
+    big side to one row per customer BEFORE any join; customer LEFT
+    OUTER joins that small aggregate (zero-order customers survive with
+    a null count → 0); the distribution is a second tiny groupby. No
+    row ever carries payload beyond (key, count)."""
+    from ..functions.partitioning import shuffle_partitions
+
+    per_cust = (
+        orders.filter(
+            expr=f"o_orderpriority != {exclude_priority!r}")
+        .groupby("o_custkey")
+        .count()
+        .rename_columns({"count()": "c_count"})
+    )
+    joined = customer.select_columns(["c_custkey"]).join(
+        per_cust,
+        join_type="left_outer",
+        num_partitions=shuffle_partitions(8, customer),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def zero_fill(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["c_custkey"],
+            "c_count": pc.coalesce(batch["c_count"], pa.scalar(0)),
+        })
+
+    return (
+        joined.map_batches(zero_fill, batch_format="pyarrow")
+        .groupby("c_count")
+        .count()
+        .rename_columns({"count()": "custdist"})
+        .sort(["custdist", "c_count"], descending=[True, True])
+    )
+
+
+def small_quantity_revenue(
+    lineitem: rd.Dataset,
+    part_small: pa.Table,
+    brand: str = "Brand#11",
+    quantity_factor: float = 0.2,
+    years: float = 7.0,
+) -> rd.Dataset:
+    """TPC-H Q17-shaped (adapted: no p_container, brand alone selects
+    the parts): average yearly revenue lost if small orders —
+    quantity below ``quantity_factor`` x the part's mean quantity —
+    were no longer filled.
+
+    Scale shape: the brand's part keys are a SMALL set → broadcast
+    semi-filter prunes lineitem at the scan (only the brand's rows
+    survive, ∝ brand selectivity); the pruned projection is
+    materialized ONCE for its two consumers (per-part mean, final
+    filter); per-part means are a per-batch partial → small groupby;
+    the mean thresholds broadcast back (one row per brand part) so the
+    final pass is a vectorized lookup + sum — no second shuffle."""
+    import numpy as np
+
+    keys = part_small.filter(
+        pc.equal(part_small["p_brand"], brand)).select(["p_partkey"])
+    pruned = broadcast_join(
+        lineitem.select_columns(
+            ["l_partkey", "l_quantity", "l_extendedprice"]),
+        keys, "l_partkey", "p_partkey",
+    ).materialize()
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_partkey": batch["l_partkey"],
+            "qty": batch["l_quantity"],
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        return t.group_by("l_partkey").aggregate([("qty", "sum"), ("n", "sum")])
+
+    means = (
+        pruned.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .sum(["qty_sum", "n_sum"])
+        .take_all()  # one row per brand part — small by construction
+    )
+    thresh = {r["l_partkey"]: quantity_factor * r["sum(qty_sum)"] / r["sum(n_sum)"]
+              for r in means}
+    thresh_ref = ray.put(thresh)
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        th = ray.get(thresh_ref)
+        limits = pa.array([th.get(k) for k in batch["l_partkey"].to_pylist()],
+                          type=pa.float64())
+        mask = pc.less(pc.cast(batch["l_quantity"], pa.float64()), limits)
+        total = pc.sum(pc.if_else(mask, batch["l_extendedprice"],
+                                  pa.scalar(0.0)))
+        total = total.as_py() or 0.0
+        return pa.table({"rev": pa.array([total], type=pa.float64())})
+
+    total = sum(r["rev"] for r in
+                pruned.map_batches(rev_partial, batch_format="pyarrow")
+                .take_all())
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table({
+        "avg_yearly": pa.array([round(total / years, 2)], type=pa.float64()),
+    }))
+
+
+def inactive_customer_balances(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    nations: tuple = (1, 3, 5, 7, 9),
+    order_priority: str = "1-URGENT",
+) -> rd.Dataset:
+    """TPC-H Q22-shaped (adapted: no c_phone, so the country-code prefix
+    set is a nationkey set, and — because this testdata gives every
+    customer orders — "never placed an order" becomes "never placed a
+    ``order_priority`` order"): per nation, the count and total balance
+    of customers with above-average positive balances and no qualifying
+    order.
+
+    Scale shape: the nation filter prunes customer at the scan; the
+    positive-balance average is ONE streaming aggregate (a scalar);
+    candidates anti-join the priority-filtered orders on custkey (the
+    right side reduces to distinct keys first — see :func:`anti_join`);
+    the final rollup is a per-batch partial → tiny groupby."""
+    cust = customer.filter(
+        expr=f"c_nationkey in {[int(n) for n in nations]}"
+    ).select_columns(["c_custkey", "c_nationkey", "c_acctbal"]).materialize()
+
+    avg_bal = cust.filter(expr="c_acctbal > 0.0").mean("c_acctbal")
+    # re-materialize after the threshold filter: a filter can leave
+    # schema-less empty blocks that the left side of a hash join rejects
+    cand = cust.filter(expr=f"c_acctbal > {avg_bal!r}").materialize()
+    def urgent_keys(batch: pa.Table) -> pa.Table:
+        # filter+project in ONE map: an expr-filter after select_columns
+        # would be reordered past the projection and lose its column
+        return batch.filter(
+            pc.equal(batch["o_orderpriority"], order_priority)
+        ).select(["o_custkey"])
+
+    urgent = orders.map_batches(urgent_keys, batch_format="pyarrow")
+    no_orders = anti_join(cand, urgent, "c_custkey", "o_custkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        t = pa.table({
+            "c_nationkey": batch["c_nationkey"],
+            "numcust": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "totacctbal": batch["c_acctbal"],
+        })
+        return t.group_by("c_nationkey").aggregate(
+            [("numcust", "sum"), ("totacctbal", "sum")])
+
+    def round2(batch: pa.Table) -> pa.Table:
+        idx = batch.column_names.index("totacctbal")
+        return batch.set_column(
+            idx, "totacctbal",
+            pc.round(batch["totacctbal"], 2,
+                     round_mode="half_towards_infinity"))
+
+    return (
+        no_orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .sum(["numcust_sum", "totacctbal_sum"])
+        .rename_columns({"sum(numcust_sum)": "numcust",
+                         "sum(totacctbal_sum)": "totacctbal"})
+        .map_batches(round2, batch_format="pyarrow")
+        .sort("c_nationkey")
+    )

@@ -81,7 +81,7 @@ def _duck(sql: str):
 
     con = duckdb.connect()
     for t in ("lineitem", "orders", "customer", "supplier", "nation",
-              "region", "events"):
+              "region", "events", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -442,3 +442,92 @@ def test_sessionize_many_users_vectorized():
     assert list(u0["n"]) == [2, 1]               # user 0: 3 events, gap after 2
     u1 = out[out["user_id"] == 1].sort_values("session_num")
     assert list(u1["n"]) == [1, 1]
+
+
+def _frames_equal(got, want):
+    import pandas as pd
+
+    got = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+    want = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_tpch_q12_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["tpch_q12"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["tpch_q12"]))
+
+
+def test_tpch_q13_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["tpch_q13"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["tpch_q13"]))
+
+
+def test_tpch_q17_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["tpch_q17"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["tpch_q17"]))
+
+
+def test_tpch_q22_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["tpch_q22"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["tpch_q22"]))
+
+
+def test_filter_join_more_partitions_than_rows():
+    """Regression: the native hash join lost partition schemas when
+    P > left rows (ArrowInvalid FieldRef on the empty side); the
+    bucketed engine must be exact at ANY partition count."""
+    from saber_ray.stages.relational import anti_join, semi_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "payload": ["a", "b", "c", "d", "e"],
+    }))
+    right = rd.from_arrow(pa.table({"rk": pa.array([2, 4, 9], type=pa.int64())}))
+    for n in (2, 16, 64):
+        semi = sorted(r["k"] for r in
+                      semi_join(left, right, "k", "rk", num_partitions=n).take_all())
+        anti = sorted(r["k"] for r in
+                      anti_join(left, right, "k", "rk", num_partitions=n).take_all())
+        assert semi == [2, 4], n
+        assert anti == [1, 3, 5], n
+
+
+def test_filter_join_null_key_semantics():
+    """SQL EXISTS semantics: a null left key matches nothing — semi
+    drops it, anti KEEPS it; null right keys match nothing."""
+    from saber_ray.stages.relational import anti_join, semi_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, 3], type=pa.int64()),
+        "payload": ["a", "b", "c"],
+    }))
+    right = rd.from_arrow(pa.table({"rk": pa.array([1, None], type=pa.int64())}))
+    semi = sorted(r["payload"] for r in
+                  semi_join(left, right, "k", "rk", num_partitions=4).take_all())
+    anti = sorted(r["payload"] for r in
+                  anti_join(left, right, "k", "rk", num_partitions=4).take_all())
+    assert semi == ["a"]
+    assert anti == ["b", "c"]
+
+
+def test_filter_join_key_type_widening():
+    """A right key column of a narrower int type joins against an int64
+    left key (the cast happens at the tag stage, not per bucket)."""
+    from saber_ray.stages.relational import semi_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([10, 20, 30], type=pa.int64()),
+        "payload": ["x", "y", "z"],
+    }))
+    right = rd.from_arrow(pa.table({"rk": pa.array([20, 30], type=pa.int32())}))
+    got = sorted(r["k"] for r in
+                 semi_join(left, right, "k", "rk", num_partitions=8).take_all())
+    assert got == [20, 30]
