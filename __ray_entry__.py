@@ -179,6 +179,17 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_near_pairs(read_documents_flat(sf_dir))
 
 
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    # EXACT n-gram Jaccard dedup: shingle inverted-index candidates
+    # (recall 1 under the doc-frequency cap) + exact Jaccard verify —
+    # same verified-pair contract as dedup_minhash_pairs, different
+    # candidate generator, so the same exact-join oracle applies.
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(read_documents_flat(sf_dir), min_jaccard=0.5)
+
+
 def _q_embedding_dups(sf_dir: str):
     from saber_ray.sources.testdata import read_table
     from saber_ray.stages.similarity import embedding_dup_pairs
@@ -1241,6 +1252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_components": _q_dedup_components,
         # -- new in round 4 (never driver-recorded)
+        "dedup_ngram_jaccard": _q_ngram_jaccard_pairs,
         "pii_redact": _q_pii_redact,
         "doc_logprob": _q_doc_logprob,
         "chunk_dedup": _q_chunk_dedup,
@@ -2592,6 +2604,9 @@ def oracle_sql() -> dict[str, str]:
     # probing every inverted list is EXACT kNN, so the IVF-index query
     # shares the brute-force oracle verbatim (see _q_knn_ivf)
     sql["knn_search_ivf"] = sql["knn_search"]
+    # exact inverted-index candidates + exact Jaccard verify emit the SAME
+    # verified-pair set as the MinHash flavor — one exact-join oracle
+    sql["dedup_ngram_jaccard"] = sql["dedup_minhash_pairs"]
     # approx_quantiles: the SAME fixed-bin histogram algorithm in SQL —
     # bucket = floor((v-lo)/width) clamped, rank = ceil(q*n), linear
     # interpolation inside the bucket; identical IEEE double steps

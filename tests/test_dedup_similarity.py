@@ -71,6 +71,40 @@ def test_jaccard_verification_stage(dup_corpus):
         assert 0.5 <= rows[(j, 100 + j)] < 1.0
 
 
+def test_ngram_jaccard_exact_inverted_index(dup_corpus):
+    # the exact flavor must find every verified pair the MinHash flavor
+    # finds (candidate recall 1 under the df cap) with identical scores
+    from saber_ray.stages.dedup import ngram_jaccard_pairs
+
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(dup_corpus, min_jaccard=0.5).take_all()}
+    mh = verify_pairs_jaccard(
+        minhash_lsh_pairs(dup_corpus, num_bands=32), dup_corpus,
+        min_jaccard=0.5)
+    for r in mh.take_all():
+        assert exact[(r["id_a"], r["id_b"])] == r["jaccard"]
+    assert exact[(10, 200)] == 1.0
+    for j in range(5):
+        assert 0.5 <= exact[(j, 100 + j)] < 1.0
+
+
+def test_ngram_jaccard_sample_mod_subset(dup_corpus):
+    # modulo-sampled shingling yields a SUBSET of the exact pair set
+    # (fewer candidates, identical verification scores where found),
+    # and still catches exact duplicates at modest mod
+    from saber_ray.stages.dedup import ngram_jaccard_pairs
+
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(dup_corpus, min_jaccard=0.5).take_all()}
+    sampled = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(
+                   dup_corpus, min_jaccard=0.5, sample_mod=2).take_all()}
+    assert set(sampled) <= set(full)
+    for k, v in sampled.items():
+        assert v == full[k]
+    assert (10, 200) in sampled and (11, 201) in sampled
+
+
 def test_simhash_finds_exact_and_near(dup_corpus):
     pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(dup_corpus, max_hamming=6).take_all()}
     assert (10, 200) in pairs and (11, 201) in pairs
