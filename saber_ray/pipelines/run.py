@@ -208,11 +208,20 @@ def run_kg_job(
             # twice.
             flagged = docs.map_batches(validate_documents, batch_format="pyarrow")
             annotate(flagged, config).write_parquet(ann_dir)
-            # quarantine keeps the document payload but never reads the
-            # (large) ents column; mentions/triples read ONLY doc_id +
-            # ents — the raw spans payload never leaves storage for them
+            # quarantine keeps the WHOLE document payload (any extra
+            # corpus metadata columns included — an operator triaging
+            # quarantined rows needs provenance) but never reads the
+            # (large) derived ents column; mentions/triples read ONLY
+            # doc_id + ents — the raw spans payload never leaves
+            # storage for them
+            import pyarrow.dataset as pads
+
+            quarantine_cols = [
+                c for c in pads.dataset(ann_dir).schema.names
+                if c not in ("ents", "span_hash")
+            ]
             _staged_read(
-                ann_dir, columns=["doc_id", "spans", "valid", "invalid_reason"]
+                ann_dir, columns=quarantine_cols
             ).filter(expr="valid == False").write_parquet(quarantine_dir)
             n_quarantined = _written_rows(quarantine_dir)
             _staged_read(ann_dir, columns=["doc_id", "ents"]).map_batches(
@@ -519,6 +528,23 @@ def run_kg_job(
         ran_graph = True
     summary["graph"] = "ran" if ran_graph else "skipped"
     return summary
+
+
+def read_job_output(out_dir: str, table: str) -> "rd.Dataset":
+    """Schema-stable reader for a :func:`run_kg_job` output table.
+
+    The on-disk layout is resumable-by-construction — ``part=N`` (input
+    shard) and ``group=N`` (graph reduce group) subdirectories — which
+    hive-style dataset discovery would surface as an EXTRA inferred
+    partition column. This reader strips those bookkeeping columns so
+    consumers see exactly the NODES/EDGES/mentions schema regardless of
+    how the job was partitioned or resumed.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(out_dir, table))
+    drop = [c for c in ("part", "group") if c in ds.schema().names]
+    return ds.drop_columns(drop) if drop else ds
 
 
 def _with_group(t, key_cols: list[str], num_groups: int):

@@ -443,7 +443,8 @@ def ngram_jaccard_pairs(
             ids = pc.take(ids, pa.array(keep))
         return pa.table({"shingle": flat, id_column: ids})
 
-    postings = ds.map_batches(explode, batch_format="pyarrow")
+    postings = ds.map_batches(explode, batch_format="pyarrow",
+                              concurrency=concurrency)
     cand = expand_bucketed_pairs(
         postings, ["shingle"], id_column, id_type,
         max_doc_freq, shuffle_partitions(16, ds),

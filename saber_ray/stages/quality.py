@@ -183,7 +183,10 @@ def chunk_partial(batch: pa.Table, id_column: str = "doc_id",
                             batch[column].to_pylist()):
         if doc_id is None:
             continue
-        assert int(doc_id) >= 0, "chunk_dedup requires non-negative doc ids"
+        if int(doc_id) < 0:
+            # the zero-padded survivor key is lexicographic; a negative
+            # id would sort inverted and before every positive id
+            raise ValueError("chunk_dedup requires non-negative doc ids")
         toks = _TOKEN_RE.findall(text.lower()) if text else []
         for ci, start in enumerate(range(0, len(toks), chunk_tokens)):
             chunk = " ".join(toks[start:start + chunk_tokens])

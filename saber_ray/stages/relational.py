@@ -636,6 +636,94 @@ def _filter_join(
         in_bucket, batch_format="pyarrow")
 
 
+def lookup_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    payload: list[str],
+    num_partitions: int,
+    outer: bool = False,
+) -> rd.Dataset:
+    """Bucketed equi-join that attaches ``payload`` columns from a
+    UNIQUE-KEYED right side to every matching left row (inner by
+    default; ``outer=True`` keeps unmatched left rows with null
+    payload — SQL LEFT OUTER).
+
+    The payload-carrying sibling of :func:`_filter_join`, on the same
+    tagged-union bucket shape and for the same reason: the native hash
+    ``Dataset.join`` drops the schema of any shuffle partition that
+    receives zero rows from one side and then rejects the key FieldRef
+    — guaranteed when ``num_partitions`` exceeds a filtered side's row
+    count. Buckets only exist where rows exist.
+
+    Right keys must be unique (a dimension lookup / pre-aggregated
+    side); a duplicate key in any bucket raises rather than silently
+    multiplying rows. Null keys never match (SQL equality): inner
+    drops them, outer keeps them with null payload.
+    """
+    import numpy as np
+
+    lschema = left.schema()
+    lnames, ltypes = list(lschema.names), list(lschema.types)
+    rschema = dict(zip(right.schema().names, right.schema().types))
+    ptypes = [rschema[p] for p in payload]
+    key_type = ltypes[lnames.index(left_on)]
+    n = num_partitions
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        b = batch.select(lnames)
+        for p, t in zip(payload, ptypes):
+            b = b.append_column(p, pa.nulls(batch.num_rows, type=t))
+        b = b.append_column(
+            "__side", pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
+        return b.append_column("__bucket", _key_buckets(b, left_on, n))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = batch[right_on]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if k.type != key_type:
+            k = pc.cast(k, key_type)
+        cols = {name: (k if name == left_on else
+                       pa.nulls(batch.num_rows, type=typ))
+                for name, typ in zip(lnames, ltypes)}
+        t = pa.table(cols)
+        for p in payload:
+            t = t.append_column(p, batch[p])
+        t = t.append_column(
+            "__side", pa.array(np.ones(batch.num_rows, dtype=np.int8)))
+        return t.append_column("__bucket", _key_buckets(t, left_on, n))
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+
+    def in_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        lrows = group.filter(pc.equal(side, 0))
+        rrows = group.filter(pc.equal(side, 1))
+        rkeys = rrows[left_on]
+        if isinstance(rkeys, pa.ChunkedArray):
+            rkeys = rkeys.combine_chunks()
+        valid = pc.is_valid(rkeys)
+        if rrows.num_rows and not pc.all(valid).as_py():
+            rrows = rrows.filter(valid)
+            rkeys = rkeys.drop_null()
+        if rrows.num_rows and pc.count_distinct(rkeys).as_py() != len(rkeys):
+            raise ValueError(
+                f"lookup_join right side has duplicate {right_on!r} keys")
+        idx = pc.index_in(lrows[left_on], value_set=rkeys)
+        out = lrows.drop_columns(list(payload))
+        for p in payload:
+            out = out.append_column(p, pc.take(rrows[p], idx))
+        if not outer:
+            out = out.filter(pc.is_valid(idx))
+        return out.drop_columns(["__side", "__bucket"])
+
+    return tagged.groupby("__bucket").map_groups(
+        in_bucket, batch_format="pyarrow")
+
+
 def order_priority_counts(
     orders: rd.Dataset,
     lineitem: rd.Dataset,
@@ -1507,12 +1595,13 @@ def line_priority_counts(
         return batch.filter(mask).select(["l_orderkey", "l_returnflag"])
 
     li = lineitem.map_batches(li_window, batch_format="pyarrow")
-    joined = li.join(
-        orders.select_columns(["o_orderkey", "o_orderpriority"]),
-        join_type="inner",
-        num_partitions=shuffle_partitions(8, lineitem),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    # lookup_join, not the native hash join: the window filter can leave
+    # fewer left rows than shuffle partitions, and the native join loses
+    # the schema of empty partitions (see lookup_join)
+    joined = lookup_join(
+        li, orders.select_columns(["o_orderkey", "o_orderpriority"]),
+        "l_orderkey", "o_orderkey", ["o_orderpriority"],
+        shuffle_partitions(8, lineitem),
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1564,12 +1653,13 @@ def customer_order_distribution(
         .count()
         .rename_columns({"count()": "c_count"})
     )
-    joined = customer.select_columns(["c_custkey"]).join(
-        per_cust,
-        join_type="left_outer",
-        num_partitions=shuffle_partitions(8, customer),
-        on=("c_custkey",),
-        right_on=("o_custkey",),
+    # lookup_join (outer), not the native left_outer join: the priority
+    # filter can empty per_cust's shuffle partitions, and the native
+    # join loses the schema of empty partitions (see lookup_join)
+    joined = lookup_join(
+        customer.select_columns(["c_custkey"]), per_cust,
+        "c_custkey", "o_custkey", ["c_count"],
+        shuffle_partitions(8, customer), outer=True,
     )
 
     def zero_fill(batch: pa.Table) -> pa.Table:
@@ -1649,8 +1739,11 @@ def small_quantity_revenue(
                 .take_all())
     import ray.data as _rd
 
+    # DuckDB round() is half-away-from-zero; Python's round() banks
+    rounded = pc.round(pa.scalar(total / years), 2,
+                       round_mode="half_towards_infinity")
     return _rd.from_arrow(pa.table({
-        "avg_yearly": pa.array([round(total / years, 2)], type=pa.float64()),
+        "avg_yearly": pa.array([rounded.as_py()], type=pa.float64()),
     }))
 
 
@@ -1677,9 +1770,18 @@ def inactive_customer_balances(
     ).select_columns(["c_custkey", "c_nationkey", "c_acctbal"]).materialize()
 
     avg_bal = cust.filter(expr="c_acctbal > 0.0").mean("c_acctbal")
+    if avg_bal is None:
+        # no positive-balance customer: SQL's `> NULL` matches nothing
+        nk_type = dict(zip(cust.schema().names,
+                           cust.schema().types))["c_nationkey"]
+        return rd.from_arrow(pa.table({
+            "c_nationkey": pa.array([], type=nk_type),
+            "numcust": pa.array([], type=pa.int64()),
+            "totacctbal": pa.array([], type=pa.float64()),
+        }))
     # re-materialize after the threshold filter: a filter can leave
     # schema-less empty blocks that the left side of a hash join rejects
-    cand = cust.filter(expr=f"c_acctbal > {avg_bal!r}").materialize()
+    cand = cust.filter(expr=f"c_acctbal > {float(avg_bal)!r}").materialize()
     def urgent_keys(batch: pa.Table) -> pa.Table:
         # filter+project in ONE map: an expr-filter after select_columns
         # would be reordered past the projection and lose its column

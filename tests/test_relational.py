@@ -531,3 +531,105 @@ def test_filter_join_key_type_widening():
     got = sorted(r["k"] for r in
                  semi_join(left, right, "k", "rk", num_partitions=8).take_all())
     assert got == [20, 30]
+
+
+def test_lookup_join_more_partitions_than_rows():
+    """Regression: Q12/Q13 used the native hash join, which loses the
+    schema of shuffle partitions receiving zero rows from one side
+    (guaranteed when P exceeds a filtered side's row count). The
+    bucketed lookup_join must be exact at ANY partition count, inner
+    and outer."""
+    from saber_ray.stages.relational import lookup_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 9], type=pa.int64()),
+        "payload": ["a", "b", "c", "d", "e"],
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([1, 2, 4], type=pa.int64()),
+        "val": ["one", "two", "four"],
+    }))
+    for n in (2, 16, 64):
+        inner = sorted(
+            (r["k"], r["payload"], r["val"]) for r in lookup_join(
+                left, right, "k", "rk", ["val"], num_partitions=n
+            ).take_all())
+        assert inner == [(1, "a", "one"), (2, "b", "two"),
+                         (2, "c", "two")], n
+        outer = sorted(
+            (r["k"], r["val"] or "-") for r in lookup_join(
+                left, right, "k", "rk", ["val"], num_partitions=n,
+                outer=True,
+            ).take_all())
+        assert outer == [(1, "one"), (2, "two"), (2, "two"),
+                         (3, "-"), (9, "-")], n
+
+
+def test_lookup_join_duplicate_right_key_raises():
+    from ray.exceptions import RayTaskError
+
+    from saber_ray.stages.relational import lookup_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([1, 1], type=pa.int64()),
+        "val": ["x", "y"],
+    }))
+    import pytest as _pytest
+    with _pytest.raises((RayTaskError, ValueError)):
+        lookup_join(left, right, "k", "rk", ["val"],
+                    num_partitions=4).take_all()
+
+
+def test_lookup_join_null_keys_never_match():
+    from saber_ray.stages.relational import lookup_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, None], type=pa.int64()),
+        "payload": ["a", "b"],
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([1, None], type=pa.int64()),
+        "val": ["one", "null-row"],
+    }))
+    inner = [(r["payload"], r["val"]) for r in lookup_join(
+        left, right, "k", "rk", ["val"], num_partitions=4).take_all()]
+    assert inner == [("a", "one")]
+    outer = sorted((r["payload"], r["val"] or "-") for r in lookup_join(
+        left, right, "k", "rk", ["val"], num_partitions=4,
+        outer=True).take_all())
+    assert outer == [("a", "one"), ("b", "-")]
+
+
+def test_tpch_q12_narrow_window_empty_left():
+    """The exact review failure scenario: a date window so narrow the
+    filtered lineitem side is tiny/empty — must return an empty/small
+    result, not crash on empty shuffle partitions."""
+    from saber_ray.sources.testdata import read_table
+
+    from saber_ray.stages.relational import line_priority_counts
+
+    out = line_priority_counts(
+        read_table(SF, "orders"), read_table(SF, "lineitem"),
+        date_lo="1901-01-01", date_hi="1901-01-02",
+    ).take_all()
+    assert out == []
+
+
+def test_tpch_q22_no_positive_balances_empty():
+    """avg over an empty positive-balance set is NULL; SQL `> NULL`
+    matches nothing — the query must return 0 rows, not crash."""
+    from saber_ray.stages.relational import inactive_customer_balances
+
+    cust = rd.from_arrow(pa.table({
+        "c_custkey": pa.array([1, 2], type=pa.int64()),
+        "c_nationkey": pa.array([1, 3], type=pa.int32()),
+        "c_acctbal": pa.array([-5.0, -1.0], type=pa.float64()),
+    }))
+    orders = rd.from_arrow(pa.table({
+        "o_custkey": pa.array([1], type=pa.int64()),
+        "o_orderpriority": ["1-URGENT"],
+    }))
+    out = inactive_customer_balances(cust, orders)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"c_nationkey", "numcust", "totacctbal"}

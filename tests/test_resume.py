@@ -66,6 +66,17 @@ def test_interrupted_run_resumes(corpus_dir, tmp_path_factory):
     frag_union = sorted(f for r in recs for f in r.input_fragments)
     assert frag_union == sorted(os.path.basename(f) for f in glob.glob(f"{corpus_dir}/*.parquet"))
 
+    # the public reader strips the resumable layout's part=/group=
+    # bookkeeping columns — consumers see the logical schema only
+    from saber_ray.pipelines.run import read_job_output
+
+    nodes = read_job_output(out, "nodes")
+    assert "group" not in nodes.schema().names
+    assert sum(r["support"] for r in nodes.take_all()) == mentions
+    ments = read_job_output(out, "mentions")
+    assert "part" not in ments.schema().names
+    assert ments.count() == mentions
+
 
 def test_config_change_invalidates(corpus_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("out2"))
