@@ -1258,6 +1258,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": _q_chunk_dedup,
         "cluster_assign": _q_cluster_assign,
         "semantic_dedup": _q_semantic_dedup,
+        # -- new in round 4: Q12/Q13/Q17/Q22 shapes (never driver-recorded)
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q22": _q_tpch_q22,
         # -- cheap single-pass text/statistics queries (stable since r01)
         "sterilize": _q_sterilize,
         "token_count": _q_token_count,
@@ -1306,10 +1311,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14": _q_tpch_q14,
         "tpch_q10": _q_tpch_q10,
         "tpch_q18": _q_tpch_q18,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q22": _q_tpch_q22,
     }
 
 
