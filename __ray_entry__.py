@@ -771,6 +771,34 @@ def _q_semantic_dedup(sf_dir: str):
     )
 
 
+def _q_shuffle_export(sf_dir: str):
+    # deterministic global shuffle: exact position of every doc in the
+    # seeded permutation ORDER BY md5(id), id — resumable epoch order
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.ordering import global_shuffle_index
+
+    ds = read_documents_flat(sf_dir, columns=("doc_id",))
+    return global_shuffle_index(ds, id_column="doc_id")
+
+
+def _q_curriculum_order(sf_dir: str):
+    # curriculum ordering: exact global rank by length (desc, id tiebreak)
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.ordering import global_rank
+
+    ds = read_documents_flat(sf_dir, columns=("doc_id", "n_chars"))
+    return global_rank(ds, "n_chars", id_column="doc_id", descending=True)
+
+
+def _q_doc_chunks(sf_dir: str):
+    # overlapping token-window chunking (RAG / context-window splitter)
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import window_chunks
+
+    ds = read_documents_flat(sf_dir, columns=("doc_id", "text"))
+    return window_chunks(ds, window=32, stride=24)
+
+
 def _q_chunk_spans(sf_dir: str):
     from saber_ray.pipelines.demo import demo_chunk_spans
 
@@ -1258,6 +1286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": _q_chunk_dedup,
         "cluster_assign": _q_cluster_assign,
         "semantic_dedup": _q_semantic_dedup,
+        "shuffle_export": _q_shuffle_export,
+        "curriculum_order": _q_curriculum_order,
+        "doc_chunks": _q_doc_chunks,
         # -- new in round 4: Q12/Q13/Q17/Q22 shapes (never driver-recorded)
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
@@ -1702,6 +1733,39 @@ def oracle_sql() -> dict[str, str]:
               AND a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4
+        """,
+        # md5_key32 recipe (same as sampling's {_HASHKEY}) orders the
+        # seeded permutation; engine assigns positions distributedly
+        "shuffle_export": f"""
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY {_HASHKEY}, doc_id) - 1
+                        AS BIGINT) AS shuffle_pos
+            FROM documents
+        """,
+        "curriculum_order": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM documents
+        """,
+        # single-space tokenization ⇒ string_split reproduces the
+        # engine's split_pattern exactly; list slice t[s+1 : s+32] is
+        # 1-based inclusive (32 tokens), clamped at the list end
+        "doc_chunks": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            starts AS (
+                SELECT doc_id, t,
+                       unnest(range(0, CAST(len(t) AS BIGINT), 24)) AS s
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(s // 24 AS BIGINT) AS chunk_id,
+                   CAST(s AS BIGINT) AS start_tok,
+                   CAST(least(32, len(t) - s) AS BIGINT) AS n_tok,
+                   array_to_string(t[s + 1 : s + 32], ' ') AS chunk_text
+            FROM starts
         """,
         "lang_id": f"""
             WITH s AS (

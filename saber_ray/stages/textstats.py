@@ -356,3 +356,84 @@ def ngram_frequency(
     if k is not None:
         agg = agg.sort(["cnt", "ngram"], descending=[True, False]).limit(k)
     return agg
+
+
+def window_chunks_batch(
+    batch: pa.Table,
+    window: int,
+    stride: int,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> pa.Table:
+    """Overlapping token-window chunking of one batch — the RAG /
+    context-window splitter. Emits one row per window of ``window``
+    tokens taken every ``stride`` tokens (single-space tokenization, so
+    DuckDB's ``string_split(text, ' ')`` reproduces it exactly).
+
+    Fully vectorized: ONE Arrow ``split_pattern`` per batch, numpy
+    segment-arange to build the (overlap-inflated) gather index, one
+    ``take`` + ``binary_join`` to materialize chunk text. No Python
+    loop over docs or chunks — per-chunk cost is the memcpy of its
+    bytes, which producing the output requires anyway.
+    """
+    import numpy as np
+
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    ids = batch[id_column]
+    split = pc.split_pattern(batch[text_column], " ")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    doc_off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = split.values
+    lens = np.diff(doc_off)  # >= 1 per doc: ''.split(' ') == ['']
+    n_chunks = -(-lens // stride)
+    total = int(n_chunks.sum())
+    if total == 0:
+        return pa.table(
+            {
+                id_column: pa.array([], ids.type),
+                "chunk_id": pa.array([], pa.int64()),
+                "start_tok": pa.array([], pa.int64()),
+                "n_tok": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+    doc_idx = np.repeat(np.arange(len(lens)), n_chunks)
+    chunk_starts = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+    chunk_id = np.arange(total, dtype=np.int64) - np.repeat(chunk_starts, n_chunks)
+    s = chunk_id * stride
+    cl = np.minimum(window, lens[doc_idx] - s)
+    # gather index: for chunk c, flat positions doc_off[doc]+s .. +s+cl-1
+    gstart = doc_off[doc_idx] + s
+    out_off = np.concatenate(([0], np.cumsum(cl)))
+    idx = np.arange(out_off[-1], dtype=np.int64) - np.repeat(out_off[:-1], cl) + np.repeat(gstart, cl)
+    gathered = flat.take(pa.array(idx))
+    lists = pa.ListArray.from_arrays(pa.array(out_off, pa.int32()), gathered)
+    chunk_text = pc.binary_join(lists, " ")
+    return pa.table(
+        {
+            id_column: ids.take(pa.array(doc_idx)),
+            "chunk_id": pa.array(chunk_id),
+            "start_tok": pa.array(s.astype(np.int64)),
+            "n_tok": pa.array(cl.astype(np.int64)),
+            "chunk_text": chunk_text,
+        }
+    )
+
+
+def window_chunks(
+    ds: rd.Dataset,
+    window: int = 32,
+    stride: int = 24,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> rd.Dataset:
+    """Split every document into overlapping ``window``-token chunks at
+    ``stride`` spacing (stride < window ⇒ overlap). Pure per-batch
+    flat-map — streams, no shuffle; output rows carry (doc_id, chunk_id,
+    start_tok, n_tok, chunk_text)."""
+    return ds.map_batches(
+        lambda b: window_chunks_batch(b, window, stride, id_column, text_column),
+        batch_format="pyarrow",
+    )
