@@ -221,10 +221,16 @@ def global_rank(
         )
 
     bucketed = ds.map_batches(keyed, batch_format="pyarrow")
+    # bucket masses are already exact from the histogram (binning is
+    # deterministic), so no extra count pass: prefix-sum them directly
+    bucket_mass = np.bincount(
+        bin_to_bucket, weights=bin_counts, minlength=num_buckets
+    ).astype(np.int64)
     order = np.arange(num_buckets)
     if descending:
         order = order[::-1]
-    offsets = _bucket_offsets(bucketed, order)
+    cum_mass = np.concatenate(([0], np.cumsum(bucket_mass[order])))[:-1]
+    offsets = {int(b): int(o) for b, o in zip(order, cum_mass)}
     return _ranked(
         bucketed,
         offsets,
