@@ -82,7 +82,18 @@ def _ranked(
         bucket = int(group["__bucket"][0].as_py())
         keys = group["__key"].to_numpy(zero_copy_only=False)
         ids = group[id_column].to_numpy(zero_copy_only=False)
-        sort_keys = -keys if descending else keys
+        if np.issubdtype(keys.dtype, np.integer):
+            # order-preserving uint64 encoding: numpy negation wraps
+            # unsigned ints and overflows INT64_MIN, silently mis-ranking
+            # equal-bucket keys; bitwise NOT of the encoding inverts the
+            # order exactly for every integer dtype
+            if keys.dtype.kind == "u":
+                enc = keys.astype(np.uint64)
+            else:
+                enc = keys.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+            sort_keys = ~enc if descending else enc
+        else:
+            sort_keys = -keys if descending else keys
         order = np.lexsort((ids, sort_keys))
         pos = np.empty(len(order), dtype=np.int64)
         pos[order] = np.arange(len(order), dtype=np.int64) + offsets[bucket]
@@ -111,22 +122,24 @@ def global_shuffle_index(
     buckets are fixed-width ranges of the key space — no histogram pass
     needed and no skew possible (keys are unique per id).
     """
-    from ..functions.hashing import md5_key32
+    from .sampling import _key64  # the ONE md5 bucketing-key recipe
 
     num_buckets = max(1, num_buckets)
     width = -(-(1 << 32) // num_buckets)  # ceil — covers the full key space
 
     def keyed(batch: pa.Table) -> pa.Table:
-        keys = np.array(
-            [md5_key32(v, salt) for v in batch[id_column].to_pylist()],
-            dtype=np.int64,
-        )
+        keys = np.array(_key64(batch[id_column].to_pylist(), salt), dtype=np.int64)
         batch = batch.append_column("__key", pa.array(keys))
         return batch.append_column(
             "__bucket", pa.array((keys // width).astype(np.int32))
         )
 
-    bucketed = ds.map_batches(keyed, batch_format="pyarrow")
+    # materialize once: the count aggregate AND the rank shuffle both
+    # consume this lineage, and re-executing it would pay the per-row
+    # md5 map twice — the operator's dominant cost. The staged barrier
+    # is this repo's measured-win shape (BASELINE.md); blocks spill to
+    # the object store rather than re-running the map.
+    bucketed = ds.map_batches(keyed, batch_format="pyarrow").materialize()
     offsets = _bucket_offsets(bucketed, np.arange(num_buckets))
     return _ranked(
         bucketed,
@@ -155,18 +168,24 @@ def global_rank(
     because binning is deterministic), then the one bucket shuffle
     assigns ranks. Bucket boundaries are bin edges grouped to ~equal
     mass, so no bucket exceeds ~rows/P except where a single key value
-    dominates (see module docstring). Null keys are rejected loudly:
-    a null has no position under SQL ``ORDER BY`` without a declared
-    NULLS FIRST/LAST policy, and silently defaulting one would corrupt
-    every downstream offset.
+    dominates (see module docstring). Null, NaN and infinite keys are
+    rejected loudly: none of them has a position under SQL ``ORDER BY``
+    without a declared placement policy (and NaN/inf would poison the
+    histogram edges) — silently defaulting one would corrupt every
+    downstream offset.
     """
     num_buckets = max(1, num_buckets)
 
-    def key_stats(batch: pa.Table) -> pa.Table:
-        col = batch[key_column]
+    def _checked(col) -> np.ndarray:
         if col.null_count:
             raise ValueError(f"global_rank: null values in {key_column!r}")
-        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        v = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(v.dtype, np.floating) and not np.isfinite(v).all():
+            raise ValueError(f"global_rank: non-finite values in {key_column!r}")
+        return v
+
+    def key_stats(batch: pa.Table) -> pa.Table:
+        v = _checked(batch[key_column]).astype(np.float64)
         return pa.table(
             {"lo": [float(v.min())], "hi": [float(v.max())]}
             if len(v)
@@ -210,10 +229,7 @@ def global_rank(
     bin_to_bucket = np.maximum(bin_to_bucket, 0)
 
     def keyed(batch: pa.Table) -> pa.Table:
-        col = batch[key_column]
-        if col.null_count:
-            raise ValueError(f"global_rank: null values in {key_column!r}")
-        v = col.to_numpy(zero_copy_only=False)
+        v = _checked(batch[key_column])
         binned = np.searchsorted(edges, v.astype(np.float64), side="right")
         batch = batch.append_column("__key", pa.array(v))
         return batch.append_column(

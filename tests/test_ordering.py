@@ -76,6 +76,36 @@ def test_global_rank_rejects_nulls():
         global_rank(ds, "k").to_pandas()
 
 
+def test_global_rank_rejects_nan_and_inf():
+    for bad in [float("nan"), float("inf")]:
+        ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3], "k": [1.0, bad, 2.0]}))
+        with pytest.raises(Exception, match="non-finite"):
+            global_rank(ds, "k", descending=True).to_pandas()
+
+
+def test_global_rank_descending_unsigned_and_extreme_int64():
+    # uint32 keys sharing one equal-mass bucket: numpy negation wraps
+    # unsigned ints (-uint32(1) == 4294967295), mis-ranking the bucket
+    ids = list(range(30))
+    keys = [0] * 5 + [1] * 5 + [2] * 20
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "k": pa.array(keys, pa.uint32())})
+    )
+    out = global_rank(ds, "k", descending=True, num_buckets=2).to_pandas()
+    got = dict(zip(out["doc_id"], out["pos"]))
+    order = sorted(zip(keys, ids), key=lambda t: (-t[0], t[1]))
+    assert got == {i: p for p, (_, i) in enumerate(order)}
+
+    # INT64_MIN/MAX: negation overflows int64
+    lo, hi = -(2**63), 2**63 - 1
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3], "k": pa.array([lo, 0, hi], pa.int64())})
+    )
+    out = global_rank(ds, "k", descending=True, num_buckets=1).to_pandas()
+    assert dict(zip(out["doc_id"], out["pos"])) == {3: 0, 2: 1, 1: 2}
+
+
 def test_window_chunks_batch_golden():
     t = pa.table({"doc_id": [1, 2, 3], "text": ["a b c d e f g", "x y", ""]})
     out = window_chunks_batch(t, window=3, stride=2).to_pandas()
