@@ -799,6 +799,18 @@ def _q_doc_chunks(sf_dir: str):
     return window_chunks(ds, window=32, stride=24)
 
 
+def _q_bpe_tokenize(sf_dir: str):
+    # train BPE merges on the corpus word-frequency dict (ONE
+    # distributed aggregate; the merge loop runs on the compressed
+    # dict), then count per-doc tokens under the trained vocab
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.bpe import bpe_token_counts, bpe_train
+
+    ds = read_documents_flat(sf_dir, columns=("doc_id", "text"))
+    merges = bpe_train(ds, num_merges=64, max_words=50_000)
+    return bpe_token_counts(ds, merges).select_columns(["doc_id", "n_bpe"])
+
+
 def _q_chunk_spans(sf_dir: str):
     from saber_ray.pipelines.demo import demo_chunk_spans
 
@@ -1342,6 +1354,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14": _q_tpch_q14,
         "tpch_q10": _q_tpch_q10,
         "tpch_q18": _q_tpch_q18,
+        # rows-only (no SQL oracle — the BPE merge loop is iterative);
+        # golden-tested in tests/test_bpe.py; past the driver's 50-row
+        # record window by design so it never displaces a hash-checked
+        # query
+        "bpe_tokenize": _q_bpe_tokenize,
     }
 
 

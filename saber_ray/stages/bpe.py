@@ -1,0 +1,172 @@
+"""BPE tokenizer training + application over a document corpus.
+
+The reference builds its vocabularies by pooling token/char sets across
+the corpus (``saber/preprocessor.py:101-137``, ``saber/dataset.py:87-113``)
+and counts token frequency with a global Counter
+(``saber/preprocessor.py:246-249``). This module extends that surface to
+the tokenizer an LLM-data pipeline actually trains: byte-pair-encoding
+merges learned from corpus statistics (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units" — public method).
+
+Scale shape — the key observation is that BPE training NEVER needs the
+corpus, only the WORD-FREQUENCY dictionary (Zipf: ~10^5-10^6 distinct
+words for 10^12 corpus tokens):
+
+1. word frequencies come from the engine's distributed
+   ``token_frequency`` aggregate (per-batch partial Counters → one
+   ``groupby(token).sum()`` shuffle);
+2. the frequency dict — optionally truncated to the top ``max_words``,
+   which is standard practice and bounds driver memory — is pulled to
+   the driver (tiny relative to the corpus) and the classic merge loop
+   runs there: each iteration counts adjacent symbol pairs WEIGHTED BY
+   WORD FREQUENCY and merges the most frequent pair. Cost is
+   O(num_merges × distinct_words), independent of corpus size;
+3. applying the learned merges back over the corpus is an actor-pool
+   ``map_batches`` stage: the merge-rank dict is built once per actor
+   in ``__init__``, each batch re-tokenizes its documents with a
+   word-level LRU (each DISTINCT word is encoded once per batch).
+
+Determinism: pair-count ties break lexicographically, so the merge list
+is a pure function of the frequency dict regardless of dict/hash order.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pyarrow as pa
+import ray.data as rd
+
+from .textstats import TOKEN_PATTERN
+
+_WORD_RE = re.compile(TOKEN_PATTERN)
+
+#: end-of-word sentinel appended to every word's last symbol so merges
+#: never cross word boundaries (the classic formulation)
+EOW = "▁"
+
+
+def learn_bpe(word_freq: dict[str, int], num_merges: int) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a word-frequency dict.
+
+    Pure driver-side function — input is the compressed dict, not the
+    corpus. Ties on pair count break lexicographically (deterministic).
+    """
+    seqs: list[tuple[list[str], int]] = [
+        ([*w[:-1], w[-1] + EOW], f) for w, f in sorted(word_freq.items()) if w
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: Counter[tuple[str, str]] = Counter()
+        for sym, f in seqs:
+            for a, b in zip(sym, sym[1:]):
+                pair_counts[(a, b)] += f
+        if not pair_counts:
+            break
+        best = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        # deterministic: highest count, then lexicographically GREATEST
+        # pair (any fixed total order works; this one needs no reverse
+        # sort of the whole counter)
+        pair, count = best
+        if count < 2:
+            break  # nothing repeats — further merges are noise
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        for i, (sym, f) in enumerate(seqs):
+            if len(sym) < 2:
+                continue
+            out = []
+            j = 0
+            while j < len(sym):
+                if j + 1 < len(sym) and sym[j] == pair[0] and sym[j + 1] == pair[1]:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            seqs[i] = (out, f)
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode ONE word with learned merge ranks (lowest rank first) —
+    the standard greedy BPE apply."""
+    if not word:
+        return []
+    sym = [*word[:-1], word[-1] + EOW]
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i, pair in enumerate(zip(sym, sym[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_train(
+    ds: rd.Dataset,
+    column: str = "text",
+    num_merges: int = 200,
+    max_words: int | None = 100_000,
+) -> list[tuple[str, str]]:
+    """Train BPE merges over a corpus: ONE distributed word-frequency
+    aggregate, then the driver-side merge loop on the compressed dict.
+    ``max_words`` keeps the driver pull bounded (top-N by frequency,
+    ties by token — standard practice; tail-of-Zipf words contribute
+    pair counts below the merge threshold anyway)."""
+    from .textstats import token_frequency
+
+    freq_ds = token_frequency(ds, column=column)
+    if max_words is not None:
+        freq_ds = freq_ds.sort(["n", "token"], descending=[True, False]).limit(
+            max_words
+        )
+    freq = {r["token"]: int(r["n"]) for r in freq_ds.take_all()}
+    return learn_bpe(freq, num_merges)
+
+
+class BpeEncoder:
+    """Actor-pool BPE application: merge ranks built once per actor,
+    one encode per DISTINCT word per batch (memoized)."""
+
+    def __init__(self, merges: list[tuple[str, str]], column: str = "text"):
+        self.ranks = {tuple(p): i for i, p in enumerate(merges)}
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cache: dict[str, int] = {}
+        counts = []
+        for text in batch[self.column].to_pylist():
+            total = 0
+            for w in _WORD_RE.findall(text.lower() if text else ""):
+                n = cache.get(w)
+                if n is None:
+                    n = len(encode_word(w, self.ranks))
+                    cache[w] = n
+                total += n
+            counts.append(total)
+        return batch.append_column("n_bpe", pa.array(counts, type=pa.int64()))
+
+
+def bpe_token_counts(
+    ds: rd.Dataset,
+    merges: list[tuple[str, str]],
+    column: str = "text",
+    concurrency: int | None = None,
+) -> rd.Dataset:
+    """Per-document token count under a TRAINED BPE vocabulary (the real
+    training-cost number, vs ``token_count_bpe``'s pretokenizer
+    estimate). Stateful actor pool; merges ship once per actor."""
+    if concurrency is None:
+        # task-based: the encoder instance ships with each task
+        return ds.map_batches(BpeEncoder(merges, column), batch_format="pyarrow")
+    return ds.map_batches(
+        BpeEncoder,  # class → actor pool; ranks built once per actor
+        fn_constructor_args=(merges, column),
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
