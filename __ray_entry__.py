@@ -799,6 +799,18 @@ def _q_doc_chunks(sf_dir: str):
     return window_chunks(ds, window=32, stride=24)
 
 
+def _q_budget_take(sf_dir: str):
+    # fill a 30k-char budget with the longest documents: distributed
+    # ordered prefix-sum; buckets past the budget never shuffle
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.ordering import take_weight_budget
+
+    ds = read_documents_flat(sf_dir, columns=("doc_id", "n_chars"))
+    return take_weight_budget(
+        ds, "n_chars", "n_chars", budget=30_000, descending=True
+    )
+
+
 def _q_bpe_tokenize(sf_dir: str):
     # train BPE merges on the corpus word-frequency dict (ONE
     # distributed aggregate; the merge loop runs on the compressed
@@ -1231,6 +1243,29 @@ def _q_decontaminate(sf_dir: str):
     return clean.select_columns(["doc_id"])
 
 
+def _q_contamination_fraction(sf_dir: str):
+    # same eval/train split as decontaminate, but SCORE the overlap:
+    # fraction of each doc's 8-token shingle positions found in the
+    # eval set — the audit signal behind the binary filter
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.decontam import contamination_fraction
+
+    docs = read_documents_flat(sf_dir)
+
+    def split(want_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            is_eval = (ids % 97) == 0
+            return b.filter(pa.array(is_eval if want_eval else ~is_eval))
+
+        return f
+
+    evals = docs.map_batches(split(True), batch_format="pyarrow")
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    scored = contamination_fraction(train, evals, n=8)
+    return scored.select_columns(["doc_id", "contam_frac"])
+
+
 def _q_repetition_stats(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.textstats import repetition_stats_batch
@@ -1301,6 +1336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_export": _q_shuffle_export,
         "curriculum_order": _q_curriculum_order,
         "doc_chunks": _q_doc_chunks,
+        "budget_take": _q_budget_take,
+        "contamination_fraction": _q_contamination_fraction,
         # -- new in round 4: Q12/Q13/Q17/Q22 shapes (never driver-recorded)
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
@@ -1764,6 +1801,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
                         AS BIGINT) AS pos
             FROM documents
+        """,
+        # ties are impossible under (n_chars DESC, doc_id), so RANGE and
+        # ROWS frames agree; budget is inclusive of the landing row
+        "budget_take": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id)
+                           AS cum
+                FROM documents
+            ) WHERE cum <= 30000
         """,
         # single-space tokenization ⇒ string_split reproduces the
         # engine's split_pattern exactly; list slice t[s+1 : s+32] is
@@ -2629,6 +2676,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             WHERE d.doc_id % 97 <> 0
               AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+        """,
+        # engine probes 64-bit rolling shingle hashes; oracle joins the
+        # exact shingle TEXT — agreement doubles as a collision check
+        "contamination_fraction": f"""
+            WITH toks AS (
+                SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s
+                FROM toks, LATERAL (
+                    SELECT UNNEST(range(1, len(t) - 7 + 1)) AS i
+                ) r
+            ),
+            banned AS (
+                SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+            ),
+            frac AS (
+                SELECT sh.doc_id,
+                       CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                            AS DOUBLE) / count(*) AS contam_frac
+                FROM sh LEFT JOIN banned b ON sh.s = b.s
+                WHERE sh.doc_id % 97 <> 0
+                GROUP BY sh.doc_id
+            )
+            SELECT d.doc_id, coalesce(f.contam_frac, 0.0) AS contam_frac
+            FROM documents d LEFT JOIN frac f ON d.doc_id = f.doc_id
+            WHERE d.doc_id % 97 <> 0
         """,
         "repetition_stats": f"""
             WITH lines AS (

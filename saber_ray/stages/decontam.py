@@ -132,3 +132,52 @@ def decontaminate(
         batch_format="pyarrow",
         concurrency=concurrency or pinned_pool(8),
     )
+
+
+class ContamFraction(CleanFilter):
+    """Actor-pool contamination SCORER: same broadcast shingle set and
+    vectorized probe as ``CleanFilter``, but instead of dropping hits it
+    appends ``contam_frac`` — the fraction of the document's shingle
+    POSITIONS found in the eval set. The reporting companion to the
+    binary filter: at 100 TB you audit overlap rates per source/shard
+    before deciding a drop threshold."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        banned = self._banned
+        per_doc = batch_shingle_hashes(
+            batch[self._col].to_pylist(), _TOKEN_RE, self._n)
+        lens = np.array([len(h) for h in per_doc], dtype=np.int64)
+        frac = np.zeros(batch.num_rows, dtype=np.float64)
+        if lens.sum() and len(banned):
+            flat = np.concatenate([h for h in per_doc if len(h)])
+            pos = np.searchsorted(banned, flat)
+            pos[pos == len(banned)] = 0
+            hit = (banned[pos] == flat).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            nonempty = lens > 0
+            seg_hits = np.add.reduceat(hit, starts[nonempty])
+            frac[nonempty] = seg_hits / lens[nonempty]
+        return batch.append_column("contam_frac", pa.array(frac))
+
+
+def contamination_fraction(
+    train_ds: rd.Dataset,
+    eval_ds: rd.Dataset,
+    n: int = 8,
+    text_column: str = "text",
+    concurrency=None,
+) -> rd.Dataset:
+    """Append per-document ``contam_frac`` (shingle positions hitting the
+    eval set / total shingle positions; 0.0 for docs shorter than ``n``
+    tokens). One streaming pass; eval shingles broadcast once."""
+    from ..functions.partitioning import pinned_pool
+
+    shingles_ref = ray.put(eval_shingle_set(eval_ds, n, text_column))
+    return train_ds.map_batches(
+        ContamFraction,
+        fn_constructor_kwargs={
+            "shingles_ref": shingles_ref, "n": n, "text_column": text_column,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or pinned_pool(8),
+    )

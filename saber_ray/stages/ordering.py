@@ -254,3 +254,142 @@ def global_rank(
         descending=descending,
         out_column=out_column,
     )
+
+
+def take_weight_budget(
+    ds: rd.Dataset,
+    key_column: str,
+    weight_column: str,
+    budget: float,
+    *,
+    id_column: str = "doc_id",
+    descending: bool = True,
+    num_buckets: int = 256,
+) -> rd.Dataset:
+    """Select rows in ``ORDER BY key [DESC], id`` order until the running
+    sum of ``weight`` reaches ``budget`` (inclusive of the row that lands
+    exactly on it) — "fill a token budget with the best documents".
+
+    SQL equivalent: ``WHERE sum(w) OVER (ORDER BY key [DESC], id) <= B``.
+
+    Scale shape: the same histogram range-bucketing as ``global_rank``,
+    then ONE tiny per-bucket weight-sum aggregate (P rows) which the
+    driver prefix-sums in rank order. Every bucket whose prefix offset
+    already exceeds the budget is dropped by a cheap FILTER before the
+    shuffle — only the selected buckets plus the single frontier bucket
+    ever move, so the shuffle cost tracks the BUDGET, not the corpus.
+    In-bucket selection is one vectorized lexsort + cumsum.
+
+    Weights must be non-negative (a negative weight makes the running
+    sum non-monotone and the pre-shuffle pruning unsound — rejected
+    loudly). Integer weights are exact (float64 accumulation below
+    2^53); for float weights a row landing within float-rounding of the
+    budget may differ from an exact-decimal SQL evaluation.
+    """
+    num_buckets = max(1, num_buckets)
+
+    def _checked(col, name) -> np.ndarray:
+        if col.null_count:
+            raise ValueError(f"take_weight_budget: null values in {name!r}")
+        v = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(v.dtype, np.floating) and not np.isfinite(v).all():
+            raise ValueError(f"take_weight_budget: non-finite values in {name!r}")
+        return v
+
+    def key_stats(batch: pa.Table) -> pa.Table:
+        v = _checked(batch[key_column], key_column).astype(np.float64)
+        return pa.table(
+            {"lo": [float(v.min())], "hi": [float(v.max())]}
+            if len(v)
+            else {"lo": pa.array([], pa.float64()), "hi": pa.array([], pa.float64())}
+        )
+
+    stats = ds.select_columns([key_column]).map_batches(
+        key_stats, batch_format="pyarrow"
+    ).to_pandas()
+    if stats.empty:
+        return ds
+    lo, hi = float(stats["lo"].min()), float(stats["hi"].max())
+    edges = np.linspace(lo, hi, _HIST_BINS + 1)[1:-1] if hi > lo else np.array([])
+
+    # per-BIN weight sums (exact — binning is deterministic); bins then
+    # group into equal-WEIGHT buckets so the frontier bucket is small
+    def wsum_partial(batch: pa.Table) -> pa.Table:
+        k = _checked(batch[key_column], key_column).astype(np.float64)
+        w = _checked(batch[weight_column], weight_column).astype(np.float64)
+        if (w < 0).any():
+            # negative weights make the running sum non-monotone: rows
+            # PAST the frontier could re-qualify, so bucket pruning (and
+            # the budget semantics themselves) would silently drop them
+            raise ValueError(
+                f"take_weight_budget: negative weights in {weight_column!r}"
+            )
+        binned = np.searchsorted(edges, k, side="right")
+        sums = np.bincount(binned, weights=w, minlength=_HIST_BINS)
+        return pa.table(
+            {"bin": np.arange(_HIST_BINS, dtype=np.int32), "w": sums}
+        )
+
+    wcols = [key_column] + ([weight_column] if weight_column != key_column else [])
+    hist = (
+        ds.select_columns(wcols)
+        .map_batches(wsum_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .sum("w")
+        .to_pandas()
+        .sort_values("bin")
+    )
+    bin_w = np.zeros(_HIST_BINS, dtype=np.float64)
+    bin_w[hist["bin"].to_numpy()] = hist["sum(w)"].to_numpy()
+    total_w = float(bin_w.sum())
+    per = max(total_w / num_buckets, 1e-12)
+    cum_w = np.cumsum(bin_w)
+    bin_to_bucket = np.minimum(
+        np.maximum(np.ceil(cum_w / per).astype(np.int64) - 1, 0), num_buckets - 1
+    ).astype(np.int32)
+
+    # weight offset of each bucket in rank order + pre-shuffle pruning
+    bucket_w = np.bincount(bin_to_bucket, weights=bin_w, minlength=num_buckets)
+    order = np.arange(num_buckets)
+    if descending:
+        order = order[::-1]
+    w_off = np.concatenate(([0.0], np.cumsum(bucket_w[order])))[:-1]
+    offsets = {int(b): float(o) for b, o in zip(order, w_off)}
+    live = np.array(
+        sorted(int(b) for b, o in offsets.items() if o <= budget), dtype=np.int32
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        k = _checked(batch[key_column], key_column)
+        binned = np.searchsorted(edges, k.astype(np.float64), side="right")
+        b = bin_to_bucket[binned]
+        batch = batch.append_column("__key", pa.array(k))
+        batch = batch.append_column("__bucket", pa.array(b))
+        return batch.filter(pa.array(np.isin(b, live)))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        keep = [c for c in group.column_names if c not in ("__bucket", "__key")]
+        if len(group) == 0:
+            return group.select(keep)
+        bucket = int(group["__bucket"][0].as_py())
+        keys = group["__key"].to_numpy(zero_copy_only=False)
+        ids = group[id_column].to_numpy(zero_copy_only=False)
+        if np.issubdtype(keys.dtype, np.integer):
+            if keys.dtype.kind == "u":
+                enc = keys.astype(np.uint64)
+            else:
+                enc = keys.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+            sort_keys = ~enc if descending else enc
+        else:
+            sort_keys = -keys if descending else keys
+        order_ix = np.lexsort((ids, sort_keys))
+        w = group[weight_column].to_numpy(zero_copy_only=False).astype(np.float64)
+        cum = np.cumsum(w[order_ix]) + offsets[bucket]
+        sel = order_ix[cum <= budget]
+        return group.select(keep).take(pa.array(np.sort(sel)))
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -129,3 +129,46 @@ def test_window_chunks_reconstruction_no_overlap():
         sub = out[out["doc_id"] == i].sort_values("chunk_id")
         assert " ".join(sub["chunk_text"]) == txt
         assert int(sub["n_tok"].sum()) == len(txt.split(" "))
+
+
+def test_take_weight_budget_matches_sql_semantics():
+    from saber_ray.stages.ordering import take_weight_budget
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    ids = rng.permutation(n).astype(np.int64)
+    w = rng.integers(1, 100, size=n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "w": w})).repartition(5)
+    budget = int(w.sum() * 0.3)
+    out = take_weight_budget(
+        ds, "w", "w", budget=budget, descending=True, num_buckets=16
+    ).to_pandas()
+    # reference: cumulative sum in (w DESC, id) order, keep cum <= budget
+    order = sorted(zip(w.tolist(), ids.tolist()), key=lambda t: (-t[0], t[1]))
+    cum, keep = 0, set()
+    for wv, i in order:
+        cum += wv
+        if cum > budget:
+            break
+        keep.add(i)
+    assert set(out["doc_id"]) == keep
+    assert out["w"].sum() <= budget
+
+
+def test_take_weight_budget_extremes():
+    from saber_ray.stages.ordering import take_weight_budget
+
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3], "w": [10, 20, 30]}))
+    # budget below the first row: nothing selected
+    assert take_weight_budget(ds, "w", "w", budget=5).count() == 0
+    # budget covers everything
+    out = take_weight_budget(ds, "w", "w", budget=100).to_pandas()
+    assert set(out["doc_id"]) == {1, 2, 3}
+
+
+def test_take_weight_budget_rejects_negative_weights():
+    from saber_ray.stages.ordering import take_weight_budget
+
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3], "w": [10, -1, 30]}))
+    with pytest.raises(Exception, match="negative"):
+        take_weight_budget(ds, "w", "w", budget=100).to_pandas()

@@ -122,6 +122,31 @@ def test_decontaminate_drops_overlapping_docs():
     assert len(eval_shingle_set(bench, 8)) == 1
 
 
+def test_contamination_fraction_scores():
+    from saber_ray.stages.decontam import contamination_fraction
+
+    bench = _docs({"doc_id": [100], "text": ["q w e r t y u i"]})  # one 8-gram
+    train = _docs(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                # 10 tokens -> 3 shingle positions; position 2 hits -> 1/3
+                "a b q w e r t y u i",
+                "no overlap with the benchmark document at all here now",
+                "short doc",  # < 8 tokens -> 0 shingles -> 0.0
+            ],
+        }
+    )
+    out = (
+        contamination_fraction(train, bench, n=8)
+        .to_pandas()
+        .set_index("doc_id")["contam_frac"]
+    )
+    assert abs(out[1] - 1 / 3) < 1e-12
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+
+
 # --------------------------------------------------------------- packing
 
 
