@@ -1266,6 +1266,17 @@ def _q_contamination_fraction(sf_dir: str):
     return scored.select_columns(["doc_id", "contam_frac"])
 
 
+def _q_grouped_approx_distinct(sf_dir: str):
+    # distinct users per event type via grouped HyperLogLog — the
+    # COUNT(DISTINCT ...) GROUP BY that would be a (group, value)
+    # shuffle at 100 TB; registers, never values, cross the wire
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.sketch import grouped_approx_distinct
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ev, "event_type", "user_id", p=12)
+
+
 def _q_repetition_stats(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.textstats import repetition_stats_batch
@@ -1338,6 +1349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "budget_take": _q_budget_take,
         "contamination_fraction": _q_contamination_fraction,
+        "grouped_approx_distinct": _q_grouped_approx_distinct,
         # -- new in round 4: Q12/Q13/Q17/Q22 shapes (never driver-recorded)
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
@@ -1509,6 +1521,53 @@ def _hll_sql(p: int = 12) -> str:
     """
 
 
+def _hll_grouped_sql(grp: str, val: str, table: str, p: int = 12) -> str:
+    """Per-group variant of ``_hll_sql`` (grouped HyperLogLog —
+    saber_ray/stages/sketch.py:grouped_approx_distinct): identical hash,
+    rank cases and estimator, with every aggregate keyed by the group."""
+    shift = 64 - p
+    m = 1 << p
+    whens = " ".join(
+        f"WHEN rem >= {1 << (shift - r)} THEN {r}" for r in range(1, shift + 1)
+    )
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    return f"""
+        WITH pairs AS (SELECT DISTINCT {grp} AS grp, {val} AS v FROM {table}),
+        h AS (
+            SELECT grp,
+                   ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 16))::UBIGINT AS hv
+            FROM pairs
+        ),
+        regs AS (
+            SELECT grp, CAST(hv >> {shift} AS BIGINT) AS register,
+                   CASE {whens} ELSE {shift + 1} END AS rank
+            FROM (
+                SELECT grp, hv,
+                       CAST(hv & CAST({(1 << shift) - 1} AS UBIGINT)
+                            AS UBIGINT) AS rem
+                FROM h
+            )
+        ),
+        agg AS (SELECT grp, register, max(rank) AS r FROM regs GROUP BY 1, 2),
+        stats AS (
+            SELECT grp, sum(pow(2.0, -r)) AS s_occ, count(*) AS occ
+            FROM agg GROUP BY 1
+        ),
+        est AS (
+            SELECT grp, {alpha} * {m}.0 * {m}.0 / (s_occ + ({m} - occ)) AS raw,
+                   CAST({m} - occ AS DOUBLE) AS zeros, occ
+            FROM stats
+        )
+        SELECT grp AS {grp},
+               round(CASE WHEN zeros > 0 AND raw <= 2.5 * {m}
+                          THEN {m}.0 * ln({m}.0 / zeros)
+                          ELSE raw END, 6) AS estimate,
+               CAST(occ AS BIGINT) AS occupied,
+               CAST({m} AS BIGINT) AS m
+        FROM est
+    """
+
+
 def _cms_sql(lg_w: int = 12, depth: int = 4, k: int = 20) -> str:
     """DuckDB replica of the Count-Min sketch (saber_ray/stages/sketch.py):
     up to four u32 words of one md5 give the row hashes, counters are
@@ -1617,6 +1676,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             {_hll_sql(p=12)}
         """,
+        "grouped_approx_distinct": _hll_grouped_sql(
+            "event_type", "user_id", "events", p=12
+        ),
         "cms_hot_tokens": f"""
             WITH toks AS (
                 SELECT unnest({TOKENS_SQL}) AS tok FROM documents

@@ -247,3 +247,78 @@ def cms_hot_tokens(
         .map_batches(estimate, batch_format="pyarrow")
     )
     return probes.sort(["est", "token"], descending=[True, False]).limit(k)
+
+
+def grouped_approx_distinct(
+    ds: rd.Dataset,
+    group_column: str,
+    value_column: str,
+    p: int = 12,
+) -> rd.Dataset:
+    """Per-group approximate distinct count (grouped HyperLogLog):
+    ``approx_count_distinct(value) GROUP BY group`` at 100-TB scale —
+    e.g. distinct users per event type without a (group, value) shuffle.
+
+    Distributed shape: each batch pre-maxes into at most
+    ``groups_in_batch × 2^p`` (group, register, rank) rows (usually far
+    fewer), ONE ``groupby(group, register).max`` merges the partials,
+    and a per-GROUP finalizer walks each group's <= 2^p-row register
+    file — per-group Python cost is one call per OUTPUT row, which is
+    the result's own size. Same md5 hash recipe as the global sketch,
+    so the DuckDB oracle reproduces the estimate exactly.
+    """
+    shift = 64 - p
+    mask = (1 << shift) - 1
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups = batch[group_column].to_pylist()
+        values = batch[value_column].to_pylist()
+        cache: dict = {}
+        best: dict = {}
+        for grp, val in set(zip(groups, values)):
+            t = cache.get(val)
+            if t is None:
+                h = stable_u64_md5(str(val))
+                rem = h & mask
+                t = (h >> shift, shift + 1 - rem.bit_length() if rem else shift + 1)
+                cache[val] = t
+            key = (grp, t[0])
+            if best.get(key, 0) < t[1]:
+                best[key] = t[1]
+        ks = sorted(best)
+        return pa.table({
+            group_column: pa.array([k[0] for k in ks]),
+            "register": pa.array([k[1] for k in ks], type=pa.int64()),
+            "rank": pa.array([best[k] for k in ks], type=pa.int64()),
+        })
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_column, "register"])
+        .max("rank")
+    )
+
+    def per_group(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        registers = np.zeros(m, dtype=np.int64)
+        registers[group["register"].to_numpy(zero_copy_only=False)] = (
+            group["max(rank)"].to_numpy(zero_copy_only=False)
+        )
+        est = pa.table({
+            group_column: group[group_column][:1],
+            "estimate": pc.round(
+                pa.array([hll_estimate(registers)], type=pa.float64()),
+                6, round_mode="half_towards_infinity",
+            ),
+            "occupied": pa.array(
+                [int(np.count_nonzero(registers))], type=pa.int64()
+            ),
+            "m": pa.array([m], type=pa.int64()),
+        })
+        return est
+
+    return merged.groupby(group_column).map_groups(
+        per_group, batch_format="pyarrow"
+    )

@@ -123,3 +123,32 @@ def test_approx_distinct_tokens_dataset():
     truth = len({f"w{(i * 3 + j) % 1200}" for i in range(400) for j in range(30)})
     assert abs(row["estimate"] - truth) / truth < 0.1
     assert 0 < row["occupied"] <= 4096
+
+
+def test_grouped_approx_distinct():
+    from saber_ray.stages.sketch import grouped_approx_distinct
+
+    # 3 groups with known distinct-value counts (values overlap across
+    # groups — per-group registers must not bleed into each other)
+    rows = []
+    for g, n in [("a", 800), ("b", 200), ("c", 1)]:
+        rows += [{"g": g, "v": f"u{i}"} for i in range(n)]
+        rows += [{"g": g, "v": f"u{i}"} for i in range(min(n, 50))]  # repeats
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(6)
+    out = {r["g"]: r for r in grouped_approx_distinct(ds, "g", "v", p=12).take_all()}
+    assert set(out) == {"a", "b", "c"}
+    for g, n in [("a", 800), ("b", 200)]:
+        assert abs(out[g]["estimate"] - n) / n < 0.1
+        assert out[g]["m"] == 4096
+    assert out["c"]["occupied"] == 1  # single value -> exactly one register
+
+    # partition invariance: same sketch regardless of block layout
+    out2 = {
+        r["g"]: r
+        for r in grouped_approx_distinct(
+            rd.from_arrow(pa.Table.from_pylist(rows)).repartition(1), "g", "v", p=12
+        ).take_all()
+    }
+    assert {g: r["estimate"] for g, r in out.items()} == {
+        g: r["estimate"] for g, r in out2.items()
+    }
