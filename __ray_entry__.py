@@ -1277,6 +1277,73 @@ def _q_grouped_approx_distinct(sf_dir: str):
     return grouped_approx_distinct(ev, "event_type", "user_id", p=12)
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental near-dup dedup against a PERSISTED corpus MinHash-LSH
+    index (saber_ray/stages/dedup.py:build_minhash_index): corpus =
+    documents with doc_id % 10 != 0, indexed ONCE (cache-committed with
+    the ivf protocol — params.json lands last, so dir-exists ⇒
+    complete); increment = doc_id % 10 == 0, the arriving 10% shard.
+    The query reads increment text once, shuffles only increment band
+    rows, opens only the index partitions those rows touch, and
+    verifies with the exact-Jaccard kernel — so the DuckDB oracle is
+    the exact 2-gram-shingle join across the two subsets at the same
+    0.5 threshold. This is the 100-TB dedup shape: corpus cost is paid
+    at build time, per-shard cost is proportional to the shard."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    import saber_ray
+    from saber_ray.pipelines.demo import _STAGE_ROOT
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.dedup import build_minhash_index, dedup_against_index
+
+    def side(want_increment: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            inc = (ids % 10) == 0
+            return b.filter(pa.array(inc if want_increment else ~inc))
+
+        return f
+
+    docs = read_documents_flat(sf_dir)
+    corpus = docs.map_batches(side(False), batch_format="pyarrow")
+    increment = docs.map_batches(side(True), batch_format="pyarrow")
+
+    src = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}"
+        f"|mhidx-{saber_ray.__version__}-mod10".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(_STAGE_ROOT, f"mhidx_{key}")
+    marker = os.path.join(index_dir, "params.json")
+    if not os.path.exists(marker):
+        tmp = f"{index_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_minhash_index(corpus, tmp)
+        try:
+            os.rename(tmp, index_dir)
+        except OSError:
+            if not os.path.exists(marker):
+                stale = f"{index_dir}.stale.{os.getpid()}"
+                try:
+                    os.rename(index_dir, stale)
+                except OSError:
+                    pass
+                shutil.rmtree(stale, ignore_errors=True)
+                try:
+                    os.rename(tmp, index_dir)
+                except OSError:
+                    pass
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(marker):
+                raise
+    return dedup_against_index(increment, index_dir, min_jaccard=0.5)
+
+
 def _q_repetition_stats(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.textstats import repetition_stats_batch
@@ -1350,6 +1417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_take": _q_budget_take,
         "contamination_fraction": _q_contamination_fraction,
         "grouped_approx_distinct": _q_grouped_approx_distinct,
+        "dedup_incremental": _q_dedup_incremental,
         # -- new in round 4: Q12/Q13/Q17/Q22 shapes (never driver-recorded)
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
@@ -1942,6 +2010,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.id_a
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+        """,
+        "dedup_incremental": f"""
+            WITH toks AS (
+                SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+                    FROM toks, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+                    WHERE len(toks) >= 3
+                    UNION ALL
+                    SELECT doc_id, array_to_string(toks, ' ')
+                    FROM toks WHERE len(toks) BETWEEN 1 AND 2
+                )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            inter AS (
+                SELECT c.doc_id AS dup_of, i.doc_id AS new_id, count(*) AS i
+                FROM grams c JOIN grams i ON c.g = i.g
+                WHERE c.doc_id % 10 <> 0 AND i.doc_id % 10 = 0
+                GROUP BY 1, 2
+            )
+            SELECT i.new_id, i.dup_of,
+                   CAST(i.i AS DOUBLE) / (sc.n + si.n - i.i) AS jaccard
+            FROM inter i
+            JOIN sizes sc ON sc.doc_id = i.dup_of
+            JOIN sizes si ON si.doc_id = i.new_id
+            WHERE CAST(i.i AS DOUBLE) / (sc.n + si.n - i.i) >= 0.5
         """,
         "dedup_components": f"""
             WITH RECURSIVE toks AS (

@@ -367,30 +367,39 @@ def verify_pairs_jaccard(
         num_partitions=num_partitions,
     )
 
-    def score(batch: pa.Table) -> pa.Table:
-        out_a, out_b, out_j = [], [], []
-        for a, b, sa, sb in zip(
-            batch["id_a"].to_pylist(), batch["id_b"].to_pylist(),
-            batch["payload_a"].to_pylist(), batch["payload_b"].to_pylist(),
-        ):
-            sa = np.asarray(sa, dtype=np.int64)
-            sb = np.asarray(sb, dtype=np.int64)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            denom = len(sa) + len(sb) - inter
-            j = inter / denom if denom else 0.0
-            if j >= min_jaccard:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(j)
-        return pa.table(
-            {
-                "id_a": pa.array(out_a, type=id_type),
-                "id_b": pa.array(out_b, type=id_type),
-                "jaccard": pa.array(out_j, type=pa.float64()),
-            }
-        )
+    return attached.map_batches(
+        lambda b: _score_attached_jaccard(b, id_type, min_jaccard),
+        batch_format="pyarrow",
+    )
 
-    return attached.map_batches(score, batch_format="pyarrow")
+
+def _score_attached_jaccard(
+    batch: pa.Table, id_type, min_jaccard: float
+) -> pa.Table:
+    """(id_a, id_b, payload_a, payload_b) rows → exact-Jaccard scores over
+    the sorted-distinct shingle-hash arrays; the shared verification
+    kernel of ``verify_pairs_jaccard`` and ``dedup_against_index``."""
+    out_a, out_b, out_j = [], [], []
+    for a, b, sa, sb in zip(
+        batch["id_a"].to_pylist(), batch["id_b"].to_pylist(),
+        batch["payload_a"].to_pylist(), batch["payload_b"].to_pylist(),
+    ):
+        sa = np.asarray(sa, dtype=np.int64)
+        sb = np.asarray(sb, dtype=np.int64)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        denom = len(sa) + len(sb) - inter
+        j = inter / denom if denom else 0.0
+        if j >= min_jaccard:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(j)
+    return pa.table(
+        {
+            "id_a": pa.array(out_a, type=id_type),
+            "id_b": pa.array(out_b, type=id_type),
+            "jaccard": pa.array(out_j, type=pa.float64()),
+        }
+    )
 
 
 def ngram_jaccard_pairs(
@@ -732,4 +741,283 @@ def near_dup_dropped_ids(
         verified.groupby("id_b").count()
         .drop_columns(["count()"])
         .rename_columns({"id_b": "doc_id"})
+    )
+
+
+# ------------------------------------------- incremental (stored index) -----
+
+
+class MinHashIndexRows(MinHashSignatures):
+    """Fused index-build stage: one pass over document text emits BOTH
+    the MinHash signature and the sorted-distinct shingle-hash array per
+    document (the verification payload). Shingle hashing — the dominant
+    map cost — runs once, not once per derived table."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        per_doc = batch_shingle_hashes(
+            batch[self._col].to_pylist(), _TOKEN_RE, self._k,
+            whole_doc_if_short=True,
+        )
+        ids, sigs, shingles = [], [], []
+        for rid, hashes in zip(batch[self._id].to_pylist(), per_doc):
+            if len(hashes) == 0:
+                continue  # same empty-doc drop as MinHashSignatures
+            ids.append(rid)
+            sigs.append(
+                minhash_signature(hashes, self._a, self._b)
+                .astype(np.int64).tolist()
+            )
+            shingles.append(np.sort(np.unique(hashes)).view(np.int64).tolist())
+        id_type = batch.schema.field(self._id).type
+        return pa.table(
+            {
+                self._id: pa.array(ids, type=id_type),
+                "signature": pa.array(sigs, type=pa.list_(pa.int64())),
+                "shingles": pa.array(shingles, type=pa.list_(pa.int64())),
+            }
+        )
+
+
+def _stable_part(ids, num_parts: int) -> np.ndarray:
+    """Deterministic partition id per document id — md5-based so the
+    driver can reproduce it for storage-level pruning, layout- and
+    dtype-independent (matches ``functions.hashing.stable_u64_md5``)."""
+    from ..functions.hashing import stable_u64_md5
+
+    return np.fromiter(
+        (stable_u64_md5(str(i)) % num_parts for i in ids),
+        dtype=np.int64, count=len(ids),
+    )
+
+
+def build_minhash_index(
+    corpus: rd.Dataset,
+    index_dir: str,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    shingle_k: int = 3,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_parts: int = 64,
+    seed: int = 42,
+    concurrency=None,
+) -> None:
+    """Build and PERSIST a MinHash-LSH dedup index over a corpus, so
+    later arriving shards dedup against it WITHOUT re-touching corpus
+    text (``dedup_against_index``) — the incremental shape a 100-TB
+    corpus needs: the expensive corpus pass happens once, at build time.
+
+    Layout (all parquet, hive-partitioned):
+
+    * ``<index_dir>/docs/spart=<h>/``  — (id, signature, shingles) rows,
+      partitioned by a stable hash of the id: the verification payload,
+      prunable by candidate id at query time;
+    * ``<index_dir>/bands/part=<p>/`` — (id, band, band_hash) LSH band
+      rows partitioned by ``band_hash % num_parts``: candidate lookup
+      reads ONLY the partitions an increment's own band hashes land in;
+    * ``<index_dir>/params.json``     — banding/shingle parameters; an
+      increment MUST be hashed with the same parameters, so the query
+      side reads them from here rather than trusting its caller.
+
+    Cost: one streaming text pass (fused signature+shingle stage), one
+    partitioned write, then one column-pruned pass over the stored
+    ``signature`` column to derive band rows — corpus text is read
+    exactly once, and both derived tables shuffle nothing wider than a
+    partitioned write.
+    """
+    import json
+    import os
+
+    id_type = dict(zip(corpus.schema().names, corpus.schema().types))[id_column]
+    rows = corpus.map_batches(
+        MinHashIndexRows,
+        fn_constructor_kwargs={
+            "num_perm": num_perm, "shingle_k": shingle_k,
+            "column": column, "id_column": id_column,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or pinned_pool(8),
+    )
+
+    def add_spart(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "spart",
+            pa.array(_stable_part(batch[id_column].to_pylist(), num_parts)),
+        )
+
+    rows.map_batches(add_spart, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "docs"), partition_cols=["spart"]
+    )
+
+    # band rows derive from the STORED signature column (column-pruned
+    # read — shingle payloads never leave storage for this pass)
+    stored = rd.read_parquet(
+        os.path.join(index_dir, "docs"), columns=[id_column, "signature"]
+    )
+
+    def bands_with_part(batch: pa.Table) -> pa.Table:
+        out = _band_rows(batch, num_bands, id_column)
+        part = (
+            np.asarray(out["band_hash"].combine_chunks(), dtype=np.int64)
+            .view(np.uint64) % np.uint64(num_parts)
+        ).astype(np.int64)
+        return out.append_column("part", pa.array(part))
+
+    stored.map_batches(bands_with_part, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "bands"), partition_cols=["part"]
+    )
+    with open(os.path.join(index_dir, "params.json"), "w") as f:
+        json.dump(
+            {
+                "num_perm": num_perm, "num_bands": num_bands,
+                "shingle_k": shingle_k, "num_parts": num_parts,
+                "id_column": id_column, "column": column, "seed": seed,
+            },
+            f,
+        )
+
+
+def dedup_against_index(
+    increment: rd.Dataset,
+    index_dir: str,
+    min_jaccard: float = 0.5,
+    max_bucket: int = 64,
+    concurrency=None,
+) -> rd.Dataset:
+    """Near-duplicate matches of an arriving shard against a PERSISTED
+    corpus index (``build_minhash_index``), corpus text untouched.
+
+    Returns (new_id, dup_of, jaccard): every increment document whose
+    exact shingle Jaccard against some indexed document is
+    ``>= min_jaccard``, one row per matching corpus document.
+
+    Scale shape — cost is proportional to the INCREMENT, not the corpus:
+
+    1. increment → fused signature+shingle stage (one text pass);
+    2. increment band rows shuffle ONCE keyed on ``band_hash %
+       num_parts``; each group task reads exactly its own
+       ``bands/part=<p>/`` index partition (partitions no increment row
+       lands in are never opened) and joins in-task — the INDEX side
+       never shuffles;
+    3. per-LSH-key join fan-out is capped per side (``max_bucket``,
+       dropped WITH a warning — never O(n²));
+    4. verification payloads: increment side rides the in-stream shingle
+       arrays; corpus side reads ONLY the ``docs/spart=<h>/`` partitions
+       that hold candidate ids (storage-level pruning on the stable id
+       hash), then the shared exact-Jaccard kernel scores pair rows.
+    """
+    import glob
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "params.json")) as f:
+        params = json.load(f)
+    num_parts = params["num_parts"]
+    id_column = params["id_column"]
+    column = params["column"]
+
+    id_type = dict(zip(increment.schema().names, increment.schema().types))[id_column]
+    inc_rows = increment.map_batches(
+        MinHashIndexRows,
+        fn_constructor_kwargs={
+            "num_perm": params["num_perm"], "shingle_k": params["shingle_k"],
+            "column": column, "id_column": id_column,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or pinned_pool(8),
+    ).materialize()  # two consumers: band lookup + verification payload
+
+    def bands_with_part(batch: pa.Table) -> pa.Table:
+        out = _band_rows(
+            batch.select([id_column, "signature"]),
+            params["num_bands"], id_column,
+        )
+        part = (
+            np.asarray(out["band_hash"].combine_chunks(), dtype=np.int64)
+            .view(np.uint64) % np.uint64(num_parts)
+        ).astype(np.int64)
+        return out.append_column("part", pa.array(part))
+
+    inc_bands = inc_rows.map_batches(bands_with_part, batch_format="pyarrow")
+
+    def probe_part(df):
+        """One shuffle group = one index partition: read it (local,
+        pruned), join on the LSH key, emit cross-side candidate pairs."""
+        import logging
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        empty = pd.DataFrame({"id_a": df[id_column][:0], "id_b": df[id_column][:0]})
+        if len(df) == 0:
+            return empty
+        p = int(df["part"].iloc[0])
+        files = sorted(
+            glob.glob(os.path.join(index_dir, "bands", f"part={p}", "*.parquet"))
+        )
+        if not files:
+            return empty
+        idx = pa.concat_tables(
+            [pq.read_table(f, columns=[id_column, "band", "band_hash"]) for f in files]
+        ).to_pandas()
+        counts_inc = df.groupby(["band", "band_hash"])[id_column].transform("size")
+        counts_idx = idx.groupby(["band", "band_hash"])[id_column].transform("size")
+        if (counts_inc > max_bucket).any() or (counts_idx > max_bucket).any():
+            logging.getLogger(__name__).warning(
+                "LSH key exceeds max_bucket=%d; its pairs are skipped", max_bucket
+            )
+        merged = pd.merge(
+            idx[counts_idx <= max_bucket].rename(columns={id_column: "id_a"}),
+            df[counts_inc <= max_bucket].rename(columns={id_column: "id_b"}),
+            on=["band", "band_hash"],
+        )
+        # a doc can appear on both sides of the split only by caller
+        # error; self-pairs are still excluded for safety
+        merged = merged[merged["id_a"] != merged["id_b"]]
+        return merged[["id_a", "id_b"]]
+
+    pairs = (
+        inc_bands.groupby("part")
+        .map_groups(probe_part, batch_format="pandas")
+        .map_batches(  # pandas may widen dtypes; restore the input's
+            lambda t: pa.table({"id_a": pc.cast(t["id_a"], id_type),
+                                "id_b": pc.cast(t["id_b"], id_type)}),
+            batch_format="pyarrow",
+        )
+        .groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
+        .materialize()
+    )
+
+    # ----- verification: pruned corpus payload reads + in-stream increment
+    corpus_ids: set = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        corpus_ids.update(b["id_a"].to_pylist())
+    empty_out = rd.from_arrow(pa.table({
+        "new_id": pa.array([], type=id_type),
+        "dup_of": pa.array([], type=id_type),
+        "jaccard": pa.array([], type=pa.float64()),
+    }))
+    if not corpus_ids:
+        return empty_out
+    sparts = sorted(set(_stable_part(sorted(corpus_ids), num_parts).tolist()))
+    doc_files = [
+        f
+        for h in sparts
+        for f in sorted(
+            glob.glob(os.path.join(index_dir, "docs", f"spart={h}", "*.parquet"))
+        )
+    ]
+    corpus_payload = rd.read_parquet(doc_files, columns=[id_column, "shingles"])
+    items = corpus_payload.union(inc_rows.select_columns([id_column, "shingles"]))
+
+    from .pairs import attach_pair_payload
+
+    attached = attach_pair_payload(pairs, items, id_column, "shingles")
+    return (
+        attached.map_batches(
+            lambda b: _score_attached_jaccard(b, id_type, min_jaccard),
+            batch_format="pyarrow",
+        )
+        .rename_columns({"id_a": "dup_of", "id_b": "new_id"})
+        .select_columns(["new_id", "dup_of", "jaccard"])
     )

@@ -632,3 +632,74 @@ def test_semantic_dedup_pairs_empty_and_cap():
     with pytest.raises(ValueError, match="max_cluster"):
         semantic_dedup_pairs(ds, cent, threshold=0.9,
                              max_cluster=10).take_all()
+
+
+def test_incremental_index_layout_and_matches(dup_corpus, tmp_path):
+    from saber_ray.stages.dedup import build_minhash_index, dedup_against_index
+
+    corpus = dup_corpus.filter(lambda r: r["doc_id"] < 100)
+    increment = dup_corpus.filter(lambda r: r["doc_id"] >= 100)
+    idx = str(tmp_path / "mhidx")
+    build_minhash_index(corpus, idx, num_parts=8)
+
+    # persisted layout: params sidecar + hive-partitioned band/doc tables
+    import glob
+    import json
+    import os
+
+    params = json.load(open(os.path.join(idx, "params.json")))
+    assert params["num_bands"] == 32 and params["num_parts"] == 8
+    assert glob.glob(os.path.join(idx, "bands", "part=*", "*.parquet"))
+    assert glob.glob(os.path.join(idx, "docs", "spart=*", "*.parquet"))
+
+    out = {(r["new_id"], r["dup_of"]): r["jaccard"]
+           for r in dedup_against_index(increment, idx).take_all()}
+    assert out[(200, 10)] == 1.0 and out[(201, 11)] == 1.0
+    for j in range(5):
+        assert 0.5 <= out[(100 + j, j)] < 1.0
+    # distinct corpus docs never match each other (cross-side pairs only)
+    assert all(new >= 100 and dup < 100 for new, dup in out)
+
+
+def test_incremental_no_match_and_empty(dup_corpus, tmp_path):
+    from saber_ray.stages.dedup import build_minhash_index, dedup_against_index
+
+    corpus = dup_corpus.filter(lambda r: r["doc_id"] < 100)
+    idx = str(tmp_path / "mhidx")
+    build_minhash_index(corpus, idx, num_parts=4)
+
+    # an increment with disjoint vocabulary matches nothing; output stays
+    # TYPED and empty
+    fresh = rd.from_arrow(pa.table({
+        "doc_id": [900, 901],
+        "text": ["zebra quokka lemur " * 10, "axolotl capuchin " * 12],
+    }))
+    out = dedup_against_index(fresh, idx)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"new_id", "dup_of", "jaccard"}
+
+
+def test_incremental_matches_cross_pairs_of_full_dedup(dup_corpus, tmp_path):
+    # the incremental result must equal the cross-side subset of the
+    # one-shot pipeline over the union (same banding, same verify)
+    from saber_ray.stages.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+        minhash_lsh_pairs,
+        verify_pairs_jaccard,
+    )
+
+    corpus = dup_corpus.filter(lambda r: r["doc_id"] < 100)
+    increment = dup_corpus.filter(lambda r: r["doc_id"] >= 100)
+    idx = str(tmp_path / "mhidx")
+    build_minhash_index(corpus, idx, num_parts=8)
+    inc_out = {(r["new_id"], r["dup_of"]) for r in
+               dedup_against_index(increment, idx).take_all()}
+
+    full = verify_pairs_jaccard(
+        minhash_lsh_pairs(dup_corpus), dup_corpus, min_jaccard=0.5
+    )
+    cross = {(max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+             for r in full.take_all()
+             if (r["id_a"] >= 100) != (r["id_b"] >= 100)}
+    assert inc_out == cross
