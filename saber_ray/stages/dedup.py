@@ -790,6 +790,28 @@ def _stable_part(ids, num_parts: int) -> np.ndarray:
     )
 
 
+def _add_spart(batch: pa.Table, id_column: str, num_parts: int) -> pa.Table:
+    """Append the payload table's partition column (stable id hash)."""
+    return batch.append_column(
+        "spart",
+        pa.array(_stable_part(batch[id_column].to_pylist(), num_parts)),
+    )
+
+
+def _bands_with_part(
+    batch: pa.Table, num_bands: int, num_parts: int, id_column: str
+) -> pa.Table:
+    """(id, signature) batch → band rows + the band table's partition
+    column (``band_hash % num_parts``) — the one key every side of the
+    incremental lifecycle must compute identically."""
+    out = _band_rows(batch.select([id_column, "signature"]), num_bands, id_column)
+    part = (
+        np.asarray(out["band_hash"].combine_chunks(), dtype=np.int64)
+        .view(np.uint64) % np.uint64(num_parts)
+    ).astype(np.int64)
+    return out.append_column("part", pa.array(part))
+
+
 def build_minhash_index(
     corpus: rd.Dataset,
     index_dir: str,
@@ -839,33 +861,19 @@ def build_minhash_index(
         concurrency=concurrency or pinned_pool(8),
     )
 
-    def add_spart(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "spart",
-            pa.array(_stable_part(batch[id_column].to_pylist(), num_parts)),
-        )
-
-    rows.map_batches(add_spart, batch_format="pyarrow").write_parquet(
-        os.path.join(index_dir, "docs"), partition_cols=["spart"]
-    )
+    rows.map_batches(
+        lambda b: _add_spart(b, id_column, num_parts), batch_format="pyarrow"
+    ).write_parquet(os.path.join(index_dir, "docs"), partition_cols=["spart"])
 
     # band rows derive from the STORED signature column (column-pruned
     # read — shingle payloads never leave storage for this pass)
     stored = rd.read_parquet(
         os.path.join(index_dir, "docs"), columns=[id_column, "signature"]
     )
-
-    def bands_with_part(batch: pa.Table) -> pa.Table:
-        out = _band_rows(batch, num_bands, id_column)
-        part = (
-            np.asarray(out["band_hash"].combine_chunks(), dtype=np.int64)
-            .view(np.uint64) % np.uint64(num_parts)
-        ).astype(np.int64)
-        return out.append_column("part", pa.array(part))
-
-    stored.map_batches(bands_with_part, batch_format="pyarrow").write_parquet(
-        os.path.join(index_dir, "bands"), partition_cols=["part"]
-    )
+    stored.map_batches(
+        lambda b: _bands_with_part(b, num_bands, num_parts, id_column),
+        batch_format="pyarrow",
+    ).write_parquet(os.path.join(index_dir, "bands"), partition_cols=["part"])
     with open(os.path.join(index_dir, "params.json"), "w") as f:
         json.dump(
             {
@@ -927,18 +935,10 @@ def dedup_against_index(
         concurrency=concurrency or pinned_pool(8),
     ).materialize()  # two consumers: band lookup + verification payload
 
-    def bands_with_part(batch: pa.Table) -> pa.Table:
-        out = _band_rows(
-            batch.select([id_column, "signature"]),
-            params["num_bands"], id_column,
-        )
-        part = (
-            np.asarray(out["band_hash"].combine_chunks(), dtype=np.int64)
-            .view(np.uint64) % np.uint64(num_parts)
-        ).astype(np.int64)
-        return out.append_column("part", pa.array(part))
-
-    inc_bands = inc_rows.map_batches(bands_with_part, batch_format="pyarrow")
+    inc_bands = inc_rows.map_batches(
+        lambda b: _bands_with_part(b, params["num_bands"], num_parts, id_column),
+        batch_format="pyarrow",
+    )
 
     def probe_part(df):
         """One shuffle group = one index partition: read it (local,
@@ -1021,3 +1021,44 @@ def dedup_against_index(
         .rename_columns({"id_a": "dup_of", "id_b": "new_id"})
         .select_columns(["new_id", "dup_of", "jaccard"])
     )
+
+
+def extend_minhash_index(
+    shard: rd.Dataset,
+    index_dir: str,
+    concurrency=None,
+) -> None:
+    """Append a shard's documents into an existing index
+    (``build_minhash_index``) — the write half of the incremental
+    lifecycle: dedup an arriving shard against the index, then extend
+    the index with its survivors so the NEXT shard sees them too.
+
+    Appends are new parquet files inside the existing hive partitions
+    (never rewrites); parameters come from the stored sidecar so the
+    shard is hashed exactly like the corpus. Caller owns id uniqueness
+    across shards (duplicate ids would self-pair on later lookups)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "params.json")) as f:
+        params = json.load(f)
+    num_parts = params["num_parts"]
+    id_column = params["id_column"]
+
+    rows = shard.map_batches(
+        MinHashIndexRows,
+        fn_constructor_kwargs={
+            "num_perm": params["num_perm"], "shingle_k": params["shingle_k"],
+            "column": params["column"], "id_column": id_column,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or pinned_pool(8),
+    ).materialize()  # feeds both partitioned appends below
+
+    rows.map_batches(
+        lambda b: _add_spart(b, id_column, num_parts), batch_format="pyarrow"
+    ).write_parquet(os.path.join(index_dir, "docs"), partition_cols=["spart"])
+    rows.map_batches(
+        lambda b: _bands_with_part(b, params["num_bands"], num_parts, id_column),
+        batch_format="pyarrow",
+    ).write_parquet(os.path.join(index_dir, "bands"), partition_cols=["part"])

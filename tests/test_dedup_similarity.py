@@ -703,3 +703,38 @@ def test_incremental_matches_cross_pairs_of_full_dedup(dup_corpus, tmp_path):
              for r in full.take_all()
              if (r["id_a"] >= 100) != (r["id_b"] >= 100)}
     assert inc_out == cross
+
+
+def test_incremental_index_extend_lifecycle(dup_corpus, tmp_path):
+    # dedup shard 1 against the index, extend the index with shard 1,
+    # then shard 2 must match docs from BOTH the corpus and shard 1
+    from saber_ray.stages.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+        extend_minhash_index,
+    )
+
+    corpus = dup_corpus.filter(lambda r: r["doc_id"] < 100)
+    shard1 = dup_corpus.filter(lambda r: 100 <= r["doc_id"] < 200)  # 100..104
+    idx = str(tmp_path / "mhidx")
+    build_minhash_index(corpus, idx, num_parts=8)
+
+    out1 = {(r["new_id"], r["dup_of"]) for r in
+            dedup_against_index(shard1, idx).take_all()}
+    assert out1 == {(100 + j, j) for j in range(5)}
+    extend_minhash_index(shard1, idx)
+
+    # shard 2: one exact dup of a CORPUS doc (id 200 copies 10) and one
+    # exact dup of a SHARD-1 doc (id 300 copies 104)
+    s1_text = {r["doc_id"]: r["text"] for r in shard1.take_all()}
+    shard2 = rd.from_arrow(pa.table({
+        "doc_id": [200, 300],
+        "text": [
+            {r["doc_id"]: r["text"] for r in corpus.take_all()}[10],
+            s1_text[104],
+        ],
+    }))
+    out2 = {(r["new_id"], r["dup_of"]): r["jaccard"] for r in
+            dedup_against_index(shard2, idx).take_all()}
+    assert out2[(200, 10)] == 1.0
+    assert out2[(300, 104)] == 1.0  # only findable via the extension
