@@ -1344,6 +1344,27 @@ def _q_dedup_incremental(sf_dir: str):
     return dedup_against_index(increment, index_dir, min_jaccard=0.5)
 
 
+def _q_quality_filter(sf_dir: str):
+    """Composite C4/Gopher quality gate over the documents table —
+    per-doc keep verdict + the ordered list of violated rules.
+    Thresholds here are chosen to exercise five of the six rules on the
+    synthetic corpus (the library defaults are the principled ones);
+    every underlying stat is already value-oracled (doc_stats /
+    repetition_stats), so the verdicts are too."""
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.quality import quality_filter_batch
+
+    ds = read_documents_flat(sf_dir)
+    return ds.map_batches(
+        lambda b: quality_filter_batch(
+            b, min_tokens=20, min_stopword_ratio=0.05,
+            min_mean_token_len=4.0, max_mean_token_len=5.0,
+            max_dup_line_frac=0.30, max_top_bigram_frac=0.12,
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_repetition_stats(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.textstats import repetition_stats_batch
@@ -1418,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_fraction": _q_contamination_fraction,
         "grouped_approx_distinct": _q_grouped_approx_distinct,
         "dedup_incremental": _q_dedup_incremental,
+        "quality_filter": _q_quality_filter,
         # -- new in round 4: Q12/Q13/Q17/Q22 shapes (never driver-recorded)
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
@@ -2888,6 +2910,64 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(len(l.ls) AS DOUBLE) AS dup_line_frac,
                    bg.top_bigram_frac
             FROM lines l JOIN bg ON l.doc_id = bg.doc_id
+        """,
+        "quality_filter": f"""
+            WITH t AS (SELECT doc_id, text, {TOKENS_SQL} AS toks FROM documents),
+            d AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CASE WHEN len(toks) > 0
+                            THEN CAST(len(list_filter(toks, x ->
+                                     list_contains([{stop_list}], x))) AS DOUBLE)
+                                 / CAST(len(toks) AS DOUBLE)
+                            ELSE 0.0 END AS stopword_ratio,
+                       CASE WHEN len(toks) > 0
+                            THEN CAST(list_sum(list_transform(toks, x ->
+                                     length(x))) AS DOUBLE)
+                                 / CAST(len(toks) AS DOUBLE)
+                            ELSE 0.0 END AS mean_token_len
+                FROM t
+            ),
+            lines AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+            ),
+            bg AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 2 THEN 0.0
+                            ELSE (
+                                SELECT max(c) FROM (
+                                    SELECT count(*) AS c
+                                    FROM LATERAL (
+                                        SELECT toks[i.i] || ' ' || toks[i.i + 1] AS b
+                                        FROM (SELECT UNNEST(range(1, len(toks))) AS i) i
+                                    ) pairs
+                                    GROUP BY b
+                                ) cnts
+                            ) / CAST(len(toks) - 1 AS DOUBLE)
+                       END AS top_bigram_frac
+                FROM t
+            ),
+            r AS (
+                SELECT l.doc_id,
+                       (len(l.ls) - len(list_distinct(l.ls)))
+                           / CAST(len(l.ls) AS DOUBLE) AS dup_line_frac,
+                       bg.top_bigram_frac
+                FROM lines l JOIN bg ON l.doc_id = bg.doc_id
+            )
+            SELECT d.doc_id,
+                   (d.n_tokens >= 20 AND d.stopword_ratio >= 0.05
+                    AND d.mean_token_len >= 4.0 AND d.mean_token_len <= 5.0
+                    AND r.dup_line_frac <= 0.30
+                    AND r.top_bigram_frac <= 0.12) AS keep,
+                   coalesce(concat_ws(',',
+                       CASE WHEN d.n_tokens < 20 THEN 'too_few_tokens' END,
+                       CASE WHEN d.stopword_ratio < 0.05 THEN 'low_stopword' END,
+                       CASE WHEN d.mean_token_len < 4.0 THEN 'short_tokens' END,
+                       CASE WHEN d.mean_token_len > 5.0 THEN 'long_tokens' END,
+                       CASE WHEN r.dup_line_frac > 0.30 THEN 'dup_lines' END,
+                       CASE WHEN r.top_bigram_frac > 0.12 THEN 'repetitive' END
+                   ), '') AS reasons
+            FROM d JOIN r ON d.doc_id = r.doc_id
         """,
         "pack_sequences": f"""
             WITH RECURSIVE ordered AS (

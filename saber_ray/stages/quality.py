@@ -238,3 +238,69 @@ def chunk_dedup(ds: rd.Dataset, id_column: str = "doc_id",
         })
 
     return agg.map_batches(decode, batch_format="pyarrow")
+
+
+def quality_filter_batch(
+    batch: pa.Table,
+    column: str = "text",
+    id_column: str = "doc_id",
+    min_tokens: int = 10,
+    min_stopword_ratio: float = 0.05,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 10.0,
+    max_dup_line_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.20,
+) -> pa.Table:
+    """Composite C4/Gopher-style quality gate (Raffel et al. 2020 §2.2,
+    Rae et al. 2021 §A1.1): one pass computes the per-doc stats
+    (``doc_stats_batch`` + ``repetition_stats_batch`` kernels) and
+    applies the rule set, emitting (id, keep, reasons) where ``reasons``
+    is the comma-joined list of violated rules in a FIXED order — so the
+    verdict is auditable, deterministic, and SQL-reproducible.
+
+    Rules: too_few_tokens, low_stopword (non-prose), short_tokens /
+    long_tokens (mean token length outside [min, max] — gibberish /
+    concatenated-junk detectors), dup_lines (boilerplate), repetitive
+    (degenerate top-bigram share). Every stat is the same IEEE-double
+    arithmetic as its already-value-oracled stat query, so threshold
+    comparisons agree bitwise with the DuckDB oracle.
+    """
+    from .textstats import doc_stats_batch, repetition_stats_batch
+
+    stats = repetition_stats_batch(
+        doc_stats_batch(batch.select([id_column, column]), column), column
+    )
+    n_tok = stats["n_tokens"].to_numpy(zero_copy_only=False)
+    checks = [
+        ("too_few_tokens", n_tok < min_tokens),
+        ("low_stopword",
+         stats["stopword_ratio"].to_numpy(zero_copy_only=False)
+         < min_stopword_ratio),
+        ("short_tokens",
+         stats["mean_token_len"].to_numpy(zero_copy_only=False)
+         < min_mean_token_len),
+        ("long_tokens",
+         stats["mean_token_len"].to_numpy(zero_copy_only=False)
+         > max_mean_token_len),
+        ("dup_lines",
+         stats["dup_line_frac"].to_numpy(zero_copy_only=False)
+         > max_dup_line_frac),
+        ("repetitive",
+         stats["top_bigram_frac"].to_numpy(zero_copy_only=False)
+         > max_top_bigram_frac),
+    ]
+    keep = np.ones(batch.num_rows, dtype=bool)
+    reasons = [[] for _ in range(batch.num_rows)]
+    for name, bad in checks:
+        keep &= ~bad
+        for i in np.flatnonzero(bad):
+            reasons[i].append(name)
+    return pa.table(
+        {
+            id_column: batch[id_column],
+            "keep": pa.array(keep),
+            "reasons": pa.array(
+                [",".join(r) for r in reasons], type=pa.string()
+            ),
+        }
+    )

@@ -189,3 +189,51 @@ def test_kmeans_fit_empty_cluster_keeps_centroid():
     assert not np.isnan(got).any()
     assert np.allclose(got[2], [0, 1.0, 0, 0])
     assert np.allclose(got[3], [0, 0, 1.0, 0])
+
+
+def test_quality_filter_rules_and_reasons():
+    from saber_ray.stages.quality import quality_filter_batch
+
+    stop_prose = ("the cat and the dog were in the house because it was "
+                  "raining and they could not go out for a walk today")
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            stop_prose,                              # clean prose → keep
+            "short text",                            # too_few_tokens (+low_stopword)
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu",                             # no stopwords
+            "a i a o a u i o u a i e o u a i o e u a",  # mean token len 1 < 2
+            "the extraordinarily incomprehensible "
+            * 12,                                    # mean token len > 10
+            ("the cat sat here\nboilerplate line\nboilerplate line\n"
+             "boilerplate line\nboilerplate line\nboilerplate line\n"
+             "on the mat now and then some more words arrive for the "
+             "cat and the dog to read"),             # dup_lines
+        ],
+    })
+    out = quality_filter_batch(docs)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["keep"] and rows[1]["reasons"] == ""
+    assert not rows[2]["keep"] and "too_few_tokens" in rows[2]["reasons"]
+    assert rows[3]["reasons"] == "low_stopword"
+    assert "short_tokens" in rows[4]["reasons"]
+    assert "long_tokens" in rows[5]["reasons"]
+    assert "dup_lines" in rows[6]["reasons"]
+    # reasons keep the FIXED rule order regardless of which fire
+    assert rows[2]["reasons"].split(",")[0] == "too_few_tokens"
+
+
+def test_quality_filter_repetitive_and_empty():
+    from saber_ray.stages.quality import quality_filter_batch
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat " * 30, "", None],
+    })
+    out = {r["doc_id"]: r for r in
+           quality_filter_batch(docs).to_pylist()}
+    assert "repetitive" in out[1]["reasons"]
+    # empty and null text behave identically: rejected, never crash
+    assert not out[2]["keep"] and not out[3]["keep"]
+    assert out[2]["reasons"] == out[3]["reasons"]
