@@ -861,9 +861,17 @@ def build_minhash_index(
         concurrency=concurrency or pinned_pool(8),
     )
 
+    # sort by the partition column before every partitioned write: an
+    # unsorted write fans each input block across EVERY partition dir it
+    # touches (blocks × num_parts tiny files — measured 1,349 files and
+    # a 20 s verify read at sf0.1); sorted, each partition holds
+    # contiguous blocks, so file count tracks data size. The sort is one
+    # keyed shuffle paid at BUILD time, amortized over every later shard
     rows.map_batches(
         lambda b: _add_spart(b, id_column, num_parts), batch_format="pyarrow"
-    ).write_parquet(os.path.join(index_dir, "docs"), partition_cols=["spart"])
+    ).sort("spart").write_parquet(
+        os.path.join(index_dir, "docs"), partition_cols=["spart"]
+    )
 
     # band rows derive from the STORED signature column (column-pruned
     # read — shingle payloads never leave storage for this pass)
@@ -873,7 +881,9 @@ def build_minhash_index(
     stored.map_batches(
         lambda b: _bands_with_part(b, num_bands, num_parts, id_column),
         batch_format="pyarrow",
-    ).write_parquet(os.path.join(index_dir, "bands"), partition_cols=["part"])
+    ).sort("part").write_parquet(
+        os.path.join(index_dir, "bands"), partition_cols=["part"]
+    )
     with open(os.path.join(index_dir, "params.json"), "w") as f:
         json.dump(
             {
@@ -1055,10 +1065,16 @@ def extend_minhash_index(
         concurrency=concurrency or pinned_pool(8),
     ).materialize()  # feeds both partitioned appends below
 
+    # sorted-by-partition-column writes for the same file-count reason
+    # as build_minhash_index (appends must not re-fragment the index)
     rows.map_batches(
         lambda b: _add_spart(b, id_column, num_parts), batch_format="pyarrow"
-    ).write_parquet(os.path.join(index_dir, "docs"), partition_cols=["spart"])
+    ).sort("spart").write_parquet(
+        os.path.join(index_dir, "docs"), partition_cols=["spart"]
+    )
     rows.map_batches(
         lambda b: _bands_with_part(b, params["num_bands"], num_parts, id_column),
         batch_format="pyarrow",
-    ).write_parquet(os.path.join(index_dir, "bands"), partition_cols=["part"])
+    ).sort("part").write_parquet(
+        os.path.join(index_dir, "bands"), partition_cols=["part"]
+    )
