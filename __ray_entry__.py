@@ -1173,6 +1173,18 @@ def _q_sample_mixture(sf_dir: str):
                              k={"en": 30, "de": 10, "fr": 5})
 
 
+def _q_sample_temperature(sf_dir: str):
+    # temperature rebalancing (count^alpha quotas) over the source
+    # column — upsamples tail sources relative to head ones
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.sampling import temperature_mixture
+
+    ds = read_documents_flat(sf_dir, columns=("doc_id", "source"))
+    return temperature_mixture(
+        ds, stratum_column="source", alpha=0.5, total=100
+    )
+
+
 def _q_length_quantiles(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.sampling import exact_quantiles
@@ -1440,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_approx_distinct": _q_grouped_approx_distinct,
         "dedup_incremental": _q_dedup_incremental,
         "quality_filter": _q_quality_filter,
+        "sample_temperature": _q_sample_temperature,
         # -- new in round 4: Q12/Q13/Q17/Q22 shapes (never driver-recorded)
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
@@ -2800,6 +2813,23 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY lang ORDER BY {_HASHKEY}, doc_id
             ) <= CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 10 ELSE 5 END
+        """,
+        "sample_temperature": f"""
+            WITH counts AS (
+                SELECT source, count(*) AS c FROM documents GROUP BY 1
+            ),
+            w AS (SELECT source, pow(c, 0.5) AS w FROM counts),
+            q AS (
+                SELECT source,
+                       CAST(FLOOR(100 * w / (SELECT sum(w) FROM w)) AS BIGINT)
+                           AS quota
+                FROM w
+            )
+            SELECT d.source, d.doc_id
+            FROM documents d JOIN q ON d.source = q.source
+            QUALIFY row_number() OVER (
+                PARTITION BY d.source ORDER BY {_HASHKEY}, doc_id
+            ) <= q.quota
         """,
         "length_quantiles": f"""
             WITH t AS (

@@ -490,3 +490,42 @@ def weighted_sample(
     cands = ds.map_batches(local_candidates, batch_format="pyarrow")
     top = cands.sort(["__key", id_column]).limit(k)
     return top.drop_columns(["__key"])
+
+
+def temperature_mixture(
+    ds: rd.Dataset,
+    stratum_column: str,
+    alpha: float = 0.5,
+    total: int = 1000,
+    id_column: str = "doc_id",
+    salt: str = "",
+) -> rd.Dataset:
+    """Temperature-rebalanced mixture sample: per-stratum quotas
+    proportional to ``count^alpha`` (Lample & Conneau 2019 §3.1 — the
+    multilingual/domain rebalancing rule: ``alpha=1`` keeps natural
+    proportions, ``alpha → 0`` approaches uniform, upsampling the tail
+    relative to the head).
+
+    Quotas are ``floor(total * count_s^alpha / Σ count^alpha)`` — the
+    result has AT MOST ``total`` rows (floor remainders are dropped, not
+    reassigned, so the rule is one closed-form expression a SQL oracle
+    reproduces; libm ``pow``/``floor`` on both sides). The stratum-count
+    aggregate is tiny (one row per stratum on the driver); row selection
+    reuses ``stratified_sample``'s two-phase deterministic top-k, so the
+    shuffle moves O(quota × batches) id rows and the sample is stable
+    under retries, resumes and block layout.
+    """
+    import math
+
+    counts = {
+        r[stratum_column]: r["count()"]
+        for r in ds.groupby(stratum_column).count().take_all()
+    }
+    weights = {s: math.pow(c, alpha) for s, c in counts.items()}
+    denom = sum(weights.values())
+    quotas = {
+        s: int(math.floor(total * w / denom)) for s, w in weights.items()
+    }
+    return stratified_sample(
+        ds, stratum_column, quotas, id_column=id_column, salt=salt
+    )

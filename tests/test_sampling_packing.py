@@ -428,3 +428,45 @@ def test_approx_quantiles_oracle_nan_parity(tmp_path):
     want = want.sort_values("q").reset_index(drop=True)
     assert list(got["q"]) == list(want["q"])
     assert list(got["value"]) == list(want["value"])  # exact: same IEEE steps
+
+
+def test_temperature_mixture_quota_math():
+    from saber_ray.stages.sampling import temperature_mixture
+
+    # heavily skewed strata: 800 head / 150 mid / 50 tail
+    rows = (
+        [{"doc_id": i, "src": "head"} for i in range(800)]
+        + [{"doc_id": 1000 + i, "src": "mid"} for i in range(150)]
+        + [{"doc_id": 2000 + i, "src": "tail"} for i in range(50)]
+    )
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+
+    # alpha=1: natural proportions (floor of 100 * c / N)
+    nat = temperature_mixture(ds, "src", alpha=1.0, total=100,
+                              id_column="doc_id")
+    n1 = {r["src"]: 0 for r in nat.take_all()}
+    for r in nat.take_all():
+        n1[r["src"]] += 1
+    assert n1 == {"head": 80, "mid": 15, "tail": 5}
+
+    # alpha=0.5: tail upsampled relative to natural, head downsampled
+    t = temperature_mixture(ds, "src", alpha=0.5, total=100,
+                            id_column="doc_id")
+    n5 = {}
+    for r in t.take_all():
+        n5[r["src"]] = n5.get(r["src"], 0) + 1
+    assert sum(n5.values()) <= 100
+    assert n5["tail"] > 5 and n5["head"] < 80
+    # alpha→0 approaches uniform: every stratum within one of total/3
+    u = temperature_mixture(ds, "src", alpha=1e-9, total=99,
+                            id_column="doc_id")
+    n0 = {}
+    for r in u.take_all():
+        n0[r["src"]] = n0.get(r["src"], 0) + 1
+    assert all(abs(v - 33) <= 1 for v in n0.values())
+
+    # determinism under block layout
+    t2 = temperature_mixture(ds.repartition(1), "src", alpha=0.5,
+                             total=100, id_column="doc_id")
+    assert sorted(map(tuple, (r.items() for r in t.take_all()))) == \
+           sorted(map(tuple, (r.items() for r in t2.take_all())))
