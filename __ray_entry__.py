@@ -1356,6 +1356,18 @@ def _q_dedup_incremental(sf_dir: str):
     return dedup_against_index(increment, index_dir, min_jaccard=0.5)
 
 
+def _q_duplicate_spans(sf_dir: str):
+    """Exact duplicated-substring detection (Lee et al. 2022 target,
+    k-window shape — saber_ray/stages/dedup.py:duplicate_spans): maximal
+    token spans whose every 8-token window repeats somewhere in the
+    corpus. The oracle reproduces the same windows, duplicate grams and
+    island merge with SQL."""
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.dedup import duplicate_spans
+
+    return duplicate_spans(read_documents_flat(sf_dir), k=8)
+
+
 def _q_quality_filter(sf_dir: str):
     """Composite C4/Gopher quality gate over the documents table —
     per-doc keep verdict + the ordered list of violated rules.
@@ -1453,6 +1465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "quality_filter": _q_quality_filter,
         "sample_temperature": _q_sample_temperature,
+        "duplicate_spans": _q_duplicate_spans,
         # -- new in round 4: Q12/Q13/Q17/Q22 shapes (never driver-recorded)
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
@@ -2045,6 +2058,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.id_a
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+        """,
+        "duplicate_spans": f"""
+            WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+            g AS (
+                SELECT doc_id, i.i - 1 AS pos,
+                       array_to_string(toks[i.i:i.i + 7], ' ') AS gram
+                FROM toks,
+                     (SELECT UNNEST(generate_series(1, len(toks) - 7)) AS i) i
+                WHERE len(toks) >= 8
+            ),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            d AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+            isl AS (
+                SELECT doc_id, pos,
+                       pos - row_number() OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                       ) AS grp
+                FROM d
+            )
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 8 AS BIGINT) AS span_end
+            FROM isl GROUP BY doc_id, grp
         """,
         "dedup_incremental": f"""
             WITH toks AS (

@@ -1078,3 +1078,153 @@ def extend_minhash_index(
     ).sort("part").write_parquet(
         os.path.join(index_dir, "bands"), partition_cols=["part"]
     )
+
+
+# ------------------------------------------ duplicated substrings -----
+
+
+def _gram_position_rows(
+    batch: pa.Table, k: int, id_column: str, column: str
+) -> pa.Table:
+    """[id, text] batch → one row per k-token window: (gram_hash, id,
+    pos). Gram hashes are md5 of the space-joined window (the
+    DuckDB-reproducible recipe), md5 run ONCE per DISTINCT gram in the
+    batch (the ``simhash_batch`` np.unique treatment — repeated
+    boilerplate windows are the common case, and exactly the ones this
+    operator exists to find)."""
+    from ..functions.hashing import stable_u64_md5
+
+    ids_out, pos_out, grams = [], [], []
+    for rid, text in zip(
+        batch[id_column].to_pylist(), batch[column].to_pylist()
+    ):
+        toks = _TOKEN_RE.findall(text.lower()) if text else []
+        for i in range(len(toks) - k + 1):
+            ids_out.append(rid)
+            pos_out.append(i)
+            grams.append(" ".join(toks[i : i + k]))
+    if grams:
+        uniq, inverse = np.unique(np.array(grams, dtype=object),
+                                  return_inverse=True)
+        uniq_h = np.array([stable_u64_md5(g) for g in uniq.tolist()],
+                          dtype=np.uint64)
+        hashes = uniq_h[inverse].view(np.int64)
+    else:
+        hashes = np.empty(0, dtype=np.int64)
+    return pa.table(
+        {
+            "gram_hash": pa.array(hashes),
+            id_column: pa.array(
+                ids_out, type=batch.schema.field(id_column).type
+            ),
+            "pos": pa.array(pos_out, type=pa.int64()),
+        }
+    )
+
+
+def duplicate_spans(
+    ds: rd.Dataset,
+    k: int = 8,
+    id_column: str = "doc_id",
+    column: str = "text",
+) -> rd.Dataset:
+    """Exact duplicated-substring detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" target,
+    re-shaped for Ray Data): every maximal token span of length >= ``k``
+    whose every k-token window occurs at least twice in the CORPUS
+    (across documents or within one) is returned as (id, span_start,
+    span_end) — token positions, end exclusive. Downstream curation cuts
+    these spans instead of dropping whole documents.
+
+    Distributed shape (suffix arrays don't partition; k-window hashing
+    does): one linear map emits (gram_hash, id, pos) rows; per-batch
+    partial counts -> ONE hash-keyed count finds duplicated grams
+    (payload never moves); a bucketed semi-join keeps only duplicated
+    windows; one id-keyed shuffle merges adjacent positions into maximal
+    spans with a vectorized boundary scan (the `expand_bucketed_pairs`
+    island shape — no per-document Python).
+    """
+    from ..functions.partitioning import shuffle_partitions
+    from .relational import semi_join
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
+    rows = ds.map_batches(
+        lambda b: _gram_position_rows(b, k, id_column, column),
+        batch_format="pyarrow",
+    ).materialize()  # feeds the count AND the semi-join probe
+
+    partials = rows.map_batches(
+        lambda b: (
+            b.group_by("gram_hash").aggregate([("pos", "count")])
+            .rename_columns(["gram_hash", "n"])
+        ),
+        batch_format="pyarrow",
+    )
+    dup_hashes = (
+        partials.groupby("gram_hash").sum("n")
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["sum(n)"], 2)
+            ).select(["gram_hash"]),
+            batch_format="pyarrow",
+        )
+    )
+    dup_rows = semi_join(rows, dup_hashes, "gram_hash", "gram_hash")
+
+    n_buckets = shuffle_partitions(16, ds)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["__idh"].combine_chunks(), dtype=np.int64)
+        return batch.append_column(
+            "__bucket",
+            pa.array((h.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)),
+        )
+
+    def add_idh(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_pylist()
+        return batch.append_column(
+            "__idh", pa.array(_stable_part(ids, 1 << 62))
+        )
+
+    def merge_islands(df):
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame(
+                {id_column: df[id_column][:0],
+                 "span_start": np.array([], dtype=np.int64),
+                 "span_end": np.array([], dtype=np.int64)}
+            )
+        df = df.sort_values([id_column, "pos"], kind="mergesort")
+        ids = df[id_column].to_numpy()
+        pos = df["pos"].to_numpy()
+        boundary = np.ones(len(df), dtype=bool)
+        boundary[1:] = (ids[1:] != ids[:-1]) | (pos[1:] != pos[:-1] + 1)
+        island = np.cumsum(boundary) - 1
+        starts = pos[boundary]
+        ends = np.zeros(island[-1] + 1, dtype=np.int64)
+        np.maximum.at(ends, island, pos)
+        return pd.DataFrame(
+            {
+                id_column: ids[boundary],
+                "span_start": starts,
+                "span_end": ends + k,
+            }
+        )
+
+    spans = (
+        dup_rows.map_batches(add_idh, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_islands, batch_format="pandas")
+    )
+    return spans.map_batches(
+        lambda t: pa.table(
+            {
+                id_column: pc.cast(t[id_column], id_type),
+                "span_start": pc.cast(t["span_start"], pa.int64()),
+                "span_end": pc.cast(t["span_end"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

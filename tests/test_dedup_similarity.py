@@ -738,3 +738,46 @@ def test_incremental_index_extend_lifecycle(dup_corpus, tmp_path):
             dedup_against_index(shard2, idx).take_all()}
     assert out2[(200, 10)] == 1.0
     assert out2[(300, 104)] == 1.0  # only findable via the extension
+
+
+def test_duplicate_spans_islands_and_within_doc():
+    from saber_ray.stages.dedup import duplicate_spans
+
+    boiler = "please subscribe to our newsletter for daily updates today"
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"unique opening words here {boiler} and some unique tail",
+            f"other lead-in text now {boiler} different ending follows",
+            # within-ONE-doc repetition also counts (corpus-wide >= 2)
+            "spam spam spam spam spam spam spam spam spam spam",
+            "entirely distinct vocabulary without any repeated windows",
+        ],
+    })
+    out = duplicate_spans(rd.from_arrow(docs).repartition(4), k=8)
+    spans = {}
+    for r in out.take_all():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"]))
+    # the shared 9-token boilerplate = two 8-windows, merged to one span
+    # ("lead-in" tokenizes as two tokens, shifting doc 2 by one)
+    assert spans[1] == [(4, 13)]
+    assert spans[2] == [(5, 14)]
+    # 10x "spam": windows 0..2 all duplicated -> one maximal span [0, 10)
+    assert spans[3] == [(0, 10)]
+    assert 4 not in spans
+    # partition invariance
+    out1 = duplicate_spans(rd.from_arrow(docs).repartition(1), k=8)
+    assert sorted((r["doc_id"], r["span_start"], r["span_end"])
+                  for r in out1.take_all()) == \
+           sorted((d, s, e) for d, v in spans.items() for s, e in v)
+
+
+def test_duplicate_spans_short_and_empty_docs():
+    from saber_ray.stages.dedup import duplicate_spans
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["too short", "", None],
+    })
+    assert duplicate_spans(rd.from_arrow(docs), k=8).count() == 0
