@@ -249,7 +249,7 @@ def _q_knn_ivf(sf_dir: str):
     # calls. Cache tag = package version + index params (not a
     # hand-bumped literal); root is the per-user stage dir.
     import saber_ray
-    from saber_ray.pipelines.demo import _STAGE_ROOT
+    from saber_ray.pipelines.demo import _STAGE_ROOT, staged_commit
 
     emb = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
     st = os.stat(emb)
@@ -257,38 +257,14 @@ def _q_knn_ivf(sf_dir: str):
         f"{emb}|{st.st_mtime_ns}|{st.st_size}"
         f"|ivf-{saber_ray.__version__}-c{num_centroids}-s42".encode()
     ).hexdigest()[:16]
-    index_dir = os.path.join(_STAGE_ROOT, f"ivf_{key}")
-    centroids_marker = os.path.join(index_dir, "centroids.npy")
-    if not os.path.exists(centroids_marker):
-        # build into a tmp dir and rename: centroids.npy lands last
-        # INSIDE tmp, so index_dir-exists ⇒ complete — a crash mid-build
-        # can never leave partial parquet a rebuild would append
-        # duplicate rows onto. A centroids-less dir (legacy layout) is
-        # moved ASIDE atomically, never rmtree'd in place, so a
-        # concurrent builder's fresh commit cannot be deleted (the
-        # demo_annotated_staged protocol).
-        import shutil
-
-        tmp = f"{index_dir}.tmp.{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        ivf_write_index(ds, tmp, num_centroids=num_centroids, seed=42)
-        try:
-            os.rename(tmp, index_dir)
-        except OSError:
-            if not os.path.exists(centroids_marker):
-                stale = f"{index_dir}.stale.{os.getpid()}"
-                try:
-                    os.rename(index_dir, stale)
-                except OSError:
-                    pass
-                shutil.rmtree(stale, ignore_errors=True)
-                try:
-                    os.rename(tmp, index_dir)
-                except OSError:
-                    pass
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(centroids_marker):
-                raise
+    # centroids.npy lands LAST inside ivf_write_index, so it is the
+    # completeness marker staged_commit's protocol requires
+    index_dir = staged_commit(
+        os.path.join(_STAGE_ROOT, f"ivf_{key}"),
+        "centroids.npy",
+        lambda tmp: ivf_write_index(ds, tmp, num_centroids=num_centroids,
+                                    seed=42),
+    )
     return ivf_query_index(
         index_dir, queries, [r["vec_id"] for r in qrows], k=10,
         nprobe=num_centroids,
@@ -1298,17 +1274,15 @@ def _q_dedup_incremental(sf_dir: str):
     The query reads increment text once, shuffles only increment band
     rows, opens only the index partitions those rows touch, and
     verifies with the exact-Jaccard kernel — so the DuckDB oracle is
-    the exact 2-gram-shingle join across the two subsets at the same
+    the exact 3-token-shingle Jaccard join (DuckDB's toks[i:i+2] slice is
+    end-inclusive) across the two subsets at the same
     0.5 threshold. This is the 100-TB dedup shape: corpus cost is paid
     at build time, per-shard cost is proportional to the shard."""
     import hashlib
     import os
-    import shutil
-
-    import pyarrow.compute as pc
 
     import saber_ray
-    from saber_ray.pipelines.demo import _STAGE_ROOT
+    from saber_ray.pipelines.demo import _STAGE_ROOT, staged_commit
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.dedup import build_minhash_index, dedup_against_index
 
@@ -1330,29 +1304,13 @@ def _q_dedup_incremental(sf_dir: str):
         f"{src}|{st.st_mtime_ns}|{st.st_size}"
         f"|mhidx-{saber_ray.__version__}-mod10".encode()
     ).hexdigest()[:16]
-    index_dir = os.path.join(_STAGE_ROOT, f"mhidx_{key}")
-    marker = os.path.join(index_dir, "params.json")
-    if not os.path.exists(marker):
-        tmp = f"{index_dir}.tmp.{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        build_minhash_index(corpus, tmp)
-        try:
-            os.rename(tmp, index_dir)
-        except OSError:
-            if not os.path.exists(marker):
-                stale = f"{index_dir}.stale.{os.getpid()}"
-                try:
-                    os.rename(index_dir, stale)
-                except OSError:
-                    pass
-                shutil.rmtree(stale, ignore_errors=True)
-                try:
-                    os.rename(tmp, index_dir)
-                except OSError:
-                    pass
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(marker):
-                raise
+    # params.json lands LAST inside build_minhash_index — the
+    # completeness marker staged_commit's protocol requires
+    index_dir = staged_commit(
+        os.path.join(_STAGE_ROOT, f"mhidx_{key}"),
+        "params.json",
+        lambda tmp: build_minhash_index(corpus, tmp),
+    )
     return dedup_against_index(increment, index_dir, min_jaccard=0.5)
 
 
@@ -1648,7 +1606,10 @@ def _hll_grouped_sql(grp: str, val: str, table: str, p: int = 12) -> str:
     )
     alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
     return f"""
-        WITH pairs AS (SELECT DISTINCT {grp} AS grp, {val} AS v FROM {table}),
+        WITH pairs AS (
+            SELECT DISTINCT {grp} AS grp, {val} AS v FROM {table}
+            WHERE {val} IS NOT NULL AND {grp} IS NOT NULL
+        ),
         h AS (
             SELECT grp,
                    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 16))::UBIGINT AS hv

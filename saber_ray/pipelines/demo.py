@@ -49,6 +49,50 @@ _STAGE_ROOT = os.path.join(
 )
 
 
+def staged_commit(path: str, marker_name: str, build_fn) -> str:
+    """Crash/concurrency-safe build-once cache commit, shared by every
+    staged artifact (annotate stage, IVF index, MinHash dedup index).
+
+    ``build_fn(tmp_dir)`` must create ``<tmp_dir>/<marker_name>`` as its
+    LAST artifact — the marker is the completeness witness, so the
+    atomic rename of ``tmp_dir`` → ``path`` is the commit point:
+    path-exists-with-marker ⇒ complete. A marker-less ``path`` (torn
+    pre-marker layout) is moved ASIDE atomically, never rmtree'd in
+    place, so a concurrent builder that commits between our marker check
+    and the cleanup cannot have its fresh artifact deleted. If the
+    rename race is lost, the winner's artifact is used iff its marker
+    exists; otherwise the original error propagates.
+    """
+    import shutil
+
+    marker = os.path.join(path, marker_name)
+    if os.path.exists(marker):
+        return path
+    tmp = f"{path}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_fn(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if not os.path.exists(marker):
+            stale = f"{path}.stale.{os.getpid()}"
+            try:
+                os.rename(path, stale)  # atomic move-aside
+            except OSError:
+                pass
+            shutil.rmtree(stale, ignore_errors=True)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                pass
+        # concurrent builder may have won either rename: theirs is
+        # complete iff the marker now exists
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return path
+
+
 def _demo_stage_tag() -> str:
     """Cache-key tag derived from the package version + the demo
     pipeline's effective config (surfaces, grounding, salts, batch
@@ -79,7 +123,6 @@ def demo_annotated_staged(sf_dir: str) -> rd.Dataset:
     makes a torn write invisible.
     """
     import hashlib
-    import shutil
 
     real = os.path.realpath(sf_dir)
     doc = os.path.join(real, "documents.parquet")
@@ -87,39 +130,13 @@ def demo_annotated_staged(sf_dir: str) -> rd.Dataset:
     key = hashlib.md5(
         f"{real}|{st.st_mtime_ns}|{st.st_size}|{_demo_stage_tag()}".encode()
     ).hexdigest()[:16]
-    path = os.path.join(_STAGE_ROOT, key)
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        # the marker is created INSIDE the tmp dir BEFORE the rename, so
-        # the atomic rename is the commit point: path-exists ⇒ complete-
-        # with-marker. A marker-less path can only be a pre-marker-layout
-        # leftover; it is moved ASIDE (atomic rename, never rmtree'd in
-        # place) so a concurrent stager that commits between our marker
-        # check and the cleanup cannot have its fresh stage deleted.
-        tmp = f"{path}.tmp.{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    def build(tmp: str) -> None:
         demo_annotated(sf_dir).write_parquet(tmp)
         with open(os.path.join(tmp, "_SUCCESS"), "w"):
             pass
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            if not os.path.exists(marker):
-                stale = f"{path}.stale.{os.getpid()}"
-                try:
-                    os.rename(path, stale)  # atomic move-aside
-                except OSError:
-                    pass
-                shutil.rmtree(stale, ignore_errors=True)
-                try:
-                    os.rename(tmp, path)
-                except OSError:
-                    pass
-            # concurrent stager may have won either rename: theirs is
-            # complete iff the marker now exists
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(marker):
-                raise
+
+    path = staged_commit(os.path.join(_STAGE_ROOT, key), "_SUCCESS", build)
     # exclude the marker: read the parquet files only
     return rd.read_parquet(path, file_extensions=["parquet"])
 

@@ -767,7 +767,9 @@ class MinHashIndexRows(MinHashSignatures):
                 minhash_signature(hashes, self._a, self._b)
                 .astype(np.int64).tolist()
             )
-            shingles.append(np.sort(np.unique(hashes)).view(np.int64).tolist())
+            # np.unique output is already sorted; order is irrelevant to
+            # the intersect1d(assume_unique=True) verification kernel
+            shingles.append(np.unique(hashes).view(np.int64).tolist())
         id_type = batch.schema.field(self._id).type
         return pa.table(
             {
@@ -850,12 +852,18 @@ def build_minhash_index(
     import json
     import os
 
-    id_type = dict(zip(corpus.schema().names, corpus.schema().types))[id_column]
+    if num_perm % num_bands:
+        # same up-front guard as minhash_lsh_pairs — failing inside
+        # _band_rows would only surface AFTER the whole corpus text pass
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by num_bands "
+            f"({num_bands}) — trailing permutations would be silently dropped"
+        )
     rows = corpus.map_batches(
         MinHashIndexRows,
         fn_constructor_kwargs={
             "num_perm": num_perm, "shingle_k": shingle_k,
-            "column": column, "id_column": id_column,
+            "column": column, "id_column": id_column, "seed": seed,
         },
         batch_format="pyarrow",
         concurrency=concurrency or pinned_pool(8),
@@ -940,6 +948,7 @@ def dedup_against_index(
         fn_constructor_kwargs={
             "num_perm": params["num_perm"], "shingle_k": params["shingle_k"],
             "column": column, "id_column": id_column,
+            "seed": params.get("seed", 42),
         },
         batch_format="pyarrow",
         concurrency=concurrency or pinned_pool(8),
@@ -970,15 +979,25 @@ def dedup_against_index(
         idx = pa.concat_tables(
             [pq.read_table(f, columns=[id_column, "band", "band_hash"]) for f in files]
         ).to_pandas()
-        counts_inc = df.groupby(["band", "band_hash"])[id_column].transform("size")
-        counts_idx = idx.groupby(["band", "band_hash"])[id_column].transform("size")
-        if (counts_inc > max_bucket).any() or (counts_idx > max_bucket).any():
+        # cap on the UNION size per LSH key — the same rule
+        # expand_bucketed_pairs applies to a one-shot run (where both
+        # sides form ONE run), so the incremental result stays exactly
+        # the cross-side subset of the one-shot pipeline; a per-SIDE cap
+        # would keep keys the one-shot path drops
+        union = (
+            df.groupby(["band", "band_hash"]).size()
+            .add(idx.groupby(["band", "band_hash"]).size(), fill_value=0)
+        )
+        bad = union.index[union > max_bucket]
+        if len(bad):
             logging.getLogger(__name__).warning(
                 "LSH key exceeds max_bucket=%d; its pairs are skipped", max_bucket
             )
+        df_keys = pd.MultiIndex.from_frame(df[["band", "band_hash"]])
+        idx_keys = pd.MultiIndex.from_frame(idx[["band", "band_hash"]])
         merged = pd.merge(
-            idx[counts_idx <= max_bucket].rename(columns={id_column: "id_a"}),
-            df[counts_inc <= max_bucket].rename(columns={id_column: "id_b"}),
+            idx[~idx_keys.isin(bad)].rename(columns={id_column: "id_a"}),
+            df[~df_keys.isin(bad)].rename(columns={id_column: "id_b"}),
             on=["band", "band_hash"],
         )
         # a doc can appear on both sides of the split only by caller
@@ -1060,6 +1079,7 @@ def extend_minhash_index(
         fn_constructor_kwargs={
             "num_perm": params["num_perm"], "shingle_k": params["shingle_k"],
             "column": params["column"], "id_column": id_column,
+            "seed": params.get("seed", 42),
         },
         batch_format="pyarrow",
         concurrency=concurrency or pinned_pool(8),
@@ -1181,10 +1201,17 @@ def duplicate_spans(
         )
 
     def add_idh(batch: pa.Table) -> pa.Table:
-        ids = batch[id_column].to_pylist()
-        return batch.append_column(
-            "__idh", pa.array(_stable_part(ids, 1 << 62))
-        )
+        # one hash per DISTINCT id, gathered back — dup_rows has one row
+        # per duplicated window, so a boilerplate-heavy doc repeats its
+        # id thousands of times; the key never leaves the pipeline but
+        # stays md5-stable for layout determinism
+        ids = np.array(batch[id_column].to_pylist(), dtype=object)
+        if len(ids):
+            uniq, inverse = np.unique(ids, return_inverse=True)
+            idh = _stable_part(uniq.tolist(), 1 << 62)[inverse]
+        else:
+            idh = np.empty(0, dtype=np.int64)
+        return batch.append_column("__idh", pa.array(idh))
 
     def merge_islands(df):
         import pandas as pd

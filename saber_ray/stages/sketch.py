@@ -277,6 +277,13 @@ def grouped_approx_distinct(
         cache: dict = {}
         best: dict = {}
         for grp, val in set(zip(groups, values)):
+            if val is None or grp is None:
+                # null VALUES: SQL count(DISTINCT v) ignores NULL, and
+                # hashing str(None) would collide with the string "None".
+                # null GROUPS: Ray's multi-key sort shuffle cannot order
+                # mixed None/str keys — excluded (fill_null upstream to
+                # keep them); the oracle filters both the same way
+                continue
             t = cache.get(val)
             if t is None:
                 h = stable_u64_md5(str(val))
@@ -286,9 +293,14 @@ def grouped_approx_distinct(
             key = (grp, t[0])
             if best.get(key, 0) < t[1]:
                 best[key] = t[1]
-        ks = sorted(best)
+        # null GROUPS are kept (SQL GROUP BY keeps the NULL group) — the
+        # sort is only for deterministic block layout, so order nulls last
+        ks = sorted(best, key=lambda k: (k[0] is None, str(k[0]), k[1]))
         return pa.table({
-            group_column: pa.array([k[0] for k in ks]),
+            group_column: pa.array(
+                [k[0] for k in ks],
+                type=batch.schema.field(group_column).type,
+            ),
             "register": pa.array([k[1] for k in ks], type=pa.int64()),
             "rank": pa.array([best[k] for k in ks], type=pa.int64()),
         })

@@ -152,3 +152,21 @@ def test_grouped_approx_distinct():
     assert {g: r["estimate"] for g, r in out.items()} == {
         g: r["estimate"] for g, r in out2.items()
     }
+
+
+def test_grouped_approx_distinct_nulls():
+    from saber_ray.stages.sketch import grouped_approx_distinct
+
+    rows = (
+        [{"g": "a", "v": f"u{i}"} for i in range(100)]
+        + [{"g": "a", "v": None}]          # null VALUES ignored (SQL)
+        + [{"g": None, "v": f"u{i}"} for i in range(40)]  # null GROUP dropped
+        + [{"g": "b", "v": "None"}]        # literal "None" ≠ NULL
+    )
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = {r["g"]: r for r in grouped_approx_distinct(ds, "g", "v", p=12).take_all()}
+    # null groups excluded (Ray's multi-key shuffle can't sort mixed
+    # None/str keys; oracle filters identically), null values ignored
+    assert set(out) == {"a", "b"}
+    assert abs(out["a"]["estimate"] - 100) / 100 < 0.1
+    assert out["b"]["occupied"] == 1
