@@ -1326,6 +1326,18 @@ def _q_duplicate_spans(sf_dir: str):
     return duplicate_spans(read_documents_flat(sf_dir), k=8)
 
 
+def _q_cut_duplicate_spans(sf_dir: str):
+    """The cutting half of the Lee-et-al dedup: find duplicated
+    >=8-token spans, then rebuild every document's normalized token
+    sequence with those positions removed (docs left with zero tokens
+    drop). find + cut is the full sub-document dedup lifecycle."""
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.dedup import cut_spans, duplicate_spans
+
+    docs = read_documents_flat(sf_dir)
+    return cut_spans(docs, duplicate_spans(docs, k=8))
+
+
 def _q_quality_filter(sf_dir: str):
     """Composite C4/Gopher quality gate over the documents table —
     per-doc keep verdict + the ordered list of violated rules.
@@ -1424,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "sample_temperature": _q_sample_temperature,
         "duplicate_spans": _q_duplicate_spans,
+        "cut_duplicate_spans": _q_cut_duplicate_spans,
         # -- new in round 4: Q12/Q13/Q17/Q22 shapes (never driver-recorded)
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
@@ -2041,6 +2054,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                    CAST(max(pos) + 8 AS BIGINT) AS span_end
             FROM isl GROUP BY doc_id, grp
+        """,
+        "cut_duplicate_spans": f"""
+            WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+            g AS (
+                SELECT doc_id, i.i - 1 AS pos,
+                       array_to_string(toks[i.i:i.i + 7], ' ') AS gram
+                FROM toks,
+                     (SELECT UNNEST(generate_series(1, len(toks) - 7)) AS i) i
+                WHERE len(toks) >= 8
+            ),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            d AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+            isl AS (
+                SELECT doc_id, pos,
+                       pos - row_number() OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                       ) AS grp
+                FROM d
+            ),
+            spans AS (
+                SELECT doc_id, min(pos) AS span_start,
+                       max(pos) + 8 AS span_end
+                FROM isl GROUP BY doc_id, grp
+            ),
+            exploded AS (
+                SELECT doc_id, i.i - 1 AS pos, toks[i.i] AS tok
+                FROM toks,
+                     (SELECT UNNEST(generate_series(1, len(toks))) AS i) i
+            ),
+            kept AS (
+                SELECT e.doc_id, e.pos, e.tok
+                FROM exploded e
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM spans s
+                    WHERE s.doc_id = e.doc_id
+                      AND e.pos >= s.span_start AND e.pos < s.span_end
+                )
+            )
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
         """,
         "dedup_incremental": f"""
             WITH toks AS (

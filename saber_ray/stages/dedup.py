@@ -1255,3 +1255,90 @@ def duplicate_spans(
         ),
         batch_format="pyarrow",
     )
+
+
+def cut_spans(
+    docs: rd.Dataset,
+    spans: rd.Dataset,
+    id_column: str = "doc_id",
+    column: str = "text",
+) -> rd.Dataset:
+    """Remove token spans from documents — the cutting half of the
+    Lee et al. 2022 dedup (``duplicate_spans`` finds, this removes):
+    returns (id, clean_text) where ``clean_text`` is the document's
+    NORMALIZED token sequence (the dedup pipeline's token space,
+    lowercased, space-joined) minus every token position covered by a
+    span. Documents left with zero tokens are dropped.
+
+    Shape: both sides bucket on a stable id hash and meet in ONE keyed
+    shuffle; each bucket cuts its documents with a per-doc boolean mask
+    over token positions — span lists are grouped per doc inside the
+    bucket, so no driver-side state and no broadcast (the span set is
+    proportional to duplicated content, which at 100 TB can be huge).
+    """
+    from ..functions.partitioning import shuffle_partitions
+
+    id_type = dict(zip(docs.schema().names, docs.schema().types))[id_column]
+    n_buckets = shuffle_partitions(16, docs)
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        b = batch.select([id_column, column])
+        bucket = _stable_part(b[id_column].to_pylist(), n_buckets)
+        return pa.table({
+            id_column: b[id_column],
+            column: b[column],
+            "span_start": pa.array([None] * b.num_rows, type=pa.int64()),
+            "span_end": pa.array([None] * b.num_rows, type=pa.int64()),
+            "__bucket": pa.array(bucket.astype(np.int32)),
+        })
+
+    def span_rows(batch: pa.Table) -> pa.Table:
+        bucket = _stable_part(batch[id_column].to_pylist(), n_buckets)
+        return pa.table({
+            id_column: batch[id_column],
+            column: pa.array([None] * batch.num_rows, type=pa.string()),
+            "span_start": pc.cast(batch["span_start"], pa.int64()),
+            "span_end": pc.cast(batch["span_end"], pa.int64()),
+            "__bucket": pa.array(bucket.astype(np.int32)),
+        })
+
+    both = docs.map_batches(doc_rows, batch_format="pyarrow").union(
+        spans.map_batches(span_rows, batch_format="pyarrow")
+    )
+
+    def cut(df):
+        import pandas as pd
+
+        is_doc = df[column].notnull()
+        span_map: dict = {}
+        for rid, s, e in zip(
+            df.loc[~is_doc, id_column],
+            df.loc[~is_doc, "span_start"],
+            df.loc[~is_doc, "span_end"],
+        ):
+            span_map.setdefault(rid, []).append((int(s), int(e)))
+        out_ids, out_texts = [], []
+        for rid, text in zip(df.loc[is_doc, id_column], df.loc[is_doc, column]):
+            toks = _TOKEN_RE.findall(text.lower()) if text else []
+            if not toks:
+                continue
+            keep = np.ones(len(toks), dtype=bool)
+            for s, e in span_map.get(rid, ()):
+                keep[s:e] = False
+            if not keep.any():
+                continue
+            out_ids.append(rid)
+            out_texts.append(" ".join(t for t, k in zip(toks, keep) if k))
+        return pd.DataFrame({id_column: out_ids, "clean_text": out_texts})
+
+    return (
+        both.groupby("__bucket")
+        .map_groups(cut, batch_format="pandas")
+        .map_batches(
+            lambda t: pa.table({
+                id_column: pc.cast(t[id_column], id_type),
+                "clean_text": pc.cast(t["clean_text"], pa.string()),
+            }),
+            batch_format="pyarrow",
+        )
+    )

@@ -781,3 +781,34 @@ def test_duplicate_spans_short_and_empty_docs():
         "text": ["too short", "", None],
     })
     assert duplicate_spans(rd.from_arrow(docs), k=8).count() == 0
+
+
+def test_cut_spans_lifecycle():
+    from saber_ray.stages.dedup import cut_spans, duplicate_spans
+
+    boiler = " ".join(f"b{i}" for i in range(9))  # 9-token boilerplate
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"alpha beta gamma {boiler} delta epsilon",
+            f"{boiler} zeta eta theta iota kappa other words",
+            "spam spam spam spam spam spam spam spam spam spam",  # fully duplicated
+            "untouched document with its own distinct vocabulary kept",
+        ],
+    })
+    ds = rd.from_arrow(docs).repartition(3)
+    out = {r["doc_id"]: r["clean_text"]
+           for r in cut_spans(ds, duplicate_spans(ds, k=8)).take_all()}
+    assert out[1] == "alpha beta gamma delta epsilon"
+    assert out[2] == "zeta eta theta iota kappa other words"
+    assert 3 not in out  # every position covered -> dropped entirely
+    # span-free docs pass through as their normalized token sequence
+    assert out[4] == "untouched document with its own distinct vocabulary kept"
+
+    # empty span set: all docs pass through normalized
+    empty_spans = duplicate_spans(
+        rd.from_arrow(pa.table({"doc_id": [9], "text": ["lone words"]})), k=8
+    )
+    thru = {r["doc_id"]: r["clean_text"]
+            for r in cut_spans(ds, empty_spans).take_all()}
+    assert len(thru) == 4 and thru[3] == " ".join(["spam"] * 10)
