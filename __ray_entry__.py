@@ -964,6 +964,43 @@ def _q_curate_pack(sf_dir: str):
     return pack_sequences(curated, budget=2048, bucket_count=8)
 
 
+def _q_curate_mixture(sf_dir: str):
+    """Round-4 curation composition over the NEW operators: composite
+    quality gate (keep verdicts) → duplicated-span cutting over the kept
+    subset (the find+cut Lee-et-al lifecycle) → temperature (count^α)
+    mixture rebalancing over the cleaned set's source column. Every
+    stage is an already-oracled operator; the oracle nests the same
+    CTEs, proving the stages compose. Returns (source, doc_id)."""
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.dedup import cut_spans, duplicate_spans
+    from saber_ray.stages.quality import quality_filter_batch
+    from saber_ray.stages.relational import semi_join
+    from saber_ray.stages.sampling import temperature_mixture
+
+    docs = read_documents_flat(sf_dir, columns=("doc_id", "text", "source"))
+
+    def keep_ids(b: pa.Table) -> pa.Table:
+        v = quality_filter_batch(
+            b, min_tokens=20, min_stopword_ratio=0.05,
+            min_mean_token_len=4.0, max_mean_token_len=5.0,
+            max_dup_line_frac=0.30, max_top_bigram_frac=0.12,
+        )
+        return v.filter(v["keep"]).select(["doc_id"])
+
+    kept = semi_join(
+        docs, docs.map_batches(keep_ids, batch_format="pyarrow"),
+        "doc_id", "doc_id",
+    ).materialize()  # three consumers: span find, span cut, source join
+    clean = cut_spans(kept, duplicate_spans(kept, k=8))
+    with_src = clean.select_columns(["doc_id"]).join(
+        kept.select_columns(["doc_id", "source"]),
+        join_type="inner", num_partitions=4, on=("doc_id",),
+    )
+    return temperature_mixture(
+        with_src, stratum_column="source", alpha=0.5, total=50
+    )
+
+
 def _q_pack_interleaved(sf_dir: str):
     # multimodal packing: every 5th doc gets one injected image span
     # (the media_decode convention); the pack budget charges text spans
@@ -1437,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_temperature": _q_sample_temperature,
         "duplicate_spans": _q_duplicate_spans,
         "cut_duplicate_spans": _q_cut_duplicate_spans,
+        "curate_mixture": _q_curate_mixture,
         # -- new in round 4: Q12/Q13/Q17/Q22 shapes (never driver-recorded)
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
@@ -2054,6 +2092,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                    CAST(max(pos) + 8 AS BIGINT) AS span_end
             FROM isl GROUP BY doc_id, grp
+        """,
+        "curate_mixture": f"""
+            WITH t AS (
+                SELECT doc_id, text, source, {TOKENS_SQL} AS toks
+                FROM documents
+            ),
+            stats AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CASE WHEN len(toks) > 0
+                            THEN CAST(len(list_filter(toks, x ->
+                                     list_contains([{stop_list}], x))) AS DOUBLE)
+                                 / CAST(len(toks) AS DOUBLE)
+                            ELSE 0.0 END AS stopword_ratio,
+                       CASE WHEN len(toks) > 0
+                            THEN CAST(list_sum(list_transform(toks, x ->
+                                     length(x))) AS DOUBLE)
+                                 / CAST(len(toks) AS DOUBLE)
+                            ELSE 0.0 END AS mean_token_len,
+                       (len(string_split(text, chr(10)))
+                        - len(list_distinct(string_split(text, chr(10)))))
+                           / CAST(len(string_split(text, chr(10))) AS DOUBLE)
+                           AS dup_line_frac,
+                       CASE WHEN len(toks) < 2 THEN 0.0
+                            ELSE (
+                                SELECT max(c) FROM (
+                                    SELECT count(*) AS c
+                                    FROM LATERAL (
+                                        SELECT toks[i.i] || ' ' || toks[i.i + 1] AS b
+                                        FROM (SELECT UNNEST(range(1, len(toks))) AS i) i
+                                    ) pairs
+                                    GROUP BY b
+                                ) cnts
+                            ) / CAST(len(toks) - 1 AS DOUBLE)
+                       END AS top_bigram_frac
+                FROM t
+            ),
+            kept AS (
+                SELECT t.doc_id, t.toks, t.source
+                FROM t JOIN stats s ON t.doc_id = s.doc_id
+                WHERE s.n_tokens >= 20 AND s.stopword_ratio >= 0.05
+                  AND s.mean_token_len >= 4.0 AND s.mean_token_len <= 5.0
+                  AND s.dup_line_frac <= 0.30 AND s.top_bigram_frac <= 0.12
+            ),
+            g AS (
+                SELECT doc_id, i.i - 1 AS pos,
+                       array_to_string(toks[i.i:i.i + 7], ' ') AS gram
+                FROM kept,
+                     (SELECT UNNEST(generate_series(1, len(toks) - 7)) AS i) i
+                WHERE len(toks) >= 8
+            ),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            dpos AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+            isl AS (
+                SELECT doc_id, pos,
+                       pos - row_number() OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                       ) AS grp
+                FROM dpos
+            ),
+            spans AS (
+                SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+                FROM isl GROUP BY doc_id, grp
+            ),
+            -- islands are disjoint, so covered tokens = sum of span widths;
+            -- a kept doc survives cutting iff some token is uncovered
+            cleaned AS (
+                SELECT k.doc_id, k.source FROM kept k
+                WHERE len(k.toks) > coalesce((
+                    SELECT sum(s.span_end - s.span_start)
+                    FROM spans s WHERE s.doc_id = k.doc_id
+                ), 0)
+            ),
+            counts AS (SELECT source, count(*) AS c FROM cleaned GROUP BY 1),
+            w AS (SELECT source, pow(c, 0.5) AS w FROM counts),
+            q AS (
+                SELECT source,
+                       CAST(FLOOR(50 * w / (SELECT sum(w) FROM w)) AS BIGINT)
+                           AS quota
+                FROM w
+            )
+            SELECT c.source, c.doc_id
+            FROM cleaned c JOIN q ON c.source = q.source
+            QUALIFY row_number() OVER (
+                PARTITION BY c.source ORDER BY {_HASHKEY}, doc_id
+            ) <= q.quota
         """,
         "cut_duplicate_spans": f"""
             WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),

@@ -517,6 +517,11 @@ def temperature_mixture(
     """
     import math
 
+    # two consumers (the count aggregate and the quota selection) — Ray
+    # re-executes derived lineage per consumer, so an expensive upstream
+    # (e.g. a curation pipeline) would run twice; materialize ONLY the
+    # two slim columns both consumers need
+    ds = ds.select_columns([stratum_column, id_column]).materialize()
     counts = {
         r[stratum_column]: r["count()"]
         for r in ds.groupby(stratum_column).count().take_all()
