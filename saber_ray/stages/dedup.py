@@ -1107,37 +1107,34 @@ def _gram_position_rows(
     batch: pa.Table, k: int, id_column: str, column: str
 ) -> pa.Table:
     """[id, text] batch → one row per k-token window: (gram_hash, id,
-    pos). Gram hashes are md5 of the space-joined window (the
-    DuckDB-reproducible recipe), md5 run ONCE per DISTINCT gram in the
-    batch (the ``simhash_batch`` np.unique treatment — repeated
-    boilerplate windows are the common case, and exactly the ones this
-    operator exists to find)."""
-    from ..functions.hashing import stable_u64_md5
-
-    ids_out, pos_out, grams = [], [], []
-    for rid, text in zip(
-        batch[id_column].to_pylist(), batch[column].to_pylist()
-    ):
-        toks = _TOKEN_RE.findall(text.lower()) if text else []
-        for i in range(len(toks) - k + 1):
-            ids_out.append(rid)
-            pos_out.append(i)
-            grams.append(" ".join(toks[i : i + k]))
-    if grams:
-        uniq, inverse = np.unique(np.array(grams, dtype=object),
-                                  return_inverse=True)
-        uniq_h = np.array([stable_u64_md5(g) for g in uniq.tolist()],
-                          dtype=np.uint64)
-        hashes = uniq_h[inverse].view(np.int64)
+    pos). Window hashes come from the shared vectorized rolling kernel
+    (``batch_shingle_hashes``: one polars hash over the batch's tokens +
+    an order-sensitive polynomial per window) — no gram strings are ever
+    built. The hash is only the duplicate-detection KEY, never
+    oracle-visible (the oracle groups by gram STRING), so any
+    collision-negligible 64-bit hash gives identical spans; the first
+    version md5-hashed each distinct space-joined gram and that loop
+    dominated the map stage."""
+    per_doc = batch_shingle_hashes(
+        batch[column].to_pylist(), _TOKEN_RE, k,
+        whole_doc_if_short=False,  # a doc can't contain a window longer
+    )                              # than itself — <k-token docs emit none
+    counts = np.array([len(w) for w in per_doc], dtype=np.int64)
+    ids = batch[id_column].combine_chunks()
+    if counts.sum():
+        hashes = np.concatenate([w for w in per_doc if len(w)]).view(np.int64)
+        id_idx = np.repeat(np.arange(len(counts)), counts)
+        pos = np.concatenate([np.arange(c) for c in counts if c])
+        id_col = ids.take(pa.array(id_idx))
     else:
         hashes = np.empty(0, dtype=np.int64)
+        pos = np.empty(0, dtype=np.int64)
+        id_col = ids[:0]
     return pa.table(
         {
             "gram_hash": pa.array(hashes),
-            id_column: pa.array(
-                ids_out, type=batch.schema.field(id_column).type
-            ),
-            "pos": pa.array(pos_out, type=pa.int64()),
+            id_column: id_col,
+            "pos": pa.array(pos, type=pa.int64()),
         }
     )
 
