@@ -1,0 +1,51 @@
+"""JSON-Lines document source/sink — the interchange format most
+LLM-training corpora ship in (one JSON object per line, gz-splittable at
+the file level).
+
+Reading builds on ``ray.data.read_json`` (file-level parallelism, Arrow
+JSON decoder per block) with column pruning and an explicit schema
+normalization step: heterogeneous JSONL shards often disagree on column
+order/presence, and Ray unions block schemas lazily — ``columns=``
+projects to the requested set, filling absent fields with typed nulls so
+every downstream stage sees ONE schema. Writing is a per-block Arrow →
+ndjson encode (no driver materialization), partitioned like every other
+sink (one file per block → resumable, parallel re-read).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def read_jsonl(
+    paths, columns: list[str] | None = None, **read_kwargs
+) -> rd.Dataset:
+    """Read one or many ``.jsonl`` files/directories into a Dataset.
+
+    ``columns`` prunes to the named fields and GUARANTEES they exist in
+    the output schema (absent fields become typed-null string columns) —
+    heterogeneous shards stop being a downstream schema-mismatch crash.
+    """
+    ds = rd.read_json(paths, **read_kwargs)
+    if columns is None:
+        return ds
+
+    def project(batch: pa.Table) -> pa.Table:
+        out = {}
+        for c in columns:
+            if c in batch.column_names:
+                out[c] = batch[c]
+            else:
+                out[c] = pa.array([None] * batch.num_rows, type=pa.string())
+        return pa.table(out)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def write_jsonl(ds: rd.Dataset, path: str) -> None:
+    """Write a Dataset as JSON-Lines, one file per block (the resumable
+    layout every sink here uses — a crashed write re-runs per block, and
+    re-reads parallelize at file level)."""
+    ds.write_json(path)

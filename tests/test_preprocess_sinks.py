@@ -212,3 +212,31 @@ def test_ini_config_preserves_case_and_percent(tmp_path):
     path = save_config(cfg, str(tmp_path / "c.ini"))
     loaded = load_config(path)
     assert loaded.surfaces == {"NF-kB": "PRGE", "5% dextrose": "CHED"}
+
+
+def test_jsonl_roundtrip_and_schema_normalization(tmp_path):
+    import json
+
+    from saber_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    # heterogeneous shards: shard 2 lacks `lang`, has an extra field
+    s1 = tmp_path / "a.jsonl"
+    s2 = tmp_path / "b.jsonl"
+    s1.write_text("\n".join(json.dumps(r) for r in [
+        {"doc_id": 1, "text": "hello world", "lang": "en"},
+        {"doc_id": 2, "text": "bonjour", "lang": "fr"},
+    ]))
+    s2.write_text(json.dumps({"doc_id": 3, "text": "hi", "extra": 9}))
+
+    ds = read_jsonl([str(s1), str(s2)], columns=["doc_id", "text", "lang"])
+    rows = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in rows] == [1, 2, 3]
+    assert rows[2]["lang"] is None          # absent field -> typed null
+    assert "extra" not in rows[0]           # pruned
+
+    # roundtrip through the sink
+    out = tmp_path / "out"
+    write_jsonl(ds, str(out))
+    back = sorted(read_jsonl(str(out)).take_all(), key=lambda r: r["doc_id"])
+    assert [(r["doc_id"], r["text"]) for r in back] == \
+           [(1, "hello world"), (2, "bonjour"), (3, "hi")]
