@@ -1396,6 +1396,15 @@ def _q_quality_filter(sf_dir: str):
     )
 
 
+def _q_grouped_hot_tokens(sf_dir: str):
+    # per-group heavy hitters: top-5 tokens per language, exact
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import grouped_hot_tokens
+
+    ds = read_documents_flat(sf_dir, columns=("doc_id", "text", "lang"))
+    return grouped_hot_tokens(ds, "lang", k=5)
+
+
 def _q_repetition_stats(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.textstats import repetition_stats_batch
@@ -1446,7 +1455,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_search": _q_knn,
         "knn_search_ivf": _q_knn_ivf,
         "media_decode": _q_media_decode,
-        "media_dims_dedup": _q_media_dims_dedup,
         # -- multi-stage compositions (no driver row in r03)
         "curate_pack": _q_curate_pack,
         "pack_interleaved": _q_pack_interleaved,
@@ -1475,11 +1483,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans": _q_duplicate_spans,
         "cut_duplicate_spans": _q_cut_duplicate_spans,
         "curate_mixture": _q_curate_mixture,
+        "grouped_hot_tokens": _q_grouped_hot_tokens,
         # -- new in round 4: Q12/Q13/Q17/Q22 shapes (never driver-recorded)
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
         "tpch_q17": _q_tpch_q17,
         "tpch_q22": _q_tpch_q22,
+        # r02 driver-green already — displaced past the 50-entry record
+        # window to make room for a query with no driver row anywhere
+        "media_dims_dedup": _q_media_dims_dedup,
         # -- cheap single-pass text/statistics queries (stable since r01)
         "sterilize": _q_sterilize,
         "token_count": _q_token_count,
@@ -2092,6 +2104,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                    CAST(max(pos) + 8 AS BIGINT) AS span_end
             FROM isl GROUP BY doc_id, grp
+        """,
+        "grouped_hot_tokens": f"""
+            WITH tok AS (
+                SELECT lang, unnest({TOKENS_SQL}) AS token FROM documents
+            ),
+            cnt AS (
+                SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2
+            )
+            SELECT lang, token, n FROM cnt
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY n DESC, token
+            ) <= 5
         """,
         "curate_mixture": f"""
             WITH t AS (

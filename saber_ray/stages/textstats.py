@@ -437,3 +437,47 @@ def window_chunks(
         lambda b: window_chunks_batch(b, window, stride, id_column, text_column),
         batch_format="pyarrow",
     )
+
+
+def grouped_token_frequency(
+    ds: rd.Dataset, group_column: str, column: str = "text"
+) -> rd.Dataset:
+    """Exact per-group token frequency: one (group, token, n) partial
+    row per distinct pair per batch (the ``token_frequency`` shape keyed
+    by the group too), then ONE keyed sum — the shuffle carries
+    compressed partials, never token occurrences."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counter: Counter = Counter()
+        for grp, text in zip(
+            batch[group_column].to_pylist(), batch[column].to_pylist()
+        ):
+            if text:
+                for t in _TOKEN_RE.findall(text.lower()):
+                    counter[(grp, t)] += 1
+        keys = sorted(counter)
+        return pa.table(
+            {
+                group_column: pa.array([g for g, _ in keys]),
+                "token": pa.array([t for _, t in keys], type=pa.string()),
+                "n": pa.array([counter[k] for k in keys], type=pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        [group_column, "token"]
+    ).sum("n")
+    return agg.rename_columns({"sum(n)": "n"})
+
+
+def grouped_hot_tokens(
+    ds: rd.Dataset, group_column: str, k: int, column: str = "text"
+) -> rd.Dataset:
+    """Per-group heavy hitters: the k most frequent tokens per group
+    (count desc, token asc on ties) — "top terms per language/domain",
+    exact. Counting is ``grouped_token_frequency``; selection reuses the
+    two-phase ``top_n_per_group`` (shuffle moves O(k × batches) rows)."""
+    from .sampling import top_n_per_group
+
+    freq = grouped_token_frequency(ds, group_column, column)
+    return top_n_per_group(freq, group_column, "n", k, id_column="token")

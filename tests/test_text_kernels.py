@@ -113,3 +113,26 @@ def test_ngram_frequency_counts_and_topk():
     assert top == [{"ngram": "the cat", "cnt": 2}]
     tri = {r["ngram"]: r["cnt"] for r in ngram_frequency(docs, n=3).take_all()}
     assert tri == {"the cat sat": 1, "the cat ran": 1}
+
+
+def test_grouped_hot_tokens_exact():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.textstats import grouped_hot_tokens
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "lang": ["en", "en", "fr", "fr"],
+        "text": [
+            "apple apple apple banana banana cherry",
+            "apple banana date date date date",
+            "pomme pomme poire",
+            "pomme raisin raisin raisin",
+        ],
+    })
+    out = grouped_hot_tokens(rd.from_arrow(docs).repartition(3), "lang", k=2)
+    rows = {(r["lang"], r["token"]): r["n"] for r in out.take_all()}
+    # en: apple 4, date 4 (banana 3 excluded); ties broken token-asc
+    assert rows == {("en", "apple"): 4, ("en", "date"): 4,
+                    ("fr", "pomme"): 3, ("fr", "raisin"): 3}
