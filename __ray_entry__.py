@@ -977,6 +977,11 @@ def _q_curate_mixture(sf_dir: str):
     from saber_ray.stages.relational import semi_join
     from saber_ray.stages.sampling import temperature_mixture
 
+    # docs lineage has two consumers (semi_join left + keep_ids probe) —
+    # deliberately NOT materialized: re-running a column-pruned parquet
+    # scan twice is cheaper at corpus scale than pinning the whole
+    # corpus in the object store (kept, the post-filter subset, IS
+    # materialized below because three derived stages consume it)
     docs = read_documents_flat(sf_dir, columns=("doc_id", "text", "source"))
 
     def keep_ids(b: pa.Table) -> pa.Table:
@@ -2180,14 +2185,24 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
                 FROM isl GROUP BY doc_id, grp
             ),
-            -- islands are disjoint, so covered tokens = sum of span widths;
-            -- a kept doc survives cutting iff some token is uncovered
+            -- exact position-level coverage: islands of window POSITIONS
+            -- are disjoint, but their [start, last+k) SPANS can overlap
+            -- when gaps are < k, so summing widths over-counts — a kept
+            -- doc survives cutting iff SOME position is uncovered (the
+            -- same NOT EXISTS the cut_duplicate_spans oracle uses)
+            pos AS (
+                SELECT k.doc_id, k.source,
+                       i.i - 1 AS p
+                FROM kept k,
+                     (SELECT UNNEST(generate_series(1, len(k.toks))) AS i) i
+            ),
             cleaned AS (
-                SELECT k.doc_id, k.source FROM kept k
-                WHERE len(k.toks) > coalesce((
-                    SELECT sum(s.span_end - s.span_start)
-                    FROM spans s WHERE s.doc_id = k.doc_id
-                ), 0)
+                SELECT DISTINCT e.doc_id, e.source FROM pos e
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM spans s
+                    WHERE s.doc_id = e.doc_id
+                      AND e.p >= s.span_start AND e.p < s.span_end
+                )
             ),
             counts AS (SELECT source, count(*) AS c FROM cleaned GROUP BY 1),
             w AS (SELECT source, pow(c, 0.5) AS w FROM counts),

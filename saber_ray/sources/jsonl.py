@@ -25,8 +25,10 @@ def read_jsonl(
     """Read one or many ``.jsonl`` files/directories into a Dataset.
 
     ``columns`` prunes to the named fields and GUARANTEES they exist in
-    the output schema (absent fields become typed-null string columns) —
-    heterogeneous shards stop being a downstream schema-mismatch crash.
+    every output block (absent fields become null-typed columns, which
+    Arrow's schema unification promotes to the field's real type from
+    the shards that do carry it) — heterogeneous shards stop being a
+    downstream schema-mismatch crash.
     """
     ds = rd.read_json(paths, **read_kwargs)
     if columns is None:
@@ -38,7 +40,10 @@ def read_jsonl(
             if c in batch.column_names:
                 out[c] = batch[c]
             else:
-                out[c] = pa.array([None] * batch.num_rows, type=pa.string())
+                # null TYPE, not a hardcoded string type: a string-null
+                # block would conflict with e.g. int64 blocks from
+                # shards that do carry the field
+                out[c] = pa.nulls(batch.num_rows)
         return pa.table(out)
 
     return ds.map_batches(project, batch_format="pyarrow")

@@ -1306,7 +1306,10 @@ def cut_spans(
     def cut(df):
         import pandas as pd
 
-        is_doc = df[column].notnull()
+        # discriminate sides on span_start (always set for span rows,
+        # always NULL for doc rows) — text null-ness would misroute a
+        # null-TEXT document onto the span side and crash on int(NaN)
+        is_doc = df["span_start"].isnull()
         span_map: dict = {}
         for rid, s, e in zip(
             df.loc[~is_doc, id_column],

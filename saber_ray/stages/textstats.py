@@ -452,13 +452,19 @@ def grouped_token_frequency(
         for grp, text in zip(
             batch[group_column].to_pylist(), batch[column].to_pylist()
         ):
-            if text:
+            # null groups are excluded: Ray's multi-key sort shuffle
+            # cannot order mixed None/str keys (same rule as
+            # grouped_approx_distinct) — fill_null upstream to keep them
+            if text and grp is not None:
                 for t in _TOKEN_RE.findall(text.lower()):
                     counter[(grp, t)] += 1
         keys = sorted(counter)
         return pa.table(
             {
-                group_column: pa.array([g for g, _ in keys]),
+                group_column: pa.array(
+                    [g for g, _ in keys],
+                    type=batch.schema.field(group_column).type,
+                ),
                 "token": pa.array([t for _, t in keys], type=pa.string()),
                 "n": pa.array([counter[k] for k in keys], type=pa.int64()),
             }

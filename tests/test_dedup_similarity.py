@@ -812,3 +812,42 @@ def test_cut_spans_lifecycle():
     thru = {r["doc_id"]: r["clean_text"]
             for r in cut_spans(ds, empty_spans).take_all()}
     assert len(thru) == 4 and thru[3] == " ".join(["spam"] * 10)
+
+
+def test_cut_spans_null_text_doc():
+    from saber_ray.stages.dedup import cut_spans, duplicate_spans
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["the same eight token window here appears twice " * 2,
+                 None, "unrelated distinct words entirely"],
+    })
+    ds = rd.from_arrow(docs)
+    out = cut_spans(ds, duplicate_spans(ds, k=8))
+    got = {r["doc_id"] for r in out.take_all()}
+    assert 2 not in got  # null text -> no tokens -> dropped, no crash
+    assert 3 in got
+
+
+def test_duplicate_spans_overlapping_islands_cut_exactly():
+    # dup windows at positions 0-4 and 10 of a 20-token doc produce
+    # islands [0,12) and [10,18) whose SPANS overlap; the cut must be
+    # the union (2 survivors), not width-sum arithmetic
+    from saber_ray.stages.dedup import cut_spans, duplicate_spans
+
+    toks = [f"w{i}" for i in range(20)]
+    doc_a = " ".join(toks)
+    # duplicate windows 0..4 (tokens 0..11) and window 10 (tokens 10..17)
+    other_a = " ".join(toks[0:12]) + " zzz yyy xxx"
+    other_b = "qqq rrr sss " + " ".join(toks[10:18])
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [doc_a, other_a, other_b],
+    }))
+    spans = duplicate_spans(ds, k=8)
+    got = sorted((r["doc_id"], r["span_start"], r["span_end"])
+                 for r in spans.take_all() if r["doc_id"] == 1)
+    assert got == [(1, 0, 12), (1, 10, 18)]  # overlapping spans
+    out = {r["doc_id"]: r["clean_text"]
+           for r in cut_spans(ds, spans).take_all()}
+    assert out[1] == "w18 w19"  # union coverage, not width sum

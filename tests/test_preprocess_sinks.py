@@ -240,3 +240,22 @@ def test_jsonl_roundtrip_and_schema_normalization(tmp_path):
     back = sorted(read_jsonl(str(out)).take_all(), key=lambda r: r["doc_id"])
     assert [(r["doc_id"], r["text"]) for r in back] == \
            [(1, "hello world"), (2, "bonjour"), (3, "hi")]
+
+
+def test_jsonl_absent_numeric_field_unifies(tmp_path):
+    import json
+
+    from saber_ray.sources.jsonl import read_jsonl
+
+    (tmp_path / "a.jsonl").write_text(json.dumps(
+        {"doc_id": 1, "n_likes": 5}))
+    (tmp_path / "b.jsonl").write_text(json.dumps({"doc_id": 2}))
+    ds = read_jsonl([str(tmp_path / "a.jsonl"), str(tmp_path / "b.jsonl")],
+                    columns=["doc_id", "n_likes"])
+    # a string-null fill would make int64/string blocks that crash on
+    # unification; null-typed fill promotes to the carrying shard's type
+    mat = ds.materialize()
+    assert str(mat.schema().types[1]) in ("int64", "null")
+    rows = sorted(mat.take_all(), key=lambda r: r["doc_id"])
+    assert [r["n_likes"] for r in rows] == [5, None]
+    assert ds.sum("n_likes") == 5  # numeric aggregate works end-to-end

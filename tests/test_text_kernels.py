@@ -136,3 +136,18 @@ def test_grouped_hot_tokens_exact():
     # en: apple 4, date 4 (banana 3 excluded); ties broken token-asc
     assert rows == {("en", "apple"): 4, ("en", "date"): 4,
                     ("fr", "pomme"): 3, ("fr", "raisin"): 3}
+
+
+def test_grouped_hot_tokens_null_group_excluded():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.textstats import grouped_hot_tokens
+
+    docs = pa.table({
+        "doc_id": [1, 2],
+        "lang": ["en", None],
+        "text": ["apple apple", "banana"],
+    })
+    out = grouped_hot_tokens(rd.from_arrow(docs), "lang", k=2).take_all()
+    assert {r["lang"] for r in out} == {"en"}  # null group dropped, no crash
