@@ -851,3 +851,57 @@ def test_duplicate_spans_overlapping_islands_cut_exactly():
     out = {r["doc_id"]: r["clean_text"]
            for r in cut_spans(ds, spans).take_all()}
     assert out[1] == "w18 w19"  # union coverage, not width sum
+
+
+def test_duplicate_spans_matches_bruteforce_reference():
+    # seeded random corpora with planted repetitions; the distributed
+    # operator must equal a pure-Python reference on every one
+    import re
+
+    from saber_ray.stages.dedup import duplicate_spans
+
+    tok_re = re.compile(r"[0-9a-z]+")
+    k = 8
+
+    def reference(texts: dict) -> set:
+        grams: dict = {}
+        per_doc: dict = {}
+        for did, text in texts.items():
+            toks = tok_re.findall(text.lower()) if text else []
+            ws = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+            per_doc[did] = ws
+            for w in ws:
+                grams[w] = grams.get(w, 0) + 1
+        out = set()
+        for did, ws in per_doc.items():
+            dup = [i for i, w in enumerate(ws) if grams[w] >= 2]
+            start = None
+            prev = None
+            for i in dup + [None]:
+                if i is not None and prev is not None and i == prev + 1:
+                    prev = i
+                    continue
+                if prev is not None:
+                    out.add((did, start, prev + k))
+                start = prev = i
+        return out
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        vocab = [f"v{i}" for i in range(30)]  # tiny vocab -> collisions
+        texts = {}
+        for d in range(40):
+            n = rng.randint(0, 40)
+            words = rng.choice(vocab, size=n).tolist()
+            texts[d] = " ".join(words)
+        # plant a shared block across two random docs
+        block = " ".join(rng.choice(vocab, size=12).tolist())
+        texts[100] = f"{texts[0]} {block}"
+        texts[101] = f"{block} {texts[1]}"
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": list(texts), "text": list(texts.values()),
+        })).repartition(5)
+        got = {(r["doc_id"], r["span_start"], r["span_end"])
+               for r in duplicate_spans(ds, k=k).take_all()}
+        assert got == reference(texts), f"seed {seed} diverged"
