@@ -1401,6 +1401,25 @@ def _q_quality_filter(sf_dir: str):
     )
 
 
+def _q_bigram_logprob(sf_dir: str):
+    """Interpolated-bigram LM scoring (λ=0.75, top-5000 pruned bigram
+    table — the bounded-broadcast shape): mean log2 transition
+    probability per document. Docs with < 2 tokens (none in this data)
+    are filtered so the oracle's transition-join universe matches."""
+    import pyarrow.compute as pc
+
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.quality import bigram_logprob
+
+    scored = bigram_logprob(read_documents_flat(sf_dir), lam=0.75,
+                            top_m=5000)
+    return scored.map_batches(
+        lambda b: b.filter(pc.is_valid(b["bigram_logprob"])).select(
+            ["doc_id", "bigram_logprob"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_grouped_hot_tokens(sf_dir: str):
     # per-group heavy hitters: top-5 tokens per language, exact
     from saber_ray.sources.testdata import read_documents_flat
@@ -1459,7 +1478,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dups,
         "knn_search": _q_knn,
         "knn_search_ivf": _q_knn_ivf,
-        "media_decode": _q_media_decode,
         # -- multi-stage compositions (no driver row in r03)
         "curate_pack": _q_curate_pack,
         "pack_interleaved": _q_pack_interleaved,
@@ -1489,13 +1507,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cut_duplicate_spans": _q_cut_duplicate_spans,
         "curate_mixture": _q_curate_mixture,
         "grouped_hot_tokens": _q_grouped_hot_tokens,
+        "bigram_logprob": _q_bigram_logprob,
         # -- new in round 4: Q12/Q13/Q17/Q22 shapes (never driver-recorded)
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
         "tpch_q17": _q_tpch_q17,
         "tpch_q22": _q_tpch_q22,
         # r02 driver-green already — displaced past the 50-entry record
-        # window to make room for a query with no driver row anywhere
+        # window to make room for queries with no driver row anywhere
+        "media_decode": _q_media_decode,
         "media_dims_dedup": _q_media_dims_dedup,
         # -- cheap single-pass text/statistics queries (stable since r01)
         "sterilize": _q_sterilize,
@@ -2109,6 +2129,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                    CAST(max(pos) + 8 AS BIGINT) AS span_end
             FROM isl GROUP BY doc_id, grp
+        """,
+        "bigram_logprob": f"""
+            WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+            uni AS (
+                SELECT tok, count(*) AS n
+                FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM uni),
+            trans AS (
+                SELECT doc_id, toks[i.i] AS w1, toks[i.i + 1] AS w2
+                FROM toks,
+                     (SELECT UNNEST(generate_series(1, len(toks) - 1)) AS i) i
+                WHERE len(toks) >= 2
+            ),
+            bi_all AS (SELECT w1, w2, count(*) AS cnt FROM trans GROUP BY 1, 2),
+            bi AS (
+                SELECT w1, w2, cnt FROM bi_all
+                QUALIFY row_number() OVER (
+                    ORDER BY cnt DESC, w1 || ' ' || w2
+                ) <= 5000
+            ),
+            p AS (
+                SELECT t.doc_id,
+                       log2(0.75 * (coalesce(CAST(b.cnt AS DOUBLE), 0.0)
+                                    / u1.n)
+                            + (1.0 - 0.75)
+                              * (CAST(u2.n AS DOUBLE)
+                                 / (SELECT total FROM tot))) AS lp
+                FROM trans t
+                JOIN uni u1 ON u1.tok = t.w1
+                JOIN uni u2 ON u2.tok = t.w2
+                LEFT JOIN bi b ON b.w1 = t.w1 AND b.w2 = t.w2
+            )
+            SELECT doc_id, avg(lp) AS bigram_logprob FROM p GROUP BY doc_id
         """,
         "grouped_hot_tokens": f"""
             WITH tok AS (

@@ -304,3 +304,105 @@ def quality_filter_batch(
             ),
         }
     )
+
+
+def bigram_model(ds: rd.Dataset, column: str = "text", top_m: int = 5000):
+    """Build the interpolated-bigram LM tables: the full unigram table
+    (one ``token_frequency`` shuffle — vocab-sized, the same broadcast
+    bound ``unigram_logprob`` already accepts) plus the bigram table
+    PRUNED to the ``top_m`` most frequent bigrams (count desc, gram asc
+    ties) — the pruning is what keeps the broadcast bounded at corpus
+    scale, where the full bigram vocabulary is orders of magnitude
+    larger than the unigram one. Returns a ``ray.put`` handle."""
+    from .textstats import ngram_frequency
+
+    uni = token_frequency(ds, column).take_all()
+    toks = np.array(sorted(r["token"] for r in uni), dtype=object)
+    by_tok = {r["token"]: r["n"] for r in uni}
+    counts = np.array([by_tok[t] for t in toks.tolist()], dtype=np.float64)
+    total = float(counts.sum())
+
+    bi = ngram_frequency(ds, n=2, column=column, k=top_m).take_all()
+    grams = np.array(sorted(r["ngram"] for r in bi), dtype=object)
+    by_gram = {r["ngram"]: r["cnt"] for r in bi}
+    gcounts = np.array([by_gram[g] for g in grams.tolist()], dtype=np.float64)
+    return ray.put((toks, counts, total, grams, gcounts))
+
+
+class BigramScorer:
+    """Actor-pool stage: append ``bigram_logprob`` — mean log2 of the
+    interpolated transition probability
+    ``lam * count(w1 w2)/count(w1) + (1-lam) * count(w2)/total``
+    over every adjacent token pair (documents with < 2 tokens get NULL).
+    Pruned-away bigrams contribute 0 to the first term (backoff to the
+    unigram term keeps the log finite). Model fetched once per actor;
+    per batch, transitions resolve with two vectorized ``searchsorted``
+    calls and per-doc means are one ``reduceat``."""
+
+    def __init__(self, model_ref, lam: float = 0.75, column: str = "text"):
+        toks, counts, total, grams, gcounts = ray.get(model_ref)
+        self._toks, self._counts, self._total = toks, counts, total
+        self._grams, self._gcounts = grams, gcounts
+        self._lam = lam
+        self._column = column
+
+    def _lookup(self, keys: np.ndarray, table: np.ndarray,
+                values: np.ndarray, default: float) -> np.ndarray:
+        if len(keys) == 0:
+            return np.empty(0, dtype=np.float64)
+        idx = np.searchsorted(table, keys)
+        idx_c = np.clip(idx, 0, len(table) - 1)
+        hit = table[idx_c] == keys if len(table) else np.zeros(len(keys), bool)
+        return np.where(hit, values[idx_c] if len(table) else default, default)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_tokens = [
+            _TOKEN_RE.findall(t.lower()) if t else []
+            for t in batch[self._column].to_pylist()
+        ]
+        n_trans = np.array([max(0, len(t) - 1) for t in doc_tokens],
+                           dtype=np.int64)
+        w1 = np.array([w for ts in doc_tokens for w in ts[:-1]], dtype=object)
+        w2 = np.array([w for ts in doc_tokens for w in ts[1:]], dtype=object)
+        if len(w1):
+            pair = np.array([f"{a} {b}" for a, b in zip(w1, w2)], dtype=object)
+            bi_cnt = self._lookup(pair, self._grams, self._gcounts, 0.0)
+            u1 = self._lookup(w1, self._toks, self._counts, self._total + 1.0)
+            u2 = self._lookup(w2, self._toks, self._counts, 0.0)
+            p = (self._lam * (bi_cnt / u1)
+                 + (1.0 - self._lam) * (u2 / self._total))
+            lps = np.log2(p)
+        else:
+            lps = np.empty(0, dtype=np.float64)
+        offsets = np.concatenate(([0], np.cumsum(n_trans)[:-1]))
+        valid = n_trans > 0
+        sums = np.zeros(len(n_trans), dtype=np.float64)
+        if valid.any():
+            sums[valid] = np.add.reduceat(lps, offsets[valid])
+        means = np.divide(sums, n_trans, out=np.zeros_like(sums), where=valid)
+        return batch.append_column(
+            "bigram_logprob", pa.array(means, type=pa.float64(), mask=~valid)
+        )
+
+
+def bigram_logprob(
+    ds: rd.Dataset,
+    column: str = "text",
+    lam: float = 0.75,
+    top_m: int = 5000,
+    concurrency=None,
+) -> rd.Dataset:
+    """Interpolated-bigram LM document scoring — the next quality rung
+    above ``unigram_logprob`` (degenerate word salads score low even
+    when their unigrams are common). Two small aggregate shuffles build
+    the model; scoring is one actor-pool pass."""
+    from ..functions.partitioning import pinned_pool
+
+    model_ref = bigram_model(ds, column, top_m)
+    return ds.map_batches(
+        BigramScorer,
+        fn_constructor_kwargs={"model_ref": model_ref, "lam": lam,
+                               "column": column},
+        batch_format="pyarrow",
+        concurrency=concurrency or pinned_pool(8),
+    )

@@ -237,3 +237,41 @@ def test_quality_filter_repetitive_and_empty():
     # empty and null text behave identically: rejected, never crash
     assert not out[2]["keep"] and not out[3]["keep"]
     assert out[2]["reasons"] == out[3]["reasons"]
+
+
+def test_bigram_logprob_hand_computed():
+    import math
+
+    from saber_ray.stages.quality import bigram_logprob
+
+    # corpus: "a b a b" and "a b c"
+    # unigrams: a:3 b:3 c:1, total 7
+    # bigrams: (a,b):3 (b,a):1 (b,c):1
+    docs = pa.table({"doc_id": [1, 2], "text": ["a b a b", "a b c"]})
+    out = {r["doc_id"]: r["bigram_logprob"]
+           for r in bigram_logprob(rd.from_arrow(docs), lam=0.75,
+                                   top_m=100).take_all()}
+    lam = 0.75
+    p_ab = lam * (3 / 3) + (1 - lam) * (3 / 7)
+    p_ba = lam * (1 / 3) + (1 - lam) * (3 / 7)
+    p_bc = lam * (1 / 3) + (1 - lam) * (1 / 7)
+    exp1 = (math.log2(p_ab) + math.log2(p_ba) + math.log2(p_ab)) / 3
+    exp2 = (math.log2(p_ab) + math.log2(p_bc)) / 2
+    assert abs(out[1] - exp1) < 1e-12
+    assert abs(out[2] - exp2) < 1e-12
+
+
+def test_bigram_logprob_pruning_and_short_docs():
+    from saber_ray.stages.quality import bigram_logprob
+
+    # top_m=1 keeps only the most frequent bigram; all other transitions
+    # back off to the pure unigram term — scores stay finite
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["x y x y x y", "y z", "solo"],
+    })
+    rows = {r["doc_id"]: r["bigram_logprob"]
+            for r in bigram_logprob(rd.from_arrow(docs), lam=0.75,
+                                    top_m=1).take_all()}
+    assert all(np.isfinite(v) for k, v in rows.items() if k in (1, 2))
+    assert rows[3] is None  # one token -> no transitions -> NULL
