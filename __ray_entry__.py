@@ -2165,8 +2165,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, avg(lp) AS bigram_logprob FROM p GROUP BY doc_id
         """,
         "grouped_hot_tokens": f"""
+            -- lang IS NOT NULL matches the engine contract: null groups
+            -- are excluded (Ray's multi-key shuffle cannot sort mixed
+            -- None/str keys); callers fill_null upstream to keep them
             WITH tok AS (
                 SELECT lang, unnest({TOKENS_SQL}) AS token FROM documents
+                WHERE lang IS NOT NULL
             ),
             cnt AS (
                 SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2

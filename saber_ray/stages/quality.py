@@ -368,9 +368,14 @@ class BigramScorer:
             pair = np.array([f"{a} {b}" for a, b in zip(w1, w2)], dtype=object)
             bi_cnt = self._lookup(pair, self._grams, self._gcounts, 0.0)
             u1 = self._lookup(w1, self._toks, self._counts, self._total + 1.0)
-            u2 = self._lookup(w2, self._toks, self._counts, 0.0)
-            p = (self._lam * (bi_cnt / u1)
-                 + (1.0 - self._lam) * (u2 / self._total))
+            # out-of-vocab w2 (cross-corpus scoring) backs off to the
+            # same add-one floor as UnigramScorer — a raw 0 would make
+            # the interpolated p zero and the log -inf
+            u2 = self._lookup(w2, self._toks, self._counts, -1.0)
+            p_uni = np.where(
+                u2 >= 0, u2 / self._total, 1.0 / (self._total + 1.0)
+            )
+            p = self._lam * (bi_cnt / u1) + (1.0 - self._lam) * p_uni
             lps = np.log2(p)
         else:
             lps = np.empty(0, dtype=np.float64)
@@ -395,7 +400,14 @@ def bigram_logprob(
     """Interpolated-bigram LM document scoring — the next quality rung
     above ``unigram_logprob`` (degenerate word salads score low even
     when their unigrams are common). Two small aggregate shuffles build
-    the model; scoring is one actor-pool pass."""
+    the model; scoring is one actor-pool pass.
+
+    The input is consumed THREE times (unigram build, bigram build,
+    scoring) — deliberately not materialized here: re-streaming a
+    column-pruned parquet scan beats pinning corpus text in the object
+    store. Callers whose ``ds`` carries EXPENSIVE derived lineage
+    (a curation pipeline, a model stage) should ``ds.materialize()``
+    first, or Ray re-executes that lineage per consumer."""
     from ..functions.partitioning import pinned_pool
 
     model_ref = bigram_model(ds, column, top_m)

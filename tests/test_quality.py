@@ -275,3 +275,16 @@ def test_bigram_logprob_pruning_and_short_docs():
                                     top_m=1).take_all()}
     assert all(np.isfinite(v) for k, v in rows.items() if k in (1, 2))
     assert rows[3] is None  # one token -> no transitions -> NULL
+
+
+def test_bigram_logprob_cross_corpus_oov_finite():
+    import ray as _ray
+
+    from saber_ray.stages.quality import BigramScorer, bigram_model
+
+    train = rd.from_arrow(pa.table({"doc_id": [1], "text": ["a b a b"]}))
+    model = bigram_model(train, top_m=10)
+    scorer = BigramScorer(model, lam=0.75)
+    out = scorer(pa.table({"doc_id": [9], "text": ["hello zzz unseen"]}))
+    v = out["bigram_logprob"].to_pylist()[0]
+    assert v is not None and np.isfinite(v)  # OOV w2 backs off, no -inf
