@@ -167,6 +167,62 @@ def cmd_eval(args: argparse.Namespace) -> None:
     print(json.dumps({"precision": p, "recall": r, "f1": f1, "support": support}))
 
 
+def cmd_curate(args: argparse.Namespace) -> None:
+    """Training-data curation over a parquet corpus: quality gate →
+    duplicated-span cutting → exact dedup of the cleaned text →
+    (optional) temperature mixture over a stratum column → partitioned
+    parquet out. Every stage is the library operator the query contract
+    value-checks; this is the one-command composition."""
+    _ensure_ray()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from .stages.dedup import cut_spans, dedup_exact, duplicate_spans
+    from .stages.quality import quality_filter_batch
+    from .stages.relational import semi_join
+    from .stages.sampling import temperature_mixture
+
+    docs = rd.read_parquet(args.input)
+
+    def keep_ids(b: pa.Table) -> pa.Table:
+        v = quality_filter_batch(b, min_tokens=args.min_tokens)
+        return v.filter(v["keep"]).select(["doc_id"])
+
+    kept = semi_join(
+        docs, docs.map_batches(keep_ids, batch_format="pyarrow"),
+        "doc_id", "doc_id",
+    ).materialize()
+    n_kept = kept.count()
+    clean = cut_spans(kept, duplicate_spans(kept, k=args.span_k)).materialize()
+    survivors = dedup_exact(clean, column="clean_text").select_columns(["doc_id"])
+    out = semi_join(clean, survivors, "doc_id", "doc_id")
+    if args.mixture_by:
+        from .functions.partitioning import shuffle_partitions
+
+        # repartition to uniform blocks before the hash join — empty
+        # blocks lose their schema and break the join's key resolution
+        # (the attach_pair_payload treatment); fan-out sized to the data
+        n_parts = shuffle_partitions(2, kept)
+        strata = kept.select_columns(["doc_id", args.mixture_by]).repartition(
+            n_parts)
+        with_src = out.select_columns(["doc_id"]).repartition(n_parts).join(
+            strata, join_type="inner", num_partitions=n_parts, on=("doc_id",),
+        )
+        picked = temperature_mixture(
+            with_src, args.mixture_by, alpha=args.alpha,
+            total=args.mixture_total,
+        ).select_columns(["doc_id"])
+        out = semi_join(out, picked, "doc_id", "doc_id")
+    out.write_parquet(args.out)
+    n_out = rd.read_parquet(args.out).count()
+    print(json.dumps({
+        "input_docs": docs.count(), "quality_kept": n_kept,
+        "written": n_out, "out": args.out,
+    }))
+
+
 def cmd_serve(args: argparse.Namespace) -> None:
     # in-process annotator; no Ray session needed for the serving path
     from .service import serve
@@ -228,6 +284,20 @@ def main(argv=None) -> None:
     p_eval.add_argument("--gold", required=True)
     p_eval.add_argument("--metrics", default="")
     p_eval.set_defaults(fn=cmd_eval)
+
+    p_curate = sub.add_parser(
+        "curate", help="quality gate -> span cut -> dedup -> mixture -> parquet"
+    )
+    p_curate.add_argument("--input", required=True, help="parquet glob of documents")
+    p_curate.add_argument("--out", required=True)
+    p_curate.add_argument("--min-tokens", type=int, default=10)
+    p_curate.add_argument("--span-k", type=int, default=8,
+                          help="duplicated-substring window (tokens)")
+    p_curate.add_argument("--mixture-by", default="",
+                          help="stratum column for temperature rebalancing")
+    p_curate.add_argument("--alpha", type=float, default=0.5)
+    p_curate.add_argument("--mixture-total", type=int, default=100000)
+    p_curate.set_defaults(fn=cmd_curate)
 
     p_serve = sub.add_parser("serve", help="annotation HTTP service")
     p_serve.add_argument("--host", default="127.0.0.1")
