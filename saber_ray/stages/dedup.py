@@ -1342,3 +1342,145 @@ def cut_spans(
             batch_format="pyarrow",
         )
     )
+
+
+def select_survivors(
+    labels: rd.Dataset,
+    docs: rd.Dataset,
+    id_column: str = "doc_id",
+    column: str = "text",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Quality-aware survivor selection: one row per near-duplicate
+    component — the HIGHEST-token-count member (ties: lowest id) plus
+    the component size. The curation refinement over the blind min-id
+    policy (``_min_id_survivors``): when a cluster holds a full document
+    and its truncated scrapes, keep the fullest copy, not the one whose
+    id happens to sort first.
+
+    ``labels`` is ``connected_components`` output (``id_column``,
+    ``component``); ``docs`` is the corpus. Scale shape: the corpus is
+    pruned FIRST with the distributed semi-join (only near-dup members
+    are ever scored — at 100 TB the cluster membership is a small
+    fraction of the corpus), scoring is one vectorized
+    ``token_count_batch`` pass, label⋈score and survivor⋈size run on
+    the bucketed ``lookup_join`` (no broadcast, no empty-partition
+    schema loss), and the per-component argmax is the two-phase
+    ``top_n_per_group`` — the shuffle moves one candidate row per
+    component per batch, never document text.
+
+    Returns ``(component, id_column, n_tokens, n_docs)``.
+    """
+    from ..functions.partitioning import shuffle_partitions
+    from .relational import lookup_join, semi_join
+    from .sampling import top_n_per_group
+    from .textstats import token_count_batch
+
+    labels = labels.materialize()  # reused by 3 consumers; labels are small
+    n = num_partitions or shuffle_partitions(8, docs)
+
+    members = semi_join(
+        docs.select_columns([id_column, column]), labels,
+        id_column, id_column, num_partitions=n,
+    )
+    scores = members.map_batches(
+        lambda b: token_count_batch(b, column=column).select(
+            [id_column, "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    scored = lookup_join(
+        labels, scores, id_column, id_column,
+        payload=["n_tokens"], num_partitions=n,
+    )
+    top1 = top_n_per_group(
+        scored, "component", "n_tokens", n=1, id_column=id_column,
+    )
+    sizes = labels.groupby("component").count().map_batches(
+        lambda b: pa.table({
+            "component": b["component"],
+            "n_docs": pc.cast(b["count()"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return lookup_join(
+        top1, sizes, "component", "component",
+        payload=["n_docs"], num_partitions=n,
+    ).map_batches(
+        lambda b: b.select(["component", id_column, "n_tokens", "n_docs"]),
+        batch_format="pyarrow",
+    )
+
+
+def exact_drop_stats(
+    ds: rd.Dataset,
+    group_column: str = "source",
+    id_column: str = "doc_id",
+    column: str = "text",
+) -> rd.Dataset:
+    """Per-group exact-duplicate rate: for each ``group_column`` value,
+    how many documents an exact dedup (min-id survivor per md5
+    token-sequence fingerprint, the :func:`dedup_exact` policy) would
+    drop, and the drop fraction — the "which source is mostly copies?"
+    report a curation run reads before spending near-dup budget.
+
+    Scale shape: fingerprints are one vectorized map pass; the ONLY
+    all-to-all is one bucket-keyed shuffle (``hash(fingerprint) % P`` —
+    every copy of a fingerprint lands in one bucket group, the
+    ``exact_dropped_ids`` shape), in-bucket survivor marking is one
+    pandas sort + boundary scan (no per-key Python calls), and the
+    per-group partial counts leaving each bucket are ``groups × 1``
+    rows, folded by a tiny final groupby.
+
+    Returns ``(group_column, n_docs, n_dropped, drop_rate)``.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import hash_str_array
+    from ..functions.partitioning import shuffle_partitions
+
+    n_buckets = shuffle_partitions(8, ds)
+
+    def fp_bucket(batch: pa.Table) -> pa.Table:
+        b = fingerprint_batch(batch, column).select(
+            [id_column, group_column, "fingerprint"])
+        h = hash_str_array(b["fingerprint"].to_pylist())
+        return b.append_column(
+            "__bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
+
+    def bucket_stats(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame({group_column: df[group_column],
+                                 "n_docs": [], "n_dropped": []})
+        df = df.sort_values(["fingerprint", id_column], kind="mergesort")
+        f = df["fingerprint"].to_numpy()
+        first = np.ones(len(df), dtype=bool)
+        first[1:] = f[1:] != f[:-1]
+        agg = (
+            df.assign(__dropped=~first)
+            .groupby(group_column, sort=False)
+            .agg(n_docs=("__dropped", "size"), n_dropped=("__dropped", "sum"))
+            .reset_index()
+        )
+        agg["n_docs"] = agg["n_docs"].astype("int64")
+        agg["n_dropped"] = agg["n_dropped"].astype("int64")
+        return agg
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["sum(n_docs)"], pa.int64())
+        d = pc.cast(batch["sum(n_dropped)"], pa.int64())
+        return pa.table({
+            group_column: batch[group_column],
+            "n_docs": n,
+            "n_dropped": d,
+            "drop_rate": pc.divide(
+                pc.cast(d, pa.float64()), pc.cast(n, pa.float64())),
+        })
+
+    return (
+        ds.map_batches(fp_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .groupby(group_column)
+        .sum(["n_docs", "n_dropped"])
+        .map_batches(finish, batch_format="pyarrow")
+    )

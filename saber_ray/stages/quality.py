@@ -418,3 +418,53 @@ def bigram_logprob(
         batch_format="pyarrow",
         concurrency=concurrency or pinned_pool(8),
     )
+
+
+def quality_report(
+    ds: rd.Dataset,
+    group_column: str = "source",
+    column: str = "text",
+    id_column: str = "doc_id",
+    **thresholds,
+) -> rd.Dataset:
+    """Per-group quality-gate outcome report: one row per
+    ``(group, reason)`` with the document count — kept docs count under
+    reason ``'ok'``, rejected docs once per violated rule. The first
+    question a curation run answers per source/domain ("what is each
+    source failing on, and how much survives?"), derived from the same
+    auditable verdicts as :func:`quality_filter_batch`.
+
+    Scale shape: verdicts + reason explosion + per-batch partial counts
+    are ONE vectorized map pass (Arrow ``split_pattern`` /
+    ``list_parent_indices`` — no Python row loop); the only shuffle is
+    the final ``groupby`` over (group, reason) partials, whose
+    cardinality is sources × 7, independent of corpus size.
+
+    Returns ``(group_column, reason, n_docs)``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = quality_filter_batch(
+            batch, column=column, id_column=id_column, **thresholds)
+        reason = pc.if_else(v["keep"], pa.scalar("ok"), v["reasons"])
+        split = pc.split_pattern(reason, ",")
+        grp = pc.take(
+            batch[group_column].combine_chunks()
+            if isinstance(batch[group_column], pa.ChunkedArray)
+            else batch[group_column],
+            pc.list_parent_indices(split),
+        )
+        t = pa.table({group_column: grp, "reason": pc.list_flatten(split)})
+        g = t.group_by([group_column, "reason"]).aggregate([([], "count_all")])
+        return pa.table({
+            group_column: g[group_column],
+            "reason": g["reason"],
+            "n_docs": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_column, "reason"])
+        .sum("n_docs")
+        .rename_columns({"sum(n_docs)": "n_docs"})
+    )

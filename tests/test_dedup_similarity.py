@@ -905,3 +905,56 @@ def test_duplicate_spans_matches_bruteforce_reference():
         got = {(r["doc_id"], r["span_start"], r["span_end"])
                for r in duplicate_spans(ds, k=k).take_all()}
         assert got == reference(texts), f"seed {seed} diverged"
+
+
+def test_select_survivors_quality_argmax():
+    """Per component: highest-token-count doc wins, ties break to the
+    lowest id; n_docs = component size; singleton components kept."""
+    from saber_ray.stages.dedup import select_survivors
+
+    labels = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 7, 8, 9], type=pa.int64()),
+        "component": pa.array([1, 1, 1, 7, 7, 9], type=pa.int64()),
+    }))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 7, 8, 9], type=pa.int64()),
+        "text": [
+            "one two three",          # comp 1: 3 tokens
+            "one two three four five",  # comp 1: 5 tokens -> survivor 2
+            "one two",                # comp 1: 2 tokens
+            "not in any component so never scored or returned",
+            "a b c d",                # comp 7: 4 tokens, tie with 8
+            "w x y z",                # comp 7: 4 tokens -> survivor 7 (min id)
+            "solo doc",               # comp 9: singleton
+        ],
+    }))
+    got = sorted(
+        (r["component"], r["doc_id"], r["n_tokens"], r["n_docs"])
+        for r in select_survivors(labels, docs).take_all()
+    )
+    assert got == [(1, 2, 5, 3), (7, 7, 4, 2), (9, 9, 2, 1)]
+
+
+def test_exact_drop_stats_per_source_rates():
+    """Per source: total docs, docs an exact dedup drops (non-min-id
+    copies of a fingerprint), and the drop fraction. Duplicate groups
+    that span sources charge the drop to the copy's OWN source."""
+    from saber_ray.stages.dedup import exact_drop_stats
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "source": ["web", "web", "web", "books", "books", "web"],
+        "text": [
+            "alpha beta gamma",   # survivor (min id of the dup group)
+            "alpha beta gamma",   # dup -> dropped, charged to web
+            "unique one",
+            "alpha beta gamma",   # dup -> dropped, charged to books
+            "unique two",
+            "Alpha  BETA gamma",  # same token sequence -> dup, web
+        ],
+    }))
+    got = sorted(
+        (r["source"], r["n_docs"], r["n_dropped"], round(r["drop_rate"], 6))
+        for r in exact_drop_stats(docs).take_all()
+    )
+    assert got == [("books", 2, 1, 0.5), ("web", 4, 2, 0.5)]

@@ -288,3 +288,37 @@ def test_bigram_logprob_cross_corpus_oov_finite():
     out = scorer(pa.table({"doc_id": [9], "text": ["hello zzz unseen"]}))
     v = out["bigram_logprob"].to_pylist()[0]
     assert v is not None and np.isfinite(v)  # OOV w2 backs off, no -inf
+
+
+def test_quality_report_per_source_counts():
+    """Kept docs count under 'ok'; rejected docs count once per violated
+    rule (so one doc may appear under several reasons)."""
+    from saber_ray.stages.quality import quality_report
+
+    prose = ("the cat and the dog were in the house because it was "
+             "raining and they could not walk")  # passes all gates
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "source": ["web", "web", "web", "books"],
+        "text": [
+            prose,
+            "tiny",                  # too_few_tokens AND low_stopword
+            prose,
+            prose,
+        ],
+    }))
+    got = {
+        (r["source"], r["reason"]): r["n_docs"]
+        for r in quality_report(
+            docs, group_column="source", min_tokens=10,
+            min_stopword_ratio=0.05, min_mean_token_len=1.0,
+            max_mean_token_len=10.0, max_dup_line_frac=1.0,
+            max_top_bigram_frac=1.0,
+        ).take_all()
+    }
+    assert got == {
+        ("web", "ok"): 2,
+        ("web", "too_few_tokens"): 1,
+        ("web", "low_stopword"): 1,
+        ("books", "ok"): 1,
+    }
