@@ -181,7 +181,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
 
     from .stages.dedup import cut_spans, dedup_exact, duplicate_spans
     from .stages.quality import quality_filter_batch
-    from .stages.relational import semi_join
+    from .stages.relational import lookup_join, semi_join
     from .stages.sampling import temperature_mixture
 
     docs = rd.read_parquet(args.input)
@@ -201,14 +201,18 @@ def cmd_curate(args: argparse.Namespace) -> None:
     if args.mixture_by:
         from .functions.partitioning import shuffle_partitions
 
-        # repartition to uniform blocks before the hash join — empty
-        # blocks lose their schema and break the join's key resolution
-        # (the attach_pair_payload treatment); fan-out sized to the data
+        # out is shuffle-derived lineage consumed three times below
+        # (stratum attach, semi-join probe, semi-join itself) — pin it
+        out = out.materialize()
+        # bucketed lookup_join, not the native hash join: a partition
+        # with zero rows from one side loses its schema and breaks the
+        # key FieldRef (guaranteed once fan-out exceeds survivor count)
         n_parts = shuffle_partitions(2, kept)
-        strata = kept.select_columns(["doc_id", args.mixture_by]).repartition(
-            n_parts)
-        with_src = out.select_columns(["doc_id"]).repartition(n_parts).join(
-            strata, join_type="inner", num_partitions=n_parts, on=("doc_id",),
+        with_src = lookup_join(
+            out.select_columns(["doc_id"]),
+            kept.select_columns(["doc_id", args.mixture_by]),
+            "doc_id", "doc_id",
+            payload=[args.mixture_by], num_partitions=n_parts,
         )
         picked = temperature_mixture(
             with_src, args.mixture_by, alpha=args.alpha,

@@ -1449,15 +1449,18 @@ def exact_drop_stats(
 
     def bucket_stats(df: "pd.DataFrame") -> "pd.DataFrame":
         if len(df) == 0:
+            empty = np.array([], dtype="int64")
             return pd.DataFrame({group_column: df[group_column],
-                                 "n_docs": [], "n_dropped": []})
+                                 "n_docs": empty, "n_dropped": empty})
         df = df.sort_values(["fingerprint", id_column], kind="mergesort")
         f = df["fingerprint"].to_numpy()
         first = np.ones(len(df), dtype=bool)
         first[1:] = f[1:] != f[:-1]
         agg = (
             df.assign(__dropped=~first)
-            .groupby(group_column, sort=False)
+            # dropna=False: a null group value is a real group (SQL
+            # GROUP BY keeps it) — dropping it would undercount docs
+            .groupby(group_column, sort=False, dropna=False)
             .agg(n_docs=("__dropped", "size"), n_dropped=("__dropped", "sum"))
             .reset_index()
         )

@@ -39,3 +39,26 @@ def test_cli_curate_end_to_end(tmp_path, capsys):
     for did, text in zip(got["doc_id"], got["clean_text"]):
         if did in (100, 101):
             assert "b0 b1 b2" not in text
+
+
+def test_cli_curate_mixture_single_survivor(tmp_path, capsys):
+    """One surviving doc with mixture fan-out 2: a hash-join partition
+    would receive zero left rows (the schema-loss crash); the bucketed
+    lookup_join path must survive and write the one doc."""
+    prose = ("the cat and the dog were in the house because it was "
+             "raining and they could not go out for a walk")
+    rows = [
+        {"doc_id": 1, "text": f"{prose} unique tail", "source": "web"},
+        {"doc_id": 2, "text": "too short", "source": "web"},  # quality-gated
+    ]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), src)
+
+    out = tmp_path / "curated"
+    main(["curate", "--input", str(src), "--out", str(out),
+          "--mixture-by", "source", "--mixture-total", "5"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["quality_kept"] == 1
+    assert stats["written"] == 1
+    got = pq.read_table(out)
+    assert got.num_rows == 1 and got["doc_id"].to_pylist() == [1]

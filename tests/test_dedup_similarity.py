@@ -958,3 +958,20 @@ def test_exact_drop_stats_per_source_rates():
         for r in exact_drop_stats(docs).take_all()
     )
     assert got == [("books", 2, 1, 0.5), ("web", 4, 2, 0.5)]
+
+
+def test_exact_drop_stats_null_group_kept():
+    """A null group value is a real group (SQL GROUP BY keeps it) —
+    pandas' default dropna=True must not silently lose those docs."""
+    from saber_ray.stages.dedup import exact_drop_stats
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "source": pa.array(["web", None, None], type=pa.string()),
+        "text": ["same text here", "same text here", "other words"],
+    }))
+    got = sorted(
+        ((r["source"] or ""), r["n_docs"], r["n_dropped"])
+        for r in exact_drop_stats(docs).take_all()
+    )
+    assert got == [("", 2, 1), ("web", 1, 0)]
