@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from ..functions.partitioning import pinned_pool
+from ..functions.partitioning import arrow_types, pinned_pool
 
 from ..functions.hashing import (
     batch_shingle_hashes,
@@ -270,7 +270,7 @@ def minhash_lsh_pairs(
             f"num_perm ({num_perm}) must be divisible by num_bands "
             f"({num_bands}) — trailing permutations would be silently dropped"
         )
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
+    id_type = arrow_types(ds)[id_column]
     sigs = ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={
@@ -359,7 +359,7 @@ def verify_pairs_jaccard(
 
     from .pairs import attach_pair_payload
 
-    id_type = dict(zip(docs.schema().names, docs.schema().types))[id_column]
+    id_type = arrow_types(docs)[id_column]
     attached = attach_pair_payload(
         pairs, docs, id_column, "shingles",
         raw_columns=[column],
@@ -437,7 +437,7 @@ def ngram_jaccard_pairs(
     """
     from ..functions.partitioning import shuffle_partitions
 
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
+    id_type = arrow_types(ds)[id_column]
 
     def explode(batch: pa.Table) -> pa.Table:
         t = _shingle_hash_arrays(batch, shingle_k, id_column, column)
@@ -560,7 +560,7 @@ def simhash_near_pairs(
                          "key": pa.array(keys, type=pa.int64()),
                          "simhash": pa.array(np.repeat(sh, num_tables), type=pa.int64())})
 
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
+    id_type = arrow_types(ds)[id_column]
 
     from ..functions.partitioning import shuffle_partitions
 
@@ -641,7 +641,7 @@ def exact_dropped_ids(
     from ..functions.partitioning import shuffle_partitions
 
     n_buckets = shuffle_partitions(8, docs)
-    id_type = dict(zip(docs.schema().names, docs.schema().types))[id_column]
+    id_type = arrow_types(docs)[id_column]
     fps = _interleaved_fingerprints(docs, id_column)
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -942,7 +942,7 @@ def dedup_against_index(
     id_column = params["id_column"]
     column = params["column"]
 
-    id_type = dict(zip(increment.schema().names, increment.schema().types))[id_column]
+    id_type = arrow_types(increment)[id_column]
     inc_rows = increment.map_batches(
         MinHashIndexRows,
         fn_constructor_kwargs={
@@ -1164,7 +1164,7 @@ def duplicate_spans(
     from ..functions.partitioning import shuffle_partitions
     from .relational import semi_join
 
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
+    id_type = arrow_types(ds)[id_column]
     rows = ds.map_batches(
         lambda b: _gram_position_rows(b, k, id_column, column),
         batch_format="pyarrow",
@@ -1275,7 +1275,7 @@ def cut_spans(
     """
     from ..functions.partitioning import shuffle_partitions
 
-    id_type = dict(zip(docs.schema().names, docs.schema().types))[id_column]
+    id_type = arrow_types(docs)[id_column]
     n_buckets = shuffle_partitions(16, docs)
 
     def doc_rows(batch: pa.Table) -> pa.Table:

@@ -393,11 +393,13 @@ def _node_id_type(ud: rd.Dataset, edges: rd.Dataset) -> "pa.DataType":
     """Node-id Arrow type for typed-empty results: an EMPTY undirected
     edge set (self-loop-only / empty graph) reports ``schema() is
     None``, so fall back to the input edge table's ``src`` type."""
+    from ..functions.partitioning import arrow_types
+
     ud_schema = ud.schema()
     if ud_schema is not None and "u" in ud_schema.names:
-        return ud_schema.types[ud_schema.names.index("u")]
+        return arrow_types(ud)["u"]
     es = edges.schema()
-    return (es.types[es.names.index("src")]
+    return (arrow_types(edges)["src"]
             if es is not None and "src" in es.names else pa.string())
 
 

@@ -26,6 +26,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..functions.partitioning import arrow_types
+
 def _cluster_cpus() -> int:
     import ray
 
@@ -113,7 +115,7 @@ def attach_pair_payload(
         2, min(2 * _cluster_cpus(), len(ids) // 5000 + 2)
     )
 
-    item_types = dict(zip(items.schema().names, items.schema().types))
+    item_types = arrow_types(items)
     id_type = item_types[id_column]
     in_columns = [id_column] + list(raw_columns or [payload_column])
     if payload_builder is None:

@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..functions.partitioning import arrow_types
+
 
 def tumbling_window_agg(
     events: rd.Dataset,
@@ -593,9 +595,9 @@ def _filter_join(
     dropped by semi, KEPT by anti."""
     import numpy as np
 
-    schema = left.schema()
-    names, types = list(schema.names), list(schema.types)
-    key_type = types[names.index(left_on)]
+    lat = arrow_types(left)
+    names, types = list(lat), list(lat.values())
+    key_type = lat[left_on]
     n = num_partitions
 
     def tag_left(batch: pa.Table) -> pa.Table:
@@ -664,9 +666,9 @@ def lookup_join(
     """
     import numpy as np
 
-    lschema = left.schema()
-    lnames, ltypes = list(lschema.names), list(lschema.types)
-    rschema = dict(zip(right.schema().names, right.schema().types))
+    lat = arrow_types(left)
+    lnames, ltypes = list(lat), list(lat.values())
+    rschema = arrow_types(right)
     ptypes = [rschema[p] for p in payload]
     key_type = ltypes[lnames.index(left_on)]
     n = num_partitions
@@ -794,8 +796,8 @@ def asof_join(
     # capture names/types as plain lists on the driver: referencing
     # ``left`` inside a UDF would pickle the whole Dataset plan into
     # every map task
-    left_names = list(left.schema().names)
-    left_types = list(left.schema().types)
+    lat = arrow_types(left)
+    left_names, left_types = list(lat), list(lat.values())
     out_names = list(right_columns.values())
 
     def tag_left(batch: pa.Table) -> pa.Table:
@@ -933,8 +935,8 @@ def window_count_join(
     from ..functions.partitioning import shuffle_partitions
 
     n = shuffle_partitions(8, left)
-    left_names = list(left.schema().names)
-    left_types = list(left.schema().types)  # plain list: never close over `left`
+    lat = arrow_types(left)  # plain lists: never close over `left`
+    left_names, left_types = list(lat), list(lat.values())
     on_type = left_types[left_names.index(on)]
     if pa.types.is_temporal(on_type):
         # Timedelta coercion only makes sense for temporal band columns;
@@ -1317,7 +1319,7 @@ def salted_join(
             expr=f"cnt_total > {int(hot_threshold)}"
         ).limit(max_hot + 1).materialize()
         if hot_ds.count() == 0:
-            key_type = counts.schema().types[counts.schema().names.index(left_on)]
+            key_type = arrow_types(counts)[left_on]
             hot_arr = pa.array([], type=key_type)
         else:
             hot_tbl = hot_ds.take_batch(max_hot + 1, batch_format="pyarrow")
@@ -1332,8 +1334,7 @@ def salted_join(
     else:
         # cast explicitly to the left key type — inference from Python
         # values can silently change the Arrow type (see above)
-        left_sch = left.schema()
-        key_type = left_sch.types[left_sch.names.index(left_on)]
+        key_type = arrow_types(left)[left_on]
         hot_arr = pa.array(list(hot_keys), type=key_type)
     hot = ray.put(hot_arr)
 
@@ -1549,8 +1550,7 @@ def pivot_counts(
     )
     # the row key keeps its source type (int event codes stay int) —
     # taken from the events schema, not hardcoded string
-    schema = events.schema()
-    key_type = schema.types[schema.names.index(row_key)]
+    key_type = arrow_types(events)[row_key]
     cells = {}
     row_keys = set()
     for r in agg.take_all():          # |keys| x |days| rows - tiny
@@ -1772,8 +1772,7 @@ def inactive_customer_balances(
     avg_bal = cust.filter(expr="c_acctbal > 0.0").mean("c_acctbal")
     if avg_bal is None:
         # no positive-balance customer: SQL's `> NULL` matches nothing
-        nk_type = dict(zip(cust.schema().names,
-                           cust.schema().types))["c_nationkey"]
+        nk_type = arrow_types(cust)["c_nationkey"]
         return rd.from_arrow(pa.table({
             "c_nationkey": pa.array([], type=nk_type),
             "numcust": pa.array([], type=pa.int64()),

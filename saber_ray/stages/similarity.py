@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.partitioning import pinned_pool
+from ..functions.partitioning import arrow_types, pinned_pool
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -484,7 +484,7 @@ def semantic_dedup_pairs(
     within a semantic neighborhood" — the set SemDeDup prunes."""
     cent = _normalize(np.asarray(centroids, dtype=np.float64))
     cent_ref = ray.put(cent)
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
+    id_type = arrow_types(ds)[id_column]
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
@@ -696,7 +696,7 @@ def verify_pairs_cosine(
     row-wise dot product filters by ``threshold``."""
     from .pairs import attach_pair_payload
 
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
+    id_type = arrow_types(ds)[id_column]
     attached = attach_pair_payload(
         pairs, ds, id_column, vector_column, num_partitions=num_partitions
     )
@@ -776,7 +776,7 @@ def lsh_candidate_pairs(
         )
 
     banded = ds.map_batches(band_rows, batch_format="pyarrow")
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
+    id_type = arrow_types(ds)[id_column]
     return expand_bucketed_pairs(
         banded, ["t", "key"], id_column, id_type,
         max_bucket, shuffle_partitions(16, ds),

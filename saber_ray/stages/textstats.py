@@ -28,6 +28,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ..functions.partitioning import arrow_types
+
 from ..constants import PAD, UNK
 
 TOKEN_PATTERN = r"[0-9a-zA-Z]+"
@@ -248,7 +250,7 @@ def tfidf_top_terms(
     from .sampling import top_n_per_group
 
     n_docs = float(ds.count())
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
+    id_type = arrow_types(ds)[id_column]
 
     def postings(batch: pa.Table) -> pa.Table:
         ids: list = []

@@ -106,3 +106,52 @@ def test_weighted_sample_matches_local_es_order():
     key = -np.log(u) / w
     want = sorted(np.argsort(key, kind="stable")[:k].tolist())
     assert got == want
+
+
+def test_select_survivors_matches_bruteforce():
+    """Random components + random texts: distributed survivor selection
+    == the pandas argmax reference (max tokens, then min id)."""
+    import re
+
+    from saber_ray.stages.dedup import select_survivors
+
+    tok = re.compile(r"[0-9a-z]+")
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n_docs = int(rng.integers(10, 60))
+        words = ["alpha", "beta", "gamma", "x1", "y2"]
+        texts = [
+            " ".join(rng.choice(words, size=rng.integers(0, 12)))
+            for _ in range(n_docs)
+        ]
+        docs = pd.DataFrame({
+            "doc_id": np.arange(n_docs, dtype=np.int64), "text": texts})
+        # random components over a random subset of docs
+        member = rng.random(n_docs) < 0.6
+        comp_of = {}
+        for i in np.flatnonzero(member):
+            comp_of[int(i)] = int(rng.integers(0, 6))
+        labels = pd.DataFrame({
+            "doc_id": np.array(sorted(comp_of), dtype=np.int64),
+            "component": np.array(
+                [comp_of[i] for i in sorted(comp_of)], dtype=np.int64),
+        })
+        if len(labels) == 0:
+            continue
+
+        got = sorted(
+            (r["component"], r["doc_id"], r["n_tokens"], r["n_docs"])
+            for r in select_survivors(
+                rd.from_pandas(labels), rd.from_pandas(docs)).take_all()
+        )
+
+        ref = labels.merge(docs, on="doc_id")
+        ref["n_tokens"] = ref["text"].map(
+            lambda t: len(tok.findall(t.lower())))
+        want = []
+        for comp, g in ref.groupby("component"):
+            g = g.sort_values(["n_tokens", "doc_id"],
+                              ascending=[False, True])
+            want.append((int(comp), int(g.iloc[0]["doc_id"]),
+                         int(g.iloc[0]["n_tokens"]), int(len(g))))
+        assert got == sorted(want), f"trial {trial}"
