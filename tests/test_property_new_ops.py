@@ -155,3 +155,79 @@ def test_select_survivors_matches_bruteforce():
             want.append((int(comp), int(g.iloc[0]["doc_id"]),
                          int(g.iloc[0]["n_tokens"]), int(len(g))))
         assert got == sorted(want), f"trial {trial}"
+
+
+def test_exact_drop_stats_matches_bruteforce():
+    """Random dup groups across random sources: distributed per-source
+    drop stats == the pandas fingerprint-groupby reference."""
+    import re
+
+    from saber_ray.stages.dedup import exact_drop_stats
+
+    tok = re.compile(r"[0-9a-z]+")
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n = int(rng.integers(8, 50))
+        base = ["alpha beta", "gamma delta", "x y z", "solo words here"]
+        texts = [base[int(rng.integers(0, len(base)))] for _ in range(n)]
+        srcs = [f"s{int(rng.integers(0, 3))}" for _ in range(n)]
+        docs = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": srcs, "text": texts})
+
+        got = sorted(
+            (r["source"], r["n_docs"], r["n_dropped"],
+             round(r["drop_rate"], 9))
+            for r in exact_drop_stats(rd.from_pandas(docs)).take_all()
+        )
+
+        ref = docs.copy()
+        ref["fp"] = ref["text"].map(
+            lambda t: " ".join(tok.findall(t.lower())))
+        keep = ref.groupby("fp")["doc_id"].transform("min")
+        ref["dropped"] = ref["doc_id"] != keep
+        want = sorted(
+            (src, int(len(g)), int(g["dropped"].sum()),
+             round(float(g["dropped"].sum()) / len(g), 9))
+            for src, g in ref.groupby("source")
+        )
+        assert got == want, f"trial {trial}"
+
+
+def test_quality_report_matches_bruteforce():
+    """Random texts: per-(source, reason) counts == a local verdict
+    recount over the same batch kernel."""
+    from saber_ray.stages.quality import quality_filter_batch, quality_report
+
+    rng = np.random.default_rng(31)
+    words = ["the", "and", "supercalifragilistic", "ab", "information",
+             "processing", "x9", "qq"]
+    for trial in range(2):
+        n = int(rng.integers(10, 40))
+        texts = [
+            " ".join(rng.choice(words, size=int(rng.integers(0, 25))))
+            for _ in range(n)
+        ]
+        srcs = [f"s{int(rng.integers(0, 3))}" for _ in range(n)]
+        docs = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": srcs, "text": texts})
+        kw = dict(min_tokens=5, min_stopword_ratio=0.05,
+                  min_mean_token_len=2.0, max_mean_token_len=8.0,
+                  max_dup_line_frac=0.5, max_top_bigram_frac=0.5)
+
+        got = sorted(
+            (r["source"], r["reason"], r["n_docs"])
+            for r in quality_report(
+                rd.from_pandas(docs), group_column="source", **kw
+            ).take_all()
+        )
+
+        v = quality_filter_batch(
+            pa.Table.from_pandas(docs), **kw).to_pandas()
+        want = {}
+        for src, keep, reasons in zip(docs["source"], v["keep"], v["reasons"]):
+            for reason in (["ok"] if keep else reasons.split(",")):
+                want[(src, reason)] = want.get((src, reason), 0) + 1
+        assert got == sorted((s, r, c) for (s, r), c in want.items()), (
+            f"trial {trial}")
