@@ -84,27 +84,3 @@ def pinned_pool(cap: int = 8, frac_num: int = 1, frac_den: int = 2) -> tuple[int
     width = max(1, min(cap, cpus * frac_num // frac_den))
     return (width, width)
 
-
-def arrow_types(ds) -> dict:
-    """``{column: pyarrow.DataType}`` for a Dataset whose blocks may be
-    pandas-backed (``from_pandas``, fresh ``map_groups(...,
-    batch_format="pandas")`` lineage): such a schema reports NUMPY
-    dtypes, and feeding those to ``pa.nulls(type=...)`` / ``pc.cast``
-    raises ``TypeError: DataType expected``. Numpy dtypes convert via
-    ``pa.from_numpy_dtype``; pandas ``object`` columns (no faithful
-    Arrow twin) are taken as strings — the only object payload this
-    engine's operators carry.
-    """
-    import numpy as np
-    import pyarrow as pa
-
-    sch = ds.schema()
-    out = {}
-    for name, t in zip(sch.names, sch.types):
-        if not isinstance(t, pa.DataType):
-            try:
-                t = pa.from_numpy_dtype(np.dtype(t))
-            except (TypeError, pa.lib.ArrowNotImplementedError):
-                t = pa.string()
-        out[name] = t
-    return out

@@ -26,7 +26,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from ..functions.partitioning import arrow_types, pinned_pool
+from ..functions.arrowtypes import arrow_types
+from ..functions.partitioning import pinned_pool
 
 from ..functions.hashing import (
     batch_shingle_hashes,

@@ -393,7 +393,7 @@ def _node_id_type(ud: rd.Dataset, edges: rd.Dataset) -> "pa.DataType":
     """Node-id Arrow type for typed-empty results: an EMPTY undirected
     edge set (self-loop-only / empty graph) reports ``schema() is
     None``, so fall back to the input edge table's ``src`` type."""
-    from ..functions.partitioning import arrow_types
+    from ..functions.arrowtypes import arrow_types
 
     ud_schema = ud.schema()
     if ud_schema is not None and "u" in ud_schema.names:

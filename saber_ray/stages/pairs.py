@@ -26,7 +26,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ..functions.partitioning import arrow_types
+from ..functions.arrowtypes import arrow_types
 
 def _cluster_cpus() -> int:
     import ray

@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..functions.partitioning import arrow_types
+from ..functions.arrowtypes import arrow_types
 
 
 def tumbling_window_agg(

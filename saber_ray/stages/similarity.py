@@ -27,7 +27,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.partitioning import arrow_types, pinned_pool
+from ..functions.arrowtypes import arrow_types
+from ..functions.partitioning import pinned_pool
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -746,7 +747,7 @@ def lsh_candidate_pairs(
     first = ds.take(1)
     if not first:
         sch = ds.schema()
-        id_type = (sch.types[sch.names.index(id_column)]
+        id_type = (arrow_types(ds)[id_column]
                    if sch is not None and id_column in sch.names else pa.string())
         return rd.from_arrow(pa.table({
             "id_a": pa.array([], type=id_type),

@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from ..functions.partitioning import arrow_types
+from ..functions.arrowtypes import arrow_types
 
 from ..constants import PAD, UNK
 
