@@ -686,6 +686,17 @@ def _q_dedup_survivors(sf_dir: str):
     return select_survivors(labels, docs)
 
 
+def _q_profile_numeric(sf_dir: str):
+    # one-pass numeric schema-sanity profile of the events table — the
+    # report a pipeline runs on a new table before spending compute
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.sampling import profile_numeric
+
+    events = read_table(sf_dir, "events",
+                        columns=["event_id", "user_id", "value"])
+    return profile_numeric(events, ["event_id", "user_id", "value"])
+
+
 def _q_quality_report(sf_dir: str):
     # per-source quality-gate outcome counts (kept docs under 'ok',
     # rejected docs once per violated rule) — same thresholds as the
@@ -1526,11 +1537,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_pack": _q_curate_pack,
         "pack_interleaved": _q_pack_interleaved,
         # -- queries whose implementation changed in round 4
-        "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_survivors": _q_dedup_survivors,
         "quality_report": _q_quality_report,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "profile_numeric": _q_profile_numeric,
         # -- new in round 4 (never driver-recorded)
         "dedup_ngram_jaccard": _q_ngram_jaccard_pairs,
         "pii_redact": _q_pii_redact,
@@ -1564,6 +1575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "dedup_exact": _q_dedup_exact,
         "dedup_components": _q_dedup_components,
+        "dedup_simhash_pairs": _q_simhash_pairs,
         "media_decode": _q_media_decode,
         "media_dims_dedup": _q_media_dims_dedup,
         # -- cheap single-pass text/statistics queries (stable since r01)
@@ -3348,6 +3360,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lines l JOIN bg ON l.doc_id = bg.doc_id
         """,
         "quality_filter": qf_sql,
+        "profile_numeric": """
+            SELECT 'event_id' AS "column",
+                   CAST(count(event_id) AS BIGINT) AS n,
+                   CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+                   CAST(min(event_id) AS DOUBLE) AS vmin,
+                   CAST(max(event_id) AS DOUBLE) AS vmax,
+                   CAST(avg(event_id) AS DOUBLE) AS mean
+            FROM events
+            UNION ALL
+            SELECT 'user_id',
+                   CAST(count(user_id) AS BIGINT),
+                   CAST(count(*) - count(user_id) AS BIGINT),
+                   CAST(min(user_id) AS DOUBLE),
+                   CAST(max(user_id) AS DOUBLE),
+                   CAST(avg(user_id) AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'value',
+                   CAST(count(value) AS BIGINT),
+                   CAST(count(*) - count(value) AS BIGINT),
+                   CAST(min(value) AS DOUBLE),
+                   CAST(max(value) AS DOUBLE),
+                   CAST(avg(value) AS DOUBLE)
+            FROM events
+        """,
         "quality_report": f"""
             SELECT source, reason, CAST(count(*) AS BIGINT) AS n_docs
             FROM (

@@ -534,3 +534,73 @@ def temperature_mixture(
     return stratified_sample(
         ds, stratum_column, quotas, id_column=id_column, salt=salt
     )
+
+
+def profile_numeric(
+    ds: rd.Dataset,
+    columns: list[str],
+) -> rd.Dataset:
+    """One-pass numeric profile: per column, row count, null count,
+    min, max, mean — the schema-sanity report a pipeline runs on a new
+    table before spending compute on it.
+
+    Scale shape: each batch folds every profiled column to ONE partial
+    row of scalars (count/nulls/min/max/sum via Arrow kernels — a batch
+    of millions of rows leaves as ``len(columns)`` rows), and the only
+    shuffle is a groupby over ``len(columns)`` keys. Null-only columns
+    profile to null min/max/mean (SQL aggregate semantics).
+
+    Returns ``(column, n, n_null, vmin, vmax, mean)``; values are cast
+    to float64 so heterogeneous numeric columns share one schema.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for c in columns:
+            col = batch[c]
+            valid = pc.count(col, mode="only_valid").as_py()
+            names.append(c)
+            ns.append(valid)
+            nulls.append(batch.num_rows - valid)
+            if valid:
+                mm = pc.min_max(col).as_py()
+                mins.append(float(mm["min"]))
+                maxs.append(float(mm["max"]))
+                sums.append(float(pc.sum(col).as_py()))
+            else:
+                mins.append(None)
+                maxs.append(None)
+                sums.append(None)
+        return pa.table({
+            "column": pa.array(names, type=pa.string()),
+            "n": pa.array(ns, type=pa.int64()),
+            "n_null": pa.array(nulls, type=pa.int64()),
+            "vmin": pa.array(mins, type=pa.float64()),
+            "vmax": pa.array(maxs, type=pa.float64()),
+            "sum": pa.array(sums, type=pa.float64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["sum(n)"], pa.int64())
+        s = batch["sum(sum)"]
+        return pa.table({
+            "column": batch["column"],
+            "n": n,
+            "n_null": pc.cast(batch["sum(n_null)"], pa.int64()),
+            "vmin": batch["min(vmin)"],
+            "vmax": batch["max(vmax)"],
+            "mean": pc.divide(s, pc.cast(
+                pc.if_else(pc.equal(n, 0), pa.scalar(None, pa.int64()), n),
+                pa.float64())),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(
+            rd.aggregate.Sum("n"), rd.aggregate.Sum("n_null"),
+            rd.aggregate.Min("vmin"), rd.aggregate.Max("vmax"),
+            rd.aggregate.Sum("sum"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

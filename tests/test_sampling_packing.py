@@ -470,3 +470,26 @@ def test_temperature_mixture_quota_math():
                              total=100, id_column="doc_id")
     assert sorted(map(tuple, (r.items() for r in t.take_all()))) == \
            sorted(map(tuple, (r.items() for r in t2.take_all())))
+
+
+def test_profile_numeric_nulls_and_empty_column():
+    """Per-column one-pass profile: null counting, min/max/mean over
+    valid values only, and a null-only column profiling to nulls."""
+    import pyarrow as pa
+
+    from saber_ray.stages.sampling import profile_numeric
+
+    t = pa.table({
+        "a": pa.array([1.0, None, 3.0, -2.5], type=pa.float64()),
+        "b": pa.array([10, 20, 30, 40], type=pa.int64()),
+        "c": pa.array([None] * 4, type=pa.float64()),
+    })
+    got = {r["column"]: r for r in profile_numeric(
+        rd.from_arrow(t), ["a", "b", "c"]).take_all()}
+    assert (got["a"]["n"], got["a"]["n_null"]) == (3, 1)
+    assert (got["a"]["vmin"], got["a"]["vmax"], got["a"]["mean"]) == (
+        -2.5, 3.0, 0.5)
+    assert (got["b"]["vmin"], got["b"]["vmax"], got["b"]["mean"]) == (
+        10.0, 40.0, 25.0)
+    assert (got["c"]["n"], got["c"]["n_null"]) == (0, 4)
+    assert got["c"]["vmin"] is None and got["c"]["mean"] is None
