@@ -1215,6 +1215,117 @@ def _q_tpch_q22(sf_dir: str):
     )
 
 
+def _q_tpch_q7(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import nation_pair_volume
+
+    return nation_pair_volume(
+        read_table(sf_dir, "lineitem",
+                   columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                            "l_discount", "l_shipdate"]),
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        pq.read_table(f"{sf_dir}/supplier.parquet",
+                      columns=["s_suppkey", "s_nationkey"]),
+        pq.read_table(f"{sf_dir}/nation.parquet"),
+        nation_a="NATION_3", nation_b="NATION_7",
+        date_lo="1996-01-01", date_hi="1998-01-01",
+    )
+
+
+def _q_tpch_q8(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import national_market_share
+
+    return national_market_share(
+        read_table(sf_dir, "lineitem",
+                   columns=["l_orderkey", "l_partkey", "l_suppkey",
+                            "l_extendedprice", "l_discount"]),
+        read_table(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        pq.read_table(f"{sf_dir}/part.parquet",
+                      columns=["p_partkey", "p_type"]),
+        pq.read_table(f"{sf_dir}/supplier.parquet",
+                      columns=["s_suppkey", "s_nationkey"]),
+        pq.read_table(f"{sf_dir}/nation.parquet"),
+        pq.read_table(f"{sf_dir}/region.parquet"),
+        target_nation="NATION_5", region="ASIA", part_type="ECONOMY",
+        date_lo="1996-01-01", date_hi="1998-01-01",
+    )
+
+
+def _q_tpch_q9(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import product_type_profit
+
+    return product_type_profit(
+        read_table(sf_dir, "lineitem",
+                   columns=["l_orderkey", "l_partkey", "l_suppkey",
+                            "l_extendedprice", "l_discount"]),
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]),
+        pq.read_table(f"{sf_dir}/part.parquet",
+                      columns=["p_partkey", "p_name"]),
+        pq.read_table(f"{sf_dir}/supplier.parquet",
+                      columns=["s_suppkey", "s_nationkey"]),
+        pq.read_table(f"{sf_dir}/nation.parquet"),
+        name_token="red",
+    )
+
+
+def _q_tpch_q15(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import top_supplier
+
+    return top_supplier(
+        read_table(sf_dir, "lineitem",
+                   columns=["l_suppkey", "l_extendedprice", "l_discount",
+                            "l_shipdate"]),
+        pq.read_table(f"{sf_dir}/supplier.parquet",
+                      columns=["s_suppkey", "s_name"]),
+        date_lo="1996-01-01", date_hi="1996-04-01",
+    )
+
+
+def _q_tpch_q16(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import parts_supplier_counts
+
+    return parts_supplier_counts(
+        read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]),
+        pq.read_table(f"{sf_dir}/part.parquet",
+                      columns=["p_partkey", "p_brand", "p_type", "p_size"]),
+        pq.read_table(f"{sf_dir}/supplier.parquet",
+                      columns=["s_suppkey", "s_acctbal"]),
+        exclude_brand="Brand#11", sizes=(1, 7, 14, 21, 28, 35, 42, 49),
+    )
+
+
+def _q_tpch_q19(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import disjunctive_revenue
+
+    return disjunctive_revenue(
+        read_table(sf_dir, "lineitem",
+                   columns=["l_partkey", "l_quantity", "l_extendedprice",
+                            "l_discount"]),
+        pq.read_table(f"{sf_dir}/part.parquet",
+                      columns=["p_partkey", "p_brand", "p_size"]),
+    )
+
+
 def _q_top_bigrams(sf_dir: str):
     # corpus boilerplate detector: global top-20 word bigrams — per-batch
     # distinct-ngram partials, one groupby shuffle, sort+limit on the
@@ -1626,6 +1737,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14": _q_tpch_q14,
         "tpch_q10": _q_tpch_q10,
         "tpch_q18": _q_tpch_q18,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q19": _q_tpch_q19,
         # rows-only (no SQL oracle — the BPE merge loop is iterative);
         # golden-tested in tests/test_bpe.py; past the driver's 50-row
         # record window by design so it never displaces a hash-checked
@@ -2859,6 +2976,99 @@ def oracle_sql() -> dict[str, str]:
                     AND o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "tpch_q8": """
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(CASE WHEN n1.n_name = 'NATION_5'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                       AS mkt_share
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            JOIN region r ON n2.n_regionkey = r.r_regionkey
+            WHERE p.p_type = 'ECONOMY'
+              AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "tpch_q9": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS sum_profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY 1, 2
+            ORDER BY nation, o_year DESC
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+                SELECT l_suppkey AS suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM supplier s JOIN revenue r ON s.s_suppkey = r.suppkey
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s.s_suppkey
+        """,
+        "tpch_q16": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#11'
+              AND p.p_size IN (1, 7, 14, 21, 28, 35, 42, 49)
+              AND l.l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q19": """
+            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1.0 AND 11.0)
+               OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10.0 AND 20.0)
+               OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20.0 AND 30.0)
         """,
         "pricing_rollup": """
             SELECT l_returnflag, l_linestatus,

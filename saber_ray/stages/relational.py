@@ -1817,3 +1817,539 @@ def inactive_customer_balances(
         .map_batches(round2, batch_format="pyarrow")
         .sort("c_nationkey")
     )
+
+
+def nation_pair_volume(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    supplier_small: pa.Table,
+    nation_small: pa.Table,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_7",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> rd.Dataset:
+    """TPC-H Q7-shaped: shipping volume between two nations per ship
+    year, in both directions (supplier in A / customer in B and vice
+    versa).
+
+    Scale shape: supplier collapses to a broadcast suppkey→nation-name
+    dict RESTRICTED to the two nations, so the lineitem scan drops
+    ~(N-2)/N of all lines before anything shuffles and pre-aggregates
+    volume per (orderkey, supp_nation, year) — the only big join is one
+    hash join orderkey↔orderkey against the (also pair-filtered)
+    orders⨝customer stream, exactly Q5's plan. The pair filter
+    (A→B or B→A) is a vectorized mask after the join.
+    """
+    import datetime
+
+    from ..functions.partitioning import shuffle_partitions
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+
+    pair = {nation_a, nation_b}
+    name_of = {
+        k: n
+        for k, n in zip(nation_small["n_nationkey"].to_pylist(),
+                        nation_small["n_name"].to_pylist())
+        if n in pair
+    }
+    nation_of_supp = {
+        s: name_of[n]
+        for s, n in zip(supplier_small["s_suppkey"].to_pylist(),
+                        supplier_small["s_nationkey"].to_pylist())
+        if n in name_of
+    }
+    supp_ref = ray.put(nation_of_supp)
+    pair_keys = pa.array(sorted(name_of), type=pa.int64())
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(supp_ref)
+        mask = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+            pc.less(batch["l_shipdate"], pa.scalar(hi)),
+        )
+        f = batch.filter(mask)
+        names = [lookup.get(s) for s in f["l_suppkey"].to_pylist()]
+        keep = pa.array([n is not None for n in names])
+        f = f.filter(keep)
+        if f.num_rows == 0:
+            return pa.table({
+                "l_orderkey": pa.array([], type=pa.int64()),
+                "supp_nation": pa.array([], type=pa.string()),
+                "l_year": pa.array([], type=pa.int64()),
+                "volume": pa.array([], type=pa.float64()),
+            })
+        rev = pc.multiply(
+            f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        t = pa.table({
+            "l_orderkey": f["l_orderkey"],
+            "supp_nation": pa.array(
+                [n for n in names if n is not None], type=pa.string()),
+            "l_year": pc.cast(pc.year(f["l_shipdate"]), pa.int64()),
+            "volume": rev,
+        })
+        return t.group_by(
+            ["l_orderkey", "supp_nation", "l_year"]).aggregate([("volume", "sum")])
+
+    line_rev = lineitem.map_batches(line_partial, batch_format="pyarrow")
+
+    cust_pair = customer.map_batches(
+        lambda b: b.filter(pc.is_in(b["c_nationkey"], value_set=pair_keys))
+        .select(["c_custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+    n_parts = shuffle_partitions(8, orders)
+    cust_nat = orders.join(
+        cust_pair, join_type="inner", num_partitions=n_parts,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    joined = line_rev.join(
+        cust_nat.select_columns(["o_orderkey", "c_nationkey"]),
+        join_type="inner", num_partitions=n_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def cross_pair(batch: pa.Table) -> pa.Table:
+        cust_names = pa.array(
+            [name_of[k] for k in batch["c_nationkey"].to_pylist()],
+            type=pa.string())
+        keep = pc.invert(pc.equal(batch["supp_nation"], cust_names))
+        t = pa.table({
+            "supp_nation": batch["supp_nation"],
+            "cust_nation": cust_names,
+            "l_year": batch["l_year"],
+            "volume_sum": batch["volume_sum"],
+        }).filter(keep)
+        return t.group_by(
+            ["supp_nation", "cust_nation", "l_year"]).aggregate(
+            [("volume_sum", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "supp_nation": batch["supp_nation"],
+            "cust_nation": batch["cust_nation"],
+            "l_year": batch["l_year"],
+            "revenue": pc.round(batch["sum(volume_sum_sum)"], 2,
+                                round_mode="half_towards_infinity"),
+        })
+
+    return (
+        joined.map_batches(cross_pair, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .sum("volume_sum_sum")
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["supp_nation", "cust_nation", "l_year"])
+    )
+
+
+def product_type_profit(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    part_small: pa.Table,
+    supplier_small: pa.Table,
+    nation_small: pa.Table,
+    name_token: str = "red",
+) -> rd.Dataset:
+    """TPC-H Q9-shaped (adapted: the testdata has no partsupp table, so
+    profit = revenue without the supplycost term): revenue from parts
+    whose name contains ``name_token``, per supplier nation per order
+    year.
+
+    Scale shape: part collapses to a broadcast key SET (substring match
+    evaluated once on the small side), supplier⨝nation to a broadcast
+    suppkey→nation-name dict; the lineitem scan filters on the key set
+    and pre-aggregates (orderkey, nation)→volume, so the only shuffle
+    is one hash join against orders projected to (orderkey, year).
+    """
+    from ..functions.partitioning import shuffle_partitions
+
+    match_keys = part_small.filter(
+        pc.match_substring(part_small["p_name"], name_token)
+    )["p_partkey"].combine_chunks()
+    keys_ref = ray.put(match_keys)
+    name_of = dict(zip(nation_small["n_nationkey"].to_pylist(),
+                       nation_small["n_name"].to_pylist()))
+    nation_of_supp = {
+        s: name_of[n]
+        for s, n in zip(supplier_small["s_suppkey"].to_pylist(),
+                        supplier_small["s_nationkey"].to_pylist())
+    }
+    supp_ref = ray.put(nation_of_supp)
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.is_in(batch["l_partkey"], value_set=ray.get(keys_ref)))
+        lookup = ray.get(supp_ref)
+        rev = pc.multiply(
+            f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        t = pa.table({
+            "l_orderkey": f["l_orderkey"],
+            "nation": pa.array(
+                [lookup[s] for s in f["l_suppkey"].to_pylist()],
+                type=pa.string()),
+            "volume": rev,
+        })
+        return t.group_by(["l_orderkey", "nation"]).aggregate(
+            [("volume", "sum")])
+
+    line_rev = lineitem.map_batches(line_partial, batch_format="pyarrow")
+
+    def order_year(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+        })
+
+    n_parts = shuffle_partitions(8, orders)
+    joined = line_rev.join(
+        orders.map_batches(order_year, batch_format="pyarrow"),
+        join_type="inner", num_partitions=n_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": batch["nation"],
+            "o_year": batch["o_year"],
+            "volume_sum": batch["volume_sum"],
+        }).group_by(["nation", "o_year"]).aggregate([("volume_sum", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": batch["nation"],
+            "o_year": batch["o_year"],
+            "sum_profit": pc.round(batch["sum(volume_sum_sum)"], 2,
+                                   round_mode="half_towards_infinity"),
+        })
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["nation", "o_year"])
+        .sum("volume_sum_sum")
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["nation", "o_year"], descending=[False, True])
+    )
+
+
+def top_supplier(
+    lineitem: rd.Dataset,
+    supplier_small: pa.Table,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> pa.Table:
+    """TPC-H Q15-shaped: the supplier(s) with maximum revenue inside a
+    ship-date window.
+
+    Scale shape: per-batch partial aggregation reduces lineitem to
+    (suppkey → revenue) partials; one small groupby(suppkey) merges
+    them (one row per supplier — the 1:SF smallest fact dimension);
+    the max + equality filter run on that compressed aggregate, and
+    supplier names attach from the broadcast dimension table. Revenue
+    is rounded to 2 decimals BEFORE the max comparison so ties match
+    the SQL oracle's rounded comparison exactly.
+    """
+    import datetime
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+            pc.less(batch["l_shipdate"], pa.scalar(hi)),
+        )
+        f = batch.filter(mask)
+        rev = pc.multiply(
+            f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        return pa.table({
+            "s_suppkey": f["l_suppkey"], "rev": rev,
+        }).group_by("s_suppkey").aggregate([("rev", "sum")])
+
+    revs = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .sum("rev_sum")
+    )
+    # one compressed row per supplier — safe to materialize
+    rev_tbl = pa.Table.from_pandas(revs.to_pandas(), preserve_index=False)
+    if rev_tbl.num_rows == 0:
+        return pa.table({
+            "s_suppkey": pa.array([], type=pa.int64()),
+            "s_name": pa.array([], type=pa.string()),
+            "total_revenue": pa.array([], type=pa.float64()),
+        })
+    total = pc.round(rev_tbl["sum(rev_sum)"], 2,
+                     round_mode="half_towards_infinity")
+    best = pc.max(total)
+    keep = pc.equal(total, best)
+    winners = pa.table({
+        "s_suppkey": rev_tbl["s_suppkey"], "total_revenue": total,
+    }).filter(keep)
+    names = dict(zip(supplier_small["s_suppkey"].to_pylist(),
+                     supplier_small["s_name"].to_pylist()))
+    out = pa.table({
+        "s_suppkey": winners["s_suppkey"],
+        "s_name": pa.array(
+            [names.get(k) for k in winners["s_suppkey"].to_pylist()],
+            type=pa.string()),
+        "total_revenue": winners["total_revenue"],
+    })
+    return out.sort_by("s_suppkey")
+
+
+def disjunctive_revenue(
+    lineitem: rd.Dataset,
+    part_small: pa.Table,
+    branches: list[tuple[str, int, int, float, float]] = (
+        ("Brand#11", 1, 5, 1.0, 11.0),
+        ("Brand#12", 1, 10, 10.0, 20.0),
+        ("Brand#13", 1, 15, 20.0, 30.0),
+    ),
+) -> pa.Table:
+    """TPC-H Q19-shaped: revenue from lines matching ANY of several
+    (brand, size range, quantity range) branch predicates.
+
+    Scale shape: each branch's part predicate is evaluated ONCE on the
+    broadcast part table, collapsing to a per-branch partkey set; each
+    lineitem batch computes a vectorized OR over ``is_in`` + quantity
+    range masks and reduces to one partial row — zero shuffles.
+    """
+    branch_keys = []
+    for brand, size_lo, size_hi, qty_lo, qty_hi in branches:
+        mask = pc.and_(
+            pc.equal(part_small["p_brand"], brand),
+            pc.and_(
+                pc.greater_equal(part_small["p_size"], pa.scalar(size_lo)),
+                pc.less_equal(part_small["p_size"], pa.scalar(size_hi)),
+            ),
+        )
+        keys = part_small.filter(mask)["p_partkey"].combine_chunks()
+        branch_keys.append((keys, float(qty_lo), float(qty_hi)))
+    keys_ref = ray.put(branch_keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = None
+        for keys, qty_lo, qty_hi in ray.get(keys_ref):
+            m = pc.and_(
+                pc.is_in(batch["l_partkey"], value_set=keys),
+                pc.and_(
+                    pc.greater_equal(batch["l_quantity"], pa.scalar(qty_lo)),
+                    pc.less_equal(batch["l_quantity"], pa.scalar(qty_hi)),
+                ),
+            )
+            keep = m if keep is None else pc.or_(keep, m)
+        f = batch.filter(keep)
+        rev = pc.sum(pc.multiply(
+            f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"])))
+        return pa.table({
+            "revenue": pa.array(
+                [rev.as_py() if rev.is_valid else 0.0], type=pa.float64()),
+        })
+
+    parts = lineitem.map_batches(partial, batch_format="pyarrow")
+    sums = parts.sum("revenue")
+    total = 0.0 if sums is None else sums
+    rounded = pc.round(pa.scalar(total), 2, round_mode="half_towards_infinity")
+    return pa.table({"revenue": pa.array([rounded.as_py()], type=pa.float64())})
+
+
+def national_market_share(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    part_small: pa.Table,
+    supplier_small: pa.Table,
+    nation_small: pa.Table,
+    region_small: pa.Table,
+    target_nation: str = "NATION_5",
+    region: str = "ASIA",
+    part_type: str = "ECONOMY",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> rd.Dataset:
+    """TPC-H Q8-shaped: the target nation's share of revenue for one
+    part type sold to customers in one region, per order year.
+
+    Scale shape: part and supplier collapse to broadcast structures
+    (a matching-partkey set; a suppkey→is-target-nation flag map);
+    lineitem filters on the part set at the scan and pre-aggregates
+    (orderkey → volume, target_volume); orders⨝customer is a hash join
+    restricted to region customers; the final orderkey join matches the
+    two shrunken streams and a per-year conditional-sum ratio finishes.
+    """
+    import datetime
+
+    from ..functions.partitioning import shuffle_partitions
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+
+    part_keys = part_small.filter(
+        pc.equal(part_small["p_type"], part_type)
+    )["p_partkey"].combine_chunks()
+    part_ref = ray.put(part_keys)
+
+    name_of = dict(zip(nation_small["n_nationkey"].to_pylist(),
+                       nation_small["n_name"].to_pylist()))
+    target_supp = {
+        s
+        for s, n in zip(supplier_small["s_suppkey"].to_pylist(),
+                        supplier_small["s_nationkey"].to_pylist())
+        if name_of.get(n) == target_nation
+    }
+    supp_ref = ray.put(pa.array(sorted(target_supp), type=pa.int64()))
+
+    rkey = region_small.filter(pc.equal(region_small["r_name"], region))[
+        "r_regionkey"]
+    region_nations = nation_small.filter(
+        pc.is_in(nation_small["n_regionkey"], value_set=rkey.combine_chunks())
+    )["n_nationkey"].combine_chunks()
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.is_in(batch["l_partkey"], value_set=ray.get(part_ref)))
+        rev = pc.multiply(
+            f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        is_target = pc.is_in(f["l_suppkey"], value_set=ray.get(supp_ref))
+        t = pa.table({
+            "l_orderkey": f["l_orderkey"],
+            "volume": rev,
+            "target_volume": pc.if_else(is_target, rev, pa.scalar(0.0)),
+        })
+        return t.group_by("l_orderkey").aggregate(
+            [("volume", "sum"), ("target_volume", "sum")])
+
+    line_rev = lineitem.map_batches(line_partial, batch_format="pyarrow")
+
+    def order_window(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+            pc.less(batch["o_orderdate"], pa.scalar(hi)),
+        )
+        f = batch.filter(mask)
+        return pa.table({
+            "o_orderkey": f["o_orderkey"],
+            "o_custkey": f["o_custkey"],
+            "o_year": pc.cast(pc.year(f["o_orderdate"]), pa.int64()),
+        })
+
+    cust_region = customer.map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["c_nationkey"], value_set=region_nations))
+        .select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    n_parts = shuffle_partitions(8, orders)
+    order_year = orders.map_batches(order_window, batch_format="pyarrow").join(
+        cust_region, join_type="inner", num_partitions=n_parts,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    joined = line_rev.join(
+        order_year.select_columns(["o_orderkey", "o_year"]),
+        join_type="inner", num_partitions=n_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_year": batch["o_year"],
+            "volume_sum": batch["volume_sum"],
+            "target_volume_sum": batch["target_volume_sum"],
+        }).group_by("o_year").aggregate(
+            [("volume_sum", "sum"), ("target_volume_sum", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        share = pc.divide(batch["sum(target_volume_sum_sum)"],
+                          batch["sum(volume_sum_sum)"])
+        return pa.table({
+            "o_year": batch["o_year"],
+            "mkt_share": pc.round(share, 6,
+                                  round_mode="half_towards_infinity"),
+        })
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .sum(["volume_sum_sum", "target_volume_sum_sum"])
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("o_year")
+    )
+
+
+def parts_supplier_counts(
+    lineitem: rd.Dataset,
+    part_small: pa.Table,
+    supplier_small: pa.Table,
+    exclude_brand: str = "Brand#11",
+    sizes: tuple[int, ...] = (1, 7, 14, 21, 28, 35, 42, 49),
+) -> rd.Dataset:
+    """TPC-H Q16-shaped (adapted: the testdata has no partsupp table,
+    so the part↔supplier relation comes from lineitem, and the
+    excluded-supplier predicate is a negative account balance instead
+    of a complaints comment): how many DISTINCT suppliers ship each
+    (brand, type, size) combination, excluding one brand, a size list,
+    and bad-standing suppliers.
+
+    Scale shape: part attributes broadcast as partkey→(brand, type,
+    size) restricted to qualifying parts; excluded suppliers broadcast
+    as a key set; each lineitem batch filters + attaches attributes and
+    locally dedups, so the only shuffle is the global distinct on
+    (brand, type, size, suppkey) followed by a tiny count groupby.
+    """
+    mask = pc.and_(
+        pc.invert(pc.equal(part_small["p_brand"], exclude_brand)),
+        pc.is_in(part_small["p_size"],
+                 value_set=pa.array(list(sizes), type=pa.int64())),
+    )
+    keep_parts = part_small.filter(mask)
+    attrs = {
+        k: (b, t, s)
+        for k, b, t, s in zip(keep_parts["p_partkey"].to_pylist(),
+                              keep_parts["p_brand"].to_pylist(),
+                              keep_parts["p_type"].to_pylist(),
+                              keep_parts["p_size"].to_pylist())
+    }
+    attrs_ref = ray.put(attrs)
+    bad_supp = supplier_small.filter(
+        pc.less(supplier_small["s_acctbal"], pa.scalar(0.0))
+    )["s_suppkey"].combine_chunks()
+    bad_ref = ray.put(bad_supp)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(attrs_ref)
+        f = batch.filter(pc.invert(
+            pc.is_in(batch["l_suppkey"], value_set=ray.get(bad_ref))))
+        rows = [
+            (lookup[k], s)
+            for k, s in zip(f["l_partkey"].to_pylist(),
+                            f["l_suppkey"].to_pylist())
+            if k in lookup
+        ]
+        uniq = sorted({(b, t, sz, s) for (b, t, sz), s in rows})
+        return pa.table({
+            "p_brand": pa.array([r[0] for r in uniq], type=pa.string()),
+            "p_type": pa.array([r[1] for r in uniq], type=pa.string()),
+            "p_size": pa.array([r[2] for r in uniq], type=pa.int64()),
+            "s_suppkey": pa.array([r[3] for r in uniq], type=pa.int64()),
+        })
+
+    distinct = (
+        lineitem.map_batches(attach, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size", "s_suppkey"])
+        .count()
+    )
+
+    def drop_count(batch: pa.Table) -> pa.Table:
+        return batch.select(["p_brand", "p_type", "p_size"])
+
+    return (
+        distinct.map_batches(drop_count, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size"])
+        .count()
+        .rename_columns({"count()": "supplier_cnt"})
+        .sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
+              descending=[True, False, False, False])
+    )
