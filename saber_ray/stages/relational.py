@@ -1856,25 +1856,29 @@ def nation_pair_volume(
                         nation_small["n_name"].to_pylist())
         if n in pair
     }
-    nation_of_supp = {
-        s: name_of[n]
+    supp_a = pa.array(sorted(
+        s
         for s, n in zip(supplier_small["s_suppkey"].to_pylist(),
                         supplier_small["s_nationkey"].to_pylist())
-        if n in name_of
-    }
-    supp_ref = ray.put(nation_of_supp)
+        if name_of.get(n) == nation_a), type=pa.int64())
+    supp_b = pa.array(sorted(
+        s
+        for s, n in zip(supplier_small["s_suppkey"].to_pylist(),
+                        supplier_small["s_nationkey"].to_pylist())
+        if name_of.get(n) == nation_b), type=pa.int64())
+    supp_ref = ray.put((supp_a, supp_b))
     pair_keys = pa.array(sorted(name_of), type=pa.int64())
 
     def line_partial(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(supp_ref)
+        set_a, set_b = ray.get(supp_ref)
         mask = pc.and_(
             pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
             pc.less(batch["l_shipdate"], pa.scalar(hi)),
         )
         f = batch.filter(mask)
-        names = [lookup.get(s) for s in f["l_suppkey"].to_pylist()]
-        keep = pa.array([n is not None for n in names])
-        f = f.filter(keep)
+        in_a = pc.is_in(f["l_suppkey"], value_set=set_a)
+        in_b = pc.is_in(f["l_suppkey"], value_set=set_b)
+        f = f.filter(pc.or_(in_a, in_b))
         if f.num_rows == 0:
             return pa.table({
                 "l_orderkey": pa.array([], type=pa.int64()),
@@ -1886,8 +1890,9 @@ def nation_pair_volume(
             f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"]))
         t = pa.table({
             "l_orderkey": f["l_orderkey"],
-            "supp_nation": pa.array(
-                [n for n in names if n is not None], type=pa.string()),
+            "supp_nation": pc.if_else(
+                pc.is_in(f["l_suppkey"], value_set=set_a),
+                pa.scalar(nation_a), pa.scalar(nation_b)),
             "l_year": pc.cast(pc.year(f["l_shipdate"]), pa.int64()),
             "volume": rev,
         })
@@ -1912,10 +1917,12 @@ def nation_pair_volume(
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
+    key_a = next(k for k, n in name_of.items() if n == nation_a)
+
     def cross_pair(batch: pa.Table) -> pa.Table:
-        cust_names = pa.array(
-            [name_of[k] for k in batch["c_nationkey"].to_pylist()],
-            type=pa.string())
+        cust_names = pc.if_else(
+            pc.equal(batch["c_nationkey"], pa.scalar(key_a)),
+            pa.scalar(nation_a), pa.scalar(nation_b))
         keep = pc.invert(pc.equal(batch["supp_nation"], cust_names))
         t = pa.table({
             "supp_nation": batch["supp_nation"],
@@ -1970,26 +1977,29 @@ def product_type_profit(
         pc.match_substring(part_small["p_name"], name_token)
     )["p_partkey"].combine_chunks()
     keys_ref = ray.put(match_keys)
+    import numpy as np
+
     name_of = dict(zip(nation_small["n_nationkey"].to_pylist(),
                        nation_small["n_name"].to_pylist()))
-    nation_of_supp = {
-        s: name_of[n]
-        for s, n in zip(supplier_small["s_suppkey"].to_pylist(),
-                        supplier_small["s_nationkey"].to_pylist())
-    }
-    supp_ref = ray.put(nation_of_supp)
+    supp_sorted = supplier_small.sort_by("s_suppkey")
+    supp_keys = supp_sorted["s_suppkey"].to_numpy()
+    supp_nations = np.asarray(
+        [name_of[n] for n in supp_sorted["s_nationkey"].to_pylist()],
+        dtype=object)
+    supp_ref = ray.put((supp_keys, supp_nations))
 
     def line_partial(batch: pa.Table) -> pa.Table:
         f = batch.filter(
             pc.is_in(batch["l_partkey"], value_set=ray.get(keys_ref)))
-        lookup = ray.get(supp_ref)
+        keys, nations = ray.get(supp_ref)
         rev = pc.multiply(
             f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        # vectorized suppkey→nation-name: binary search the sorted
+        # broadcast key array (every lineitem suppkey exists in supplier)
+        idx = np.searchsorted(keys, f["l_suppkey"].to_numpy(zero_copy_only=False))
         t = pa.table({
             "l_orderkey": f["l_orderkey"],
-            "nation": pa.array(
-                [lookup[s] for s in f["l_suppkey"].to_pylist()],
-                type=pa.string()),
+            "nation": pa.array(nations[idx], type=pa.string()),
             "volume": rev,
         })
         return t.group_by(["l_orderkey", "nation"]).aggregate(
@@ -2304,37 +2314,41 @@ def parts_supplier_counts(
         pc.is_in(part_small["p_size"],
                  value_set=pa.array(list(sizes), type=pa.int64())),
     )
-    keep_parts = part_small.filter(mask)
-    attrs = {
-        k: (b, t, s)
-        for k, b, t, s in zip(keep_parts["p_partkey"].to_pylist(),
-                              keep_parts["p_brand"].to_pylist(),
-                              keep_parts["p_type"].to_pylist(),
-                              keep_parts["p_size"].to_pylist())
-    }
-    attrs_ref = ray.put(attrs)
+    import numpy as np
+
+    keep_parts = part_small.filter(mask).sort_by("p_partkey")
+    part_keys = keep_parts["p_partkey"].to_numpy()
+    part_attrs = (
+        np.asarray(keep_parts["p_brand"].to_pylist(), dtype=object),
+        np.asarray(keep_parts["p_type"].to_pylist(), dtype=object),
+        keep_parts["p_size"].to_numpy().astype(np.int64),
+    )
+    attrs_ref = ray.put((part_keys, part_attrs))
     bad_supp = supplier_small.filter(
         pc.less(supplier_small["s_acctbal"], pa.scalar(0.0))
     )["s_suppkey"].combine_chunks()
     bad_ref = ray.put(bad_supp)
 
     def attach(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(attrs_ref)
-        f = batch.filter(pc.invert(
-            pc.is_in(batch["l_suppkey"], value_set=ray.get(bad_ref))))
-        rows = [
-            (lookup[k], s)
-            for k, s in zip(f["l_partkey"].to_pylist(),
-                            f["l_suppkey"].to_pylist())
-            if k in lookup
-        ]
-        uniq = sorted({(b, t, sz, s) for (b, t, sz), s in rows})
-        return pa.table({
-            "p_brand": pa.array([r[0] for r in uniq], type=pa.string()),
-            "p_type": pa.array([r[1] for r in uniq], type=pa.string()),
-            "p_size": pa.array([r[2] for r in uniq], type=pa.int64()),
-            "s_suppkey": pa.array([r[3] for r in uniq], type=pa.int64()),
+        keys, (brands, types, sizes) = ray.get(attrs_ref)
+        f = batch.filter(pc.and_(
+            pc.invert(pc.is_in(batch["l_suppkey"],
+                               value_set=ray.get(bad_ref))),
+            pc.is_in(batch["l_partkey"],
+                     value_set=pa.array(keys, type=pa.int64())),
+        ))
+        # vectorized partkey→attrs: binary search the sorted broadcast
+        # key array (rows were just filtered to keys that exist in it)
+        idx = np.searchsorted(keys, f["l_partkey"].to_numpy(zero_copy_only=False))
+        t = pa.table({
+            "p_brand": pa.array(brands[idx], type=pa.string()),
+            "p_type": pa.array(types[idx], type=pa.string()),
+            "p_size": pa.array(sizes[idx], type=pa.int64()),
+            "s_suppkey": f["l_suppkey"],
         })
+        # local dedup before the shuffle
+        return t.group_by(
+            ["p_brand", "p_type", "p_size", "s_suppkey"]).aggregate([])
 
     distinct = (
         lineitem.map_batches(attach, batch_format="pyarrow")
