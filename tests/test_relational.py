@@ -633,3 +633,45 @@ def test_tpch_q22_no_positive_balances_empty():
     out = inactive_customer_balances(cust, orders)
     assert out.count() == 0
     assert set(out.schema().names) == {"c_nationkey", "numcust", "totacctbal"}
+
+
+def test_tpch_q7_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["tpch_q7"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["tpch_q7"]))
+
+
+def test_tpch_q8_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["tpch_q8"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["tpch_q8"]))
+
+
+def test_tpch_q9_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["tpch_q9"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["tpch_q9"]))
+
+
+def test_tpch_q15_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["tpch_q15"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["tpch_q15"]))
+
+
+def test_tpch_q16_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["tpch_q16"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["tpch_q16"]))
+
+
+def test_tpch_q19_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["tpch_q19"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["tpch_q19"]))
