@@ -1879,13 +1879,6 @@ def nation_pair_volume(
         in_a = pc.is_in(f["l_suppkey"], value_set=set_a)
         in_b = pc.is_in(f["l_suppkey"], value_set=set_b)
         f = f.filter(pc.or_(in_a, in_b))
-        if f.num_rows == 0:
-            return pa.table({
-                "l_orderkey": pa.array([], type=pa.int64()),
-                "supp_nation": pa.array([], type=pa.string()),
-                "l_year": pa.array([], type=pa.int64()),
-                "volume": pa.array([], type=pa.float64()),
-            })
         rev = pc.multiply(
             f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"]))
         t = pa.table({
@@ -2318,24 +2311,24 @@ def parts_supplier_counts(
 
     keep_parts = part_small.filter(mask).sort_by("p_partkey")
     part_keys = keep_parts["p_partkey"].to_numpy()
+    part_keys_pa = keep_parts["p_partkey"].combine_chunks()
     part_attrs = (
         np.asarray(keep_parts["p_brand"].to_pylist(), dtype=object),
         np.asarray(keep_parts["p_type"].to_pylist(), dtype=object),
         keep_parts["p_size"].to_numpy().astype(np.int64),
     )
-    attrs_ref = ray.put((part_keys, part_attrs))
+    attrs_ref = ray.put((part_keys, part_keys_pa, part_attrs))
     bad_supp = supplier_small.filter(
         pc.less(supplier_small["s_acctbal"], pa.scalar(0.0))
     )["s_suppkey"].combine_chunks()
     bad_ref = ray.put(bad_supp)
 
     def attach(batch: pa.Table) -> pa.Table:
-        keys, (brands, types, sizes) = ray.get(attrs_ref)
+        keys, keys_pa, (brands, types, sizes) = ray.get(attrs_ref)
         f = batch.filter(pc.and_(
             pc.invert(pc.is_in(batch["l_suppkey"],
                                value_set=ray.get(bad_ref))),
-            pc.is_in(batch["l_partkey"],
-                     value_set=pa.array(keys, type=pa.int64())),
+            pc.is_in(batch["l_partkey"], value_set=keys_pa),
         ))
         # vectorized partkey→attrs: binary search the sorted broadcast
         # key array (rows were just filtered to keys that exist in it)
