@@ -938,6 +938,18 @@ def _q_kg_clustering(sf_dir: str):
     return clustering_coefficient(demo_edges(sf_dir).materialize())
 
 
+def _q_kg_components(sf_dir: str):
+    # graph materialization completeness: connected components over the
+    # canonicalized co-occurrence edge graph (distributed min-label
+    # propagation, the same engine as the near-dup cluster stage)
+    from saber_ray.pipelines.demo import demo_edges
+    from saber_ray.stages.graph import connected_components
+
+    pairs = demo_edges(sf_dir).select_columns(["src", "dst"])
+    return connected_components(pairs, id_a="src", id_b="dst").rename_columns(
+        {"node": "node_id"})
+
+
 def _q_kg_annotation_stats(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -1326,6 +1338,31 @@ def _q_tpch_q19(sf_dir: str):
     )
 
 
+def _q_tpch_q21(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import waiting_suppliers
+
+    return waiting_suppliers(
+        read_table(sf_dir, "lineitem",
+                   columns=["l_orderkey", "l_suppkey", "l_shipdate"]),
+        read_table(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus", "o_orderdate"]),
+        pq.read_table(f"{sf_dir}/supplier.parquet",
+                      columns=["s_suppkey", "s_name"]),
+        late_days=60,
+    )
+
+
+def _q_events_lag(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import user_lag
+
+    return user_lag(read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]))
+
+
 def _q_top_bigrams(sf_dir: str):
     # corpus boilerplate detector: global top-20 word bigrams — per-batch
     # distinct-ngram partials, one groupby shuffle, sort+limit on the
@@ -1638,6 +1675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_clustering": _q_kg_clustering,
+        "kg_components": _q_kg_components,
         "kg_annotation_stats": _q_kg_annotation_stats,
         "eval_confusion": _q_eval_confusion,
         # -- similarity / media (no driver row in r03)
@@ -1684,6 +1722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # anywhere (their round-4 implementation changes are
         # value-identical: full-harness green at sf0.01 this round)
         "events_sessions": _q_events_sessions,
+        "events_lag": _q_events_lag,
         "dedup_exact": _q_dedup_exact,
         "dedup_components": _q_dedup_components,
         "dedup_simhash_pairs": _q_simhash_pairs,
@@ -1743,6 +1782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15": _q_tpch_q15,
         "tpch_q16": _q_tpch_q16,
         "tpch_q19": _q_tpch_q19,
+        "tpch_q21": _q_tpch_q21,
         # rows-only (no SQL oracle — the BPE merge loop is iterative);
         # golden-tested in tests/test_bpe.py; past the driver's 50-row
         # record window by design so it never displaces a hash-checked
@@ -3070,6 +3110,36 @@ def oracle_sql() -> dict[str, str]:
                OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
                    AND l.l_quantity BETWEEN 20.0 AND 30.0)
         """,
+        "tpch_q21": """
+            WITH l AS (
+                SELECT l.l_orderkey, l.l_suppkey,
+                       (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                           AS late
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'
+            ),
+            per AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN late THEN l_suppkey END)
+                           AS n_late,
+                       min(CASE WHEN late THEN l_suppkey END) AS late_supp
+                FROM l GROUP BY 1
+            )
+            SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM per JOIN supplier s ON per.late_supp = s.s_suppkey
+            WHERE n_supp >= 2 AND n_late = 1
+            GROUP BY 1
+            ORDER BY numwait DESC, s_name
+        """,
+        "events_lag": """
+            SELECT event_id, user_id, value,
+                   lag(value) OVER w AS prev_value,
+                   value - lag(value) OVER w AS delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
         "pricing_rollup": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -3306,6 +3376,19 @@ def oracle_sql() -> dict[str, str]:
                                    / (d.degree * (d.degree - 1)), 6)
                         ELSE 0.0 END AS coefficient
             FROM deg d LEFT JOIN tric t ON d.node_id = t.node_id
+        """,
+        "kg_components": f"""
+            {triples_cte.replace("WITH ", "WITH RECURSIVE ", 1)},
+            e AS (SELECT subj AS src, obj AS dst FROM trip GROUP BY 1, 2),
+            verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+            edg AS (SELECT src AS u, dst AS v FROM e
+                    UNION ALL SELECT dst, src FROM e),
+            reach(v, r) AS (
+                SELECT v, v FROM verts
+                UNION
+                SELECT edg.v, reach.r FROM reach JOIN edg ON edg.u = reach.v
+            )
+            SELECT v AS node_id, min(r) AS component FROM reach GROUP BY v
         """,
         "kg_annotation_stats": f"""
             WITH {gaz},

@@ -2360,3 +2360,160 @@ def parts_supplier_counts(
         .sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
               descending=[True, False, False, False])
     )
+
+
+def user_lag(
+    events: rd.Dataset,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    value_column: str = "value",
+    id_column: str = "event_id",
+) -> rd.Dataset:
+    """Per-user LAG window: each event paired with the user's previous
+    event value (event-time order, id tiebreak) and the delta.
+
+    Returns (event_id, user_id, value, prev_value, delta); the first
+    event of a user has null prev_value/delta — LAG(value) OVER
+    (PARTITION BY user ORDER BY ts, id) semantics.
+
+    Scale shape: the ``sessionize`` bucket shape — ONE hash shuffle on
+    ``hash(user) % P``, then fully vectorized in-bucket work (one sort,
+    one ``groupby(user).shift(1)``); per-user Python calls never happen,
+    so 10^8 distinct users cost the same per row as 10^2.
+    """
+    import pandas as pd  # noqa: F401  (map_groups pandas format)
+
+    from ..functions.partitioning import shuffle_partitions
+
+    n = shuffle_partitions(8, events)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bucket", _key_buckets(batch, user_column, n))
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values([user_column, ts_column, id_column]).drop(
+            columns="__bucket")
+        prev = df.groupby(user_column, sort=False)[value_column].shift(1)
+        return df.assign(
+            prev_value=prev, delta=df[value_column] - prev,
+        )[[id_column, user_column, value_column, "prev_value", "delta"]]
+
+    return (
+        events.select_columns([id_column, user_column, ts_column, value_column])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def waiting_suppliers(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    supplier_small: pa.Table,
+    late_days: int = 60,
+) -> rd.Dataset:
+    """TPC-H Q21-shaped (adapted: the testdata has no
+    receipt/commitdate, so "late" = shipped more than ``late_days``
+    after the order date): suppliers who were the ONLY late supplier in
+    a finished multi-supplier order, counted per supplier.
+
+    The existential pair (EXISTS another supplier / NOT EXISTS another
+    late supplier) collapses to per-order aggregates over globally
+    distinct (orderkey, suppkey, late) rows: n_supp >= 2, n_late == 1,
+    and the blamed supplier is min(late suppkey) (unique when
+    n_late == 1).
+
+    Scale shape: one hash join orderkey↔orderkey against 'F'-status
+    orders projected to (key, date); a per-batch LOCAL dedup compresses
+    the joined stream before the global (orderkey, suppkey) max-late
+    groupby; the per-order reduce runs over one row per (order,
+    supplier) with per-batch partials; the final per-supplier count is
+    a tiny shuffle and names attach from the broadcast dimension.
+    """
+    import datetime
+
+    from ..functions.partitioning import shuffle_partitions
+
+    late_delta = pa.scalar(datetime.timedelta(days=late_days))
+
+    def orders_f(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        return pa.table({
+            "o_orderkey": f["o_orderkey"],
+            "o_orderdate": f["o_orderdate"],
+        })
+
+    n_parts = shuffle_partitions(8, orders)
+    joined = lineitem.join(
+        orders.map_batches(orders_f, batch_format="pyarrow"),
+        join_type="inner", num_partitions=n_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        late = pc.cast(
+            pc.greater(batch["l_shipdate"],
+                       pc.add(batch["o_orderdate"], late_delta)),
+            pa.int64())
+        t = pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_suppkey": batch["l_suppkey"],
+            "late": late,
+        })
+        return t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("late", "max")])
+
+    def per_order_partial(batch: pa.Table) -> pa.Table:
+        late = pc.cast(batch["max(late_max)"], pa.bool_())
+        t = pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "n_supp": pa.array([1] * batch.num_rows, type=pa.int64()),
+            "n_late": pc.cast(late, pa.int64()),
+            "late_supp": pc.if_else(late, batch["l_suppkey"],
+                                    pa.scalar(None, type=pa.int64())),
+        })
+        return t.group_by("l_orderkey").aggregate(
+            [("n_supp", "sum"), ("n_late", "sum"), ("late_supp", "min")])
+
+    def blame(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["sum(n_supp_sum)"], pa.scalar(2)),
+            pc.equal(batch["sum(n_late_sum)"], pa.scalar(1)),
+        )
+        f = batch.filter(keep)
+        return pa.table({"s_suppkey": f["min(late_supp_min)"]}).group_by(
+            "s_suppkey").aggregate([([], "count_all")])
+
+    names = dict(zip(supplier_small["s_suppkey"].to_pylist(),
+                     supplier_small["s_name"].to_pylist()))
+    names_ref = ray.put(names)
+
+    def attach_name(batch: pa.Table) -> pa.Table:
+        nm = ray.get(names_ref)
+        return pa.table({
+            "s_name": pa.array(
+                [nm.get(k) for k in batch["s_suppkey"].to_pylist()],
+                type=pa.string()),
+            "numwait": batch["sum(count_all)"],
+        })
+
+    from ray.data.aggregate import Min, Sum
+
+    return (
+        joined
+        .map_batches(local_dedup, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .max("late_max")
+        .map_batches(per_order_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(
+            Sum("n_supp_sum", ignore_nulls=True),
+            Sum("n_late_sum", ignore_nulls=True),
+            Min("late_supp_min", ignore_nulls=True),
+        )
+        .map_batches(blame, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .sum("count_all")
+        .map_batches(attach_name, batch_format="pyarrow")
+        .sort(["numwait", "s_name"], descending=[True, False])
+    )

@@ -675,3 +675,45 @@ def test_tpch_q19_matches_duckdb():
 
     _frames_equal(e.queries()["tpch_q19"](SF).to_pandas(),
                   _duck(e.oracle_sql()["tpch_q19"]))
+
+
+def test_tpch_q21_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["tpch_q21"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["tpch_q21"]))
+
+
+def test_events_lag_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["events_lag"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["events_lag"]))
+
+
+def test_user_lag_many_users_no_per_key_groups():
+    # the bucket shape: 10^4 distinct users must produce at most P
+    # Python-level groups (the bucket count), never one per user
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from saber_ray.stages.relational import user_lag
+
+    rng = np.random.default_rng(11)
+    n = 40_000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 10_000, n).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+        "value": rng.normal(size=n),
+    })
+    out = user_lag(rd.from_pandas(df)).to_pandas()
+    assert len(out) == n
+    got = out.sort_values("event_id").reset_index(drop=True)
+    exp = df.sort_values(["user_id", "ts", "event_id"])
+    prev = (exp.assign(prev=exp.groupby("user_id", sort=False)["value"].shift(1))
+            .sort_values("event_id").reset_index(drop=True))
+    assert np.allclose(got["prev_value"].to_numpy(), prev["prev"].to_numpy(),
+                       equal_nan=True)
