@@ -697,6 +697,31 @@ def _q_profile_numeric(sf_dir: str):
     return profile_numeric(events, ["event_id", "user_id", "value"])
 
 
+def _q_grouped_corr(sf_dir: str):
+    # grouped second-moment statistics: one vectorized moment-vector
+    # partial per (batch, group), one tiny merge shuffle — the
+    # distributed stddev/corr kernel the numeric profiler lacks
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import grouped_pearson
+
+    return grouped_pearson(
+        read_table(sf_dir, "lineitem",
+                   columns=["l_returnflag", "l_quantity", "l_extendedprice"]),
+        group_column="l_returnflag",
+        x_column="l_quantity",
+        y_column="l_extendedprice",
+    )
+
+
+def _q_token_entropy(sf_dir: str):
+    # corpus token-distribution Shannon entropy: the information-density
+    # scalar next to the per-source quality stats
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import token_entropy
+
+    return token_entropy(read_documents_flat(sf_dir))
+
+
 def _q_quality_report(sf_dir: str):
     # per-source quality-gate outcome counts (kept docs under 'ok',
     # rejected docs once per violated rule) — same thresholds as the
@@ -1691,6 +1716,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_report": _q_quality_report,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "profile_numeric": _q_profile_numeric,
+        "grouped_corr": _q_grouped_corr,
+        "token_entropy": _q_token_entropy,
         # -- new in round 4 (never driver-recorded)
         "dedup_ngram_jaccard": _q_ngram_jaccard_pairs,
         "pii_redact": _q_pii_redact,
@@ -3653,6 +3680,27 @@ def oracle_sql() -> dict[str, str]:
             FROM lines l JOIN bg ON l.doc_id = bg.doc_id
         """,
         "quality_filter": qf_sql,
+        "grouped_corr": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(stddev_samp(l_quantity), 6) AS stddev_x,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr
+            FROM lineitem
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "token_entropy": f"""
+            WITH f AS (
+                SELECT tok, count(*) AS c
+                FROM (SELECT unnest({TOKENS_SQL}) AS tok FROM documents)
+                GROUP BY 1
+            )
+            SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
+                       AS entropy
+            FROM f
+        """,
         "profile_numeric": """
             SELECT 'event_id' AS "column",
                    CAST(count(event_id) AS BIGINT) AS n,

@@ -2517,3 +2517,81 @@ def waiting_suppliers(
         .map_batches(attach_name, batch_format="pyarrow")
         .sort(["numwait", "s_name"], descending=[True, False])
     )
+
+
+def grouped_pearson(
+    ds: rd.Dataset,
+    group_column: str,
+    x_column: str,
+    y_column: str,
+) -> rd.Dataset:
+    """Grouped second-moment statistics: per group, sample stddev of x
+    and the Pearson correlation corr(x, y).
+
+    Returns (group, n, stddev_x, corr) with both stats rounded to 6
+    decimals (sample semantics, n-1 denominators — SQL
+    ``stddev_samp`` / ``corr``). Groups with n < 2 or zero variance get
+    null, matching SQL.
+
+    Scale shape: the moment vector (n, Σx, Σy, Σx², Σy², Σxy) is
+    computed per batch with one vectorized Arrow groupby — six partial
+    columns per (batch, group) — and merged by ONE tiny groupby
+    shuffle; the corpus never moves. Rows with a null in either column
+    are dropped first (SQL pairwise semantics).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x_column]
+        y = batch[y_column]
+        ok = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        f = batch.filter(ok)
+        x = pc.cast(f[x_column], pa.float64())
+        y = pc.cast(f[y_column], pa.float64())
+        t = pa.table({
+            "g": f[group_column],
+            "n": pa.array([1] * f.num_rows, type=pa.int64()),
+            "sx": x,
+            "sy": y,
+            "sxx": pc.multiply(x, x),
+            "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y),
+        })
+        return t.group_by("g").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch["sum(n_sum)"].to_numpy().astype(np.float64)
+        sx = batch["sum(sx_sum)"].to_numpy()
+        sy = batch["sum(sy_sum)"].to_numpy()
+        sxx = batch["sum(sxx_sum)"].to_numpy()
+        syy = batch["sum(syy_sum)"].to_numpy()
+        sxy = batch["sum(sxy_sum)"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var_x = (sxx - sx * sx / n) / (n - 1.0)
+            var_y = (syy - sy * sy / n) / (n - 1.0)
+            cov = (sxy - sx * sy / n) / (n - 1.0)
+            stddev_x = np.sqrt(var_x)
+            corr = cov / np.sqrt(var_x * var_y)
+        stddev_x = np.where(n >= 2, stddev_x, np.nan)
+        corr = np.where((n >= 2) & (var_x > 0) & (var_y > 0), corr, np.nan)
+        return pa.table({
+            group_column: batch["g"],
+            "n": pc.cast(batch["sum(n_sum)"], pa.int64()),
+            "stddev_x": pc.round(
+                pa.array(stddev_x, type=pa.float64(), from_pandas=True), 6,
+                round_mode="half_towards_infinity"),
+            "corr": pc.round(
+                pa.array(corr, type=pa.float64(), from_pandas=True), 6,
+                round_mode="half_towards_infinity"),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .sum(["n_sum", "sx_sum", "sy_sum", "sxx_sum", "syy_sum", "sxy_sum"])
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(group_column)
+    )

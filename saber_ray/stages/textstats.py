@@ -489,3 +489,48 @@ def grouped_hot_tokens(
 
     freq = grouped_token_frequency(ds, group_column, column)
     return top_n_per_group(freq, group_column, "n", k, id_column="token")
+
+
+def token_entropy(ds: rd.Dataset, column: str = "text") -> pa.Table:
+    """Corpus-level Shannon entropy (bits) of the token unigram
+    distribution, plus total/distinct token counts — the
+    information-density scalar a mixture designer reads next to the
+    per-source quality stats.
+
+    H = log2(T) - (Σ c·log2 c)/T over the (token, c) frequency table,
+    so the big corpus reduces to per-batch ``(Σc, Σ c·log2 c,
+    #distinct)`` triples after the ONE token-count shuffle that
+    ``token_frequency`` already pays; only three scalars reach the
+    driver. Returns a one-row Arrow table (n_tokens, n_distinct,
+    entropy) with entropy rounded to 6 decimals.
+    """
+    import math
+
+    import numpy as np
+
+    freq = token_frequency(ds, column)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy().astype(np.float64)
+        return pa.table({
+            "total": pa.array([float(n.sum())], type=pa.float64()),
+            "nlogn": pa.array([float((n * np.log2(n)).sum())],
+                              type=pa.float64()),
+            "distinct": pa.array([batch.num_rows], type=pa.int64()),
+        })
+
+    agg = freq.map_batches(partial, batch_format="pyarrow").sum(
+        ["total", "nlogn", "distinct"])
+    total = float(agg["sum(total)"]) if agg else 0.0
+    nlogn = float(agg["sum(nlogn)"]) if agg else 0.0
+    distinct = int(agg["sum(distinct)"]) if agg else 0
+    entropy = (math.log2(total) - nlogn / total) if total > 0 else None
+    if entropy is not None:
+        entropy = float(
+            pc.round(pa.scalar(entropy), 6,
+                     round_mode="half_towards_infinity").as_py())
+    return pa.table({
+        "n_tokens": pa.array([int(total)], type=pa.int64()),
+        "n_distinct": pa.array([distinct], type=pa.int64()),
+        "entropy": pa.array([entropy], type=pa.float64()),
+    })

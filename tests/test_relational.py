@@ -717,3 +717,29 @@ def test_user_lag_many_users_no_per_key_groups():
             .sort_values("event_id").reset_index(drop=True))
     assert np.allclose(got["prev_value"].to_numpy(), prev["prev"].to_numpy(),
                        equal_nan=True)
+
+
+def test_grouped_corr_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["grouped_corr"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["grouped_corr"]))
+
+
+def test_grouped_pearson_degenerate_groups():
+    # n=1 and zero-variance groups must yield SQL-null stats, not inf
+    import pandas as pd
+    import ray.data as rd
+
+    from saber_ray.stages.relational import grouped_pearson
+
+    df = pd.DataFrame({
+        "g": ["lone", "flat", "flat", "ok", "ok", "ok"],
+        "x": [1.0, 5.0, 5.0, 1.0, 2.0, 3.0],
+        "y": [2.0, 1.0, 2.0, 2.0, 4.0, 6.0],
+    })
+    out = (grouped_pearson(rd.from_pandas(df), "g", "x", "y")
+           .to_pandas().set_index("g"))
+    assert pd.isna(out.loc["lone", "stddev_x"]) and pd.isna(out.loc["lone", "corr"])
+    assert out.loc["flat", "stddev_x"] == 0.0 and pd.isna(out.loc["flat", "corr"])
+    assert abs(out.loc["ok", "corr"] - 1.0) < 1e-9

@@ -151,3 +151,26 @@ def test_grouped_hot_tokens_null_group_excluded():
     })
     out = grouped_hot_tokens(rd.from_arrow(docs), "lang", k=2).take_all()
     assert {r["lang"] for r in out} == {"en"}  # null group dropped, no crash
+
+
+def test_token_entropy_known_distribution():
+    # 4 equal-frequency tokens -> exactly 2 bits; skewed -> less
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.textstats import token_entropy
+
+    docs = rd.from_arrow(pa.table({
+        "text": ["aa bb cc dd", "aa bb cc dd", None, ""],
+    }))
+    t = token_entropy(docs)
+    assert t["n_tokens"][0].as_py() == 8
+    assert t["n_distinct"][0].as_py() == 4
+    assert abs(t["entropy"][0].as_py() - 2.0) < 1e-9
+
+    skew = rd.from_arrow(pa.table({"text": ["aa aa aa aa aa aa aa bb"]}))
+    s = token_entropy(skew)
+    expected = -(7 / 8) * math.log2(7 / 8) - (1 / 8) * math.log2(1 / 8)
+    assert abs(s["entropy"][0].as_py() - round(expected, 6)) < 1e-6
