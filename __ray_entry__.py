@@ -527,6 +527,16 @@ def _q_events_sessions(sf_dir: str):
     return sessionize(read_table(sf_dir, "events", columns=["user_id", "ts"]))
 
 
+def _q_events_active_users(sf_dir: str):
+    # hourly distinct-actives: the two-level exact distinct (local
+    # (window,user) dedup per batch -> global dedup -> tiny count merge)
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import windowed_distinct_users
+
+    return windowed_distinct_users(
+        read_table(sf_dir, "events", columns=["ts", "user_id"]))
+
+
 def _q_tpch_q1(sf_dir: str):
     from saber_ray.sources.testdata import read_table
     from saber_ray.stages.relational import lineitem_pricing_summary
@@ -1750,6 +1760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value-identical: full-harness green at sf0.01 this round)
         "events_sessions": _q_events_sessions,
         "events_lag": _q_events_lag,
+        "events_active_users": _q_events_active_users,
         "dedup_exact": _q_dedup_exact,
         "dedup_components": _q_dedup_components,
         "dedup_simhash_pairs": _q_simhash_pairs,
@@ -3159,6 +3170,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_supp >= 2 AND n_late = 1
             GROUP BY 1
             ORDER BY numwait DESC, s_name
+        """,
+        "events_active_users": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+            GROUP BY 1
+            ORDER BY 1
         """,
         "events_lag": """
             SELECT event_id, user_id, value,

@@ -2595,3 +2595,51 @@ def grouped_pearson(
         .map_batches(finish, batch_format="pyarrow")
         .sort(group_column)
     )
+
+
+def windowed_distinct_users(
+    events: rd.Dataset,
+    window: str = "hour",
+    ts_column: str = "ts",
+    user_column: str = "user_id",
+) -> rd.Dataset:
+    """Distinct-actor telemetry: per tumbling window, the number of
+    DISTINCT users active (the hourly-actives report).
+
+    Returns (window_start, n_users).
+
+    Scale shape: the ``parts_supplier_counts`` two-level distinct —
+    each batch LOCALLY dedups (window, user) after a vectorized
+    ``floor_temporal``, so the shuffle moves at most one row per
+    (window, user) per batch instead of one per event; the global
+    groupby finishes the dedup and a per-batch count partial collapses
+    to the tiny final (window → count) merge. No per-key Python work
+    anywhere; exact counts (the HLL sketch stage is the approximate
+    sibling for cardinalities that don't fit a shuffle).
+    """
+
+    def assign_dedup(batch: pa.Table) -> pa.Table:
+        ws = pc.floor_temporal(batch[ts_column], unit=window)
+        t = pa.table({
+            "window_start": ws,
+            user_column: batch[user_column],
+        })
+        return t.group_by(["window_start", user_column]).aggregate([])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["window_start"])
+        t = t.append_column(
+            "n_users", pa.array([1] * t.num_rows, type=pa.int64()))
+        return t.group_by("window_start").aggregate([("n_users", "sum")])
+
+    return (
+        events.select_columns([ts_column, user_column])
+        .map_batches(assign_dedup, batch_format="pyarrow")
+        .groupby(["window_start", user_column])
+        .count()
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .sum("n_users_sum")
+        .rename_columns({"sum(n_users_sum)": "n_users"})
+        .sort("window_start")
+    )

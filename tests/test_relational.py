@@ -743,3 +743,10 @@ def test_grouped_pearson_degenerate_groups():
     assert pd.isna(out.loc["lone", "stddev_x"]) and pd.isna(out.loc["lone", "corr"])
     assert out.loc["flat", "stddev_x"] == 0.0 and pd.isna(out.loc["flat", "corr"])
     assert abs(out.loc["ok", "corr"] - 1.0) < 1e-9
+
+
+def test_events_active_users_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["events_active_users"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["events_active_users"]))
