@@ -371,3 +371,27 @@ def test_partial_nodes_keeps_beyond_final_cap():
     kept = out["surfaces"].to_pylist()[0]
     assert len(kept) == n_surf          # < 4x cap: nothing trimmed yet
     assert int(out["support"][0].as_py()) == n_surf
+
+
+def test_pathological_docs_flow_through_graph():
+    """Empty-spans, media-only and unicode docs must flow through the
+    whole build_graph DAG without crashing: 0 mentions each, but every
+    doc still present in the annotated table (the quarantine contract)."""
+    docs = [
+        {"doc_id": "empty", "spans": []},
+        {"doc_id": "media-only", "spans": [
+            {"kind": "image", "text": "", "media_ref": "media://m/0",
+             "offset": 0}]},
+        _doc("unicode", ["p53 élève \U0001f9ec le glucose."]),
+    ]
+    out = build_graph(rd.from_arrow(_table(docs)),
+                      KGConfig(batch_size=2, num_salts=2))
+    ann = out["annotated"].to_pandas().set_index("doc_id")
+    assert set(ann.index) == {"empty", "media-only", "unicode"}
+    mentions = out["mentions"].to_pandas()
+    by_doc = mentions.groupby("doc_id").size()
+    assert by_doc.get("empty", 0) == 0
+    assert by_doc.get("media-only", 0) == 0
+    # the unicode doc still tags its ascii gazetteer surfaces
+    assert set(mentions[mentions.doc_id == "unicode"]["text"]) == {
+        "p53", "glucose"}
