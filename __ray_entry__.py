@@ -1390,6 +1390,61 @@ def _q_tpch_q21(sf_dir: str):
     )
 
 
+def _q_tpch_q2(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import min_cost_supplier
+
+    return min_cost_supplier(
+        read_table(sf_dir, "lineitem",
+                   columns=["l_partkey", "l_suppkey", "l_quantity",
+                            "l_extendedprice"]),
+        pq.read_table(f"{sf_dir}/part.parquet",
+                      columns=["p_partkey", "p_brand", "p_type", "p_size"]),
+        pq.read_table(f"{sf_dir}/supplier.parquet"),
+        pq.read_table(f"{sf_dir}/nation.parquet"),
+        pq.read_table(f"{sf_dir}/region.parquet"),
+        region="ASIA", max_size=25, part_type="STANDARD", limit=100,
+    )
+
+
+def _q_tpch_q11(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import important_parts
+
+    return important_parts(
+        read_table(sf_dir, "lineitem",
+                   columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                            "l_discount"]),
+        pq.read_table(f"{sf_dir}/supplier.parquet"),
+        pq.read_table(f"{sf_dir}/nation.parquet"),
+        pq.read_table(f"{sf_dir}/region.parquet"),
+        region="EUROPE", fraction=0.001,
+    )
+
+
+def _q_tpch_q20(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import promotable_suppliers
+
+    return promotable_suppliers(
+        read_table(sf_dir, "lineitem",
+                   columns=["l_partkey", "l_suppkey", "l_quantity",
+                            "l_shipdate"]),
+        pq.read_table(f"{sf_dir}/part.parquet",
+                      columns=["p_partkey", "p_name"]),
+        pq.read_table(f"{sf_dir}/supplier.parquet"),
+        pq.read_table(f"{sf_dir}/nation.parquet"),
+        nation="NATION_3", name_prefix="blue ",
+        date_lo="1997-01-01", date_hi="1998-01-01", ratio=2.0,
+    )
+
+
 def _q_events_lag(sf_dir: str):
     from saber_ray.sources.testdata import read_table
     from saber_ray.stages.relational import user_lag
@@ -1821,6 +1876,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16": _q_tpch_q16,
         "tpch_q19": _q_tpch_q19,
         "tpch_q21": _q_tpch_q21,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q20": _q_tpch_q20,
         # rows-only (no SQL oracle — the BPE merge loop is iterative);
         # golden-tested in tests/test_bpe.py; past the driver's 50-row
         # record window by design so it never displaces a hash-checked
@@ -3170,6 +3228,89 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_supp >= 2 AND n_late = 1
             GROUP BY 1
             ORDER BY numwait DESC, s_name
+        """,
+        "tpch_q2": """
+            WITH rsup AS (
+                SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+                FROM supplier s
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'ASIA'
+            ),
+            fpart AS (
+                SELECT p_partkey, p_brand FROM part
+                WHERE p_size <= 25 AND p_type = 'STANDARD'
+            ),
+            cost AS (
+                SELECT l.l_partkey, l.l_suppkey,
+                       min(l.l_extendedprice / l.l_quantity) AS c
+                FROM lineitem l
+                JOIN fpart p ON l.l_partkey = p.p_partkey
+                JOIN rsup s ON l.l_suppkey = s.s_suppkey
+                GROUP BY 1, 2
+            ),
+            best AS (
+                SELECT l_partkey, min(c) AS minc FROM cost GROUP BY 1
+            ),
+            pick AS (
+                SELECT c.l_partkey, min(c.l_suppkey) AS l_suppkey,
+                       min(b.minc) AS c
+                FROM cost c
+                JOIN best b ON c.l_partkey = b.l_partkey AND c.c = b.minc
+                GROUP BY 1
+            )
+            SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_brand,
+                   round(k.c, 2) AS supply_cost
+            FROM pick k
+            JOIN rsup s ON k.l_suppkey = s.s_suppkey
+            JOIN fpart p ON k.l_partkey = p.p_partkey
+            ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
+            LIMIT 100
+        """,
+        "tpch_q11": """
+            WITH rsup AS (
+                SELECT s.s_suppkey
+                FROM supplier s
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'EUROPE'
+            ),
+            val AS (
+                SELECT l.l_partkey AS p_partkey,
+                       sum(l.l_extendedprice * (1 - l.l_discount)) AS v
+                FROM lineitem l
+                JOIN rsup s ON l.l_suppkey = s.s_suppkey
+                GROUP BY 1
+            )
+            SELECT p_partkey, round(v, 2) AS part_value
+            FROM val
+            WHERE v > 0.001 * (SELECT sum(v) FROM val)
+            ORDER BY part_value DESC, p_partkey
+        """,
+        "tpch_q20": """
+            WITH fpart AS (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'blue %'
+            ),
+            qty AS (
+                SELECT l.l_suppkey,
+                       sum(l.l_quantity) AS q_all,
+                       sum(CASE WHEN l.l_shipdate >= DATE '1997-01-01'
+                                 AND l.l_shipdate < DATE '1998-01-01'
+                                THEN l.l_quantity ELSE 0 END) AS q_win
+                FROM lineitem l
+                JOIN fpart p ON l.l_partkey = p.p_partkey
+                GROUP BY l.l_suppkey, l.l_partkey
+            ),
+            keep AS (
+                SELECT DISTINCT l_suppkey FROM qty
+                WHERE q_win > 0 AND q_all > 2.0 * q_win
+            )
+            SELECT s.s_name, s.s_acctbal
+            FROM keep k
+            JOIN supplier s ON k.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_3'
+            ORDER BY s.s_name
         """,
         "events_active_users": """
             SELECT date_trunc('hour', ts) AS window_start,

@@ -2643,3 +2643,303 @@ def windowed_distinct_users(
         .rename_columns({"sum(n_users_sum)": "n_users"})
         .sort("window_start")
     )
+
+
+def _region_supplier_keys(
+    supplier_small: pa.Table,
+    nation_small: pa.Table,
+    region_small: pa.Table,
+    region: str,
+) -> pa.Table:
+    """Suppliers located in ``region``, with their nation names attached.
+
+    All three inputs are dimension tables (the smallest sides of the
+    TPC-H schema), so this runs driver-side on plain Arrow and the
+    result is broadcast — never shuffled.
+    """
+    rkey = region_small.filter(
+        pc.equal(region_small["r_name"], region))["r_regionkey"]
+    nations = nation_small.filter(
+        pc.is_in(nation_small["n_regionkey"],
+                 value_set=rkey.combine_chunks()))
+    name_of = dict(zip(nations["n_nationkey"].to_pylist(),
+                       nations["n_name"].to_pylist()))
+    sup = supplier_small.filter(
+        pc.is_in(supplier_small["s_nationkey"],
+                 value_set=nations["n_nationkey"].combine_chunks()))
+    return sup.append_column(
+        "n_name",
+        pa.array([name_of[k] for k in sup["s_nationkey"].to_pylist()],
+                 type=pa.string()))
+
+
+def min_cost_supplier(
+    lineitem: rd.Dataset,
+    part_small: pa.Table,
+    supplier_small: pa.Table,
+    nation_small: pa.Table,
+    region_small: pa.Table,
+    region: str = "ASIA",
+    max_size: int = 25,
+    part_type: str = "STANDARD",
+    limit: int = 100,
+) -> pa.Table:
+    """TPC-H Q2-shaped (adapted: no partsupp table in this schema, so
+    supply cost per (part, supplier) is derived as the minimum observed
+    unit price ``l_extendedprice / l_quantity`` over lineitem): for each
+    qualifying part, the region supplier offering it cheapest.
+
+    Scale shape: part filter and region-supplier attributes collapse to
+    broadcast structures; lineitem is pre-filtered at the batch on both
+    key sets, per-batch ``group_by(part, supp).min`` partials compress
+    the stream before the one (part, supp) shuffle; the per-part argmin
+    runs as a second grouped min over that compressed table plus an
+    equality filter — rows never exceed the qualifying part × region
+    supplier pairs actually trading. Ties break to the smallest suppkey
+    so the result is deterministic under any partitioning.
+    """
+    fpart = part_small.filter(pc.and_(
+        pc.less_equal(part_small["p_size"], pa.scalar(max_size)),
+        pc.equal(part_small["p_type"], part_type),
+    ))
+    brand_of = dict(zip(fpart["p_partkey"].to_pylist(),
+                        fpart["p_brand"].to_pylist()))
+    rsup = _region_supplier_keys(
+        supplier_small, nation_small, region_small, region)
+    part_ref = ray.put(fpart["p_partkey"].combine_chunks())
+    supp_ref = ray.put(rsup["s_suppkey"].combine_chunks())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.and_(
+            pc.is_in(batch["l_partkey"], value_set=ray.get(part_ref)),
+            pc.is_in(batch["l_suppkey"], value_set=ray.get(supp_ref)),
+        ))
+        cost = pc.divide(f["l_extendedprice"], f["l_quantity"])
+        return pa.table({
+            "l_partkey": f["l_partkey"], "l_suppkey": f["l_suppkey"],
+            "cost": cost,
+        }).group_by(["l_partkey", "l_suppkey"]).aggregate([("cost", "min")])
+
+    # one row per (qualifying part, region supplier) pair after the merge
+    pair_cost = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .min("cost_min")
+    )
+
+    def per_part(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": batch["l_partkey"], "minc": batch["min(cost_min)"],
+        }).group_by("l_partkey").aggregate([("minc", "min")])
+
+    best = dict()
+    for b in (
+        pair_cost.map_batches(per_part, batch_format="pyarrow")
+        .groupby("l_partkey").min("minc_min")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        best.update(zip(b["l_partkey"].to_pylist(),
+                        b["min(minc_min)"].to_pylist()))
+
+    # equality filter against the broadcast per-part minimum, then the
+    # deterministic suppkey tie-break — still one row per part max
+    best_ref = ray.put(best)
+
+    def winners(batch: pa.Table) -> pa.Table:
+        bm = ray.get(best_ref)
+        mins = pa.array([bm.get(k) for k in batch["l_partkey"].to_pylist()],
+                        type=pa.float64())
+        f = batch.filter(pc.equal(batch["min(cost_min)"], mins))
+        return pa.table({
+            "l_partkey": f["l_partkey"], "l_suppkey": f["l_suppkey"],
+            "cost": f["min(cost_min)"],
+        }).group_by("l_partkey").aggregate(
+            [("l_suppkey", "min"), ("cost", "min")])
+
+    pick = (
+        pair_cost.map_batches(winners, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .min(["l_suppkey_min", "cost_min"])
+    )
+    # one row per qualifying part — bounded by the part dimension slice
+    tbl = pa.Table.from_pandas(pick.to_pandas(), preserve_index=False)
+    if tbl.num_rows == 0:
+        return pa.table({
+            "s_acctbal": pa.array([], type=pa.float64()),
+            "s_name": pa.array([], type=pa.string()),
+            "n_name": pa.array([], type=pa.string()),
+            "p_partkey": pa.array([], type=pa.int64()),
+            "p_brand": pa.array([], type=pa.string()),
+            "supply_cost": pa.array([], type=pa.float64()),
+        })
+    sattr = {
+        k: (b, n, m)
+        for k, b, n, m in zip(rsup["s_suppkey"].to_pylist(),
+                              rsup["s_acctbal"].to_pylist(),
+                              rsup["n_name"].to_pylist(),
+                              rsup["s_name"].to_pylist())
+    }
+    supps = tbl["min(l_suppkey_min)"].to_pylist()
+    out = pa.table({
+        "s_acctbal": pa.array([sattr[s][0] for s in supps],
+                              type=pa.float64()),
+        "s_name": pa.array([sattr[s][2] for s in supps], type=pa.string()),
+        "n_name": pa.array([sattr[s][1] for s in supps], type=pa.string()),
+        "p_partkey": tbl["l_partkey"],
+        "p_brand": pa.array(
+            [brand_of[k] for k in tbl["l_partkey"].to_pylist()],
+            type=pa.string()),
+        "supply_cost": pc.round(tbl["min(cost_min)"], 2,
+                                round_mode="half_towards_infinity"),
+    })
+    out = out.sort_by([
+        ("s_acctbal", "descending"), ("n_name", "ascending"),
+        ("s_name", "ascending"), ("p_partkey", "ascending"),
+    ])
+    return out.slice(0, limit)
+
+
+def important_parts(
+    lineitem: rd.Dataset,
+    supplier_small: pa.Table,
+    nation_small: pa.Table,
+    region_small: pa.Table,
+    region: str = "EUROPE",
+    fraction: float = 0.001,
+) -> pa.Table:
+    """TPC-H Q11-shaped (adapted: no partsupp, so a part's "stock value"
+    is the discounted revenue its region suppliers shipped): parts whose
+    value exceeds ``fraction`` of the total across all parts.
+
+    Scale shape: the region-supplier filter is a broadcast key set;
+    per-batch partials compress lineitem to (partkey → value) before the
+    one part-keyed shuffle; the global total is a scalar aggregate over
+    that compressed table (one number to the driver), broadcast back
+    into a vectorized threshold filter. The materialized result is the
+    filtered part dimension slice, never the fact table.
+    """
+    rsup = _region_supplier_keys(
+        supplier_small, nation_small, region_small, region)
+    supp_ref = ray.put(rsup["s_suppkey"].combine_chunks())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.is_in(batch["l_suppkey"], value_set=ray.get(supp_ref)))
+        v = pc.multiply(
+            f["l_extendedprice"], pc.subtract(pa.scalar(1.0), f["l_discount"]))
+        return pa.table({
+            "p_partkey": f["l_partkey"], "v": v,
+        }).group_by("p_partkey").aggregate([("v", "sum")])
+
+    val = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .sum("v_sum")
+    )
+    total = val.sum("sum(v_sum)")
+    thresh = fraction * (total or 0.0)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.greater(batch["sum(v_sum)"], pa.scalar(thresh)))
+        return pa.table({
+            "p_partkey": f["p_partkey"],
+            "part_value": pc.round(f["sum(v_sum)"], 2,
+                                   round_mode="half_towards_infinity"),
+        })
+
+    out = pa.Table.from_pandas(
+        val.map_batches(keep, batch_format="pyarrow").to_pandas(),
+        preserve_index=False)
+    if out.num_rows == 0:
+        return pa.table({
+            "p_partkey": pa.array([], type=pa.int64()),
+            "part_value": pa.array([], type=pa.float64()),
+        })
+    return out.sort_by([
+        ("part_value", "descending"), ("p_partkey", "ascending")])
+
+
+def promotable_suppliers(
+    lineitem: rd.Dataset,
+    part_small: pa.Table,
+    supplier_small: pa.Table,
+    nation_small: pa.Table,
+    nation: str = "NATION_3",
+    name_prefix: str = "blue ",
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1998-01-01",
+    ratio: float = 2.0,
+) -> pa.Table:
+    """TPC-H Q20-shaped (adapted: no partsupp availability column, so a
+    supplier "has excess stock" of a part when its all-time shipped
+    quantity exceeds ``ratio`` × the quantity shipped inside the date
+    window): suppliers in ``nation`` holding excess stock of any part
+    whose name starts with ``name_prefix``.
+
+    Scale shape: the part-name prefix filter collapses to a broadcast
+    key set; one pass over lineitem computes BOTH conditional sums
+    (all-time and windowed quantity) as per-batch partials, so the
+    correlated-subquery shape of the original costs a single
+    (supp, part) shuffle; the survivor filter and nation semi-join run
+    on the compressed aggregate.
+    """
+    import datetime
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+
+    fpart = part_small.filter(
+        pc.starts_with(part_small["p_name"], name_prefix))
+    part_ref = ray.put(fpart["p_partkey"].combine_chunks())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        f = batch.filter(
+            pc.is_in(batch["l_partkey"], value_set=ray.get(part_ref)))
+        in_win = pc.and_(
+            pc.greater_equal(f["l_shipdate"], pa.scalar(lo)),
+            pc.less(f["l_shipdate"], pa.scalar(hi)),
+        )
+        return pa.table({
+            "l_suppkey": f["l_suppkey"], "l_partkey": f["l_partkey"],
+            "q_all": f["l_quantity"],
+            "q_win": pc.if_else(in_win, f["l_quantity"], pa.scalar(0.0)),
+        }).group_by(["l_suppkey", "l_partkey"]).aggregate(
+            [("q_all", "sum"), ("q_win", "sum")])
+
+    qty = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_suppkey", "l_partkey"])
+        .sum(["q_all_sum", "q_win_sum"])
+    )
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        q_all = batch["sum(q_all_sum)"]
+        q_win = batch["sum(q_win_sum)"]
+        mask = pc.and_(
+            pc.greater(q_win, pa.scalar(0.0)),
+            pc.greater(q_all, pc.multiply(pa.scalar(ratio), q_win)),
+        )
+        t = batch.filter(mask).select(["l_suppkey"])
+        return t.group_by("l_suppkey").aggregate([])
+
+    keep = set()
+    for b in qty.map_batches(
+            survivors, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        keep.update(b["l_suppkey"].to_pylist())
+
+    name_of = dict(zip(nation_small["n_nationkey"].to_pylist(),
+                       nation_small["n_name"].to_pylist()))
+    rows = [
+        (nm, bal)
+        for k, nm, bal, nk in zip(supplier_small["s_suppkey"].to_pylist(),
+                                  supplier_small["s_name"].to_pylist(),
+                                  supplier_small["s_acctbal"].to_pylist(),
+                                  supplier_small["s_nationkey"].to_pylist())
+        if k in keep and name_of.get(nk) == nation
+    ]
+    rows.sort()
+    return pa.table({
+        "s_name": pa.array([r[0] for r in rows], type=pa.string()),
+        "s_acctbal": pa.array([r[1] for r in rows], type=pa.float64()),
+    })

@@ -684,6 +684,70 @@ def test_tpch_q21_matches_duckdb():
                   _duck(e.oracle_sql()["tpch_q21"]))
 
 
+def test_tpch_q2_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["tpch_q2"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["tpch_q2"]))
+
+
+def test_tpch_q11_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["tpch_q11"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["tpch_q11"]))
+
+
+def test_tpch_q20_matches_duckdb():
+    import __ray_entry__ as e
+
+    _frames_equal(e.queries()["tpch_q20"](SF).to_pandas(),
+                  _duck(e.oracle_sql()["tpch_q20"]))
+
+
+def test_tpch_q2_no_matching_parts_empty_with_schema():
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import min_cost_supplier
+
+    out = min_cost_supplier(
+        read_table(SF, "lineitem",
+                   columns=["l_partkey", "l_suppkey", "l_quantity",
+                            "l_extendedprice"]),
+        pq.read_table(f"{SF}/part.parquet",
+                      columns=["p_partkey", "p_brand", "p_type", "p_size"]),
+        pq.read_table(f"{SF}/supplier.parquet"),
+        pq.read_table(f"{SF}/nation.parquet"),
+        pq.read_table(f"{SF}/region.parquet"),
+        region="ASIA", max_size=0, part_type="STANDARD",
+    )
+    assert out.num_rows == 0
+    assert out.column_names == [
+        "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+        "supply_cost"]
+
+
+def test_tpch_q20_unmatched_prefix_empty():
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import promotable_suppliers
+
+    out = promotable_suppliers(
+        read_table(SF, "lineitem",
+                   columns=["l_partkey", "l_suppkey", "l_quantity",
+                            "l_shipdate"]),
+        pq.read_table(f"{SF}/part.parquet",
+                      columns=["p_partkey", "p_name"]),
+        pq.read_table(f"{SF}/supplier.parquet"),
+        pq.read_table(f"{SF}/nation.parquet"),
+        name_prefix="no-such-prefix ",
+    )
+    assert out.num_rows == 0
+    assert out.column_names == ["s_name", "s_acctbal"]
+
+
 def test_events_lag_matches_duckdb():
     import __ray_entry__ as e
 
