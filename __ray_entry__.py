@@ -959,6 +959,13 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(demo_edges(sf_dir).materialize(), iterations=5)
 
 
+def _q_kg_hits(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_edges
+    from saber_ray.stages.graph import hits
+
+    return hits(demo_edges(sf_dir).materialize(), iterations=5)
+
+
 def _q_kg_triangles(sf_dir: str):
     from saber_ray.pipelines.demo import demo_edges
     from saber_ray.stages.graph import triangles
@@ -1879,6 +1886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q2": _q_tpch_q2,
         "tpch_q11": _q_tpch_q11,
         "tpch_q20": _q_tpch_q20,
+        "kg_hits": _q_kg_hits,
         # rows-only (no SQL oracle — the BPE merge loop is iterative);
         # golden-tested in tests/test_bpe.py; past the driver's 50-row
         # record window by design so it never displaces a hash-checked
@@ -2146,6 +2154,55 @@ def _pagerank_ctes(iterations: int = 5, damping: float = 0.85) -> str:
             ) s ON s.dst = v.node
         )""")
     return ",\n".join(parts) + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+
+
+def _hits_ctes(iterations: int = 5) -> str:
+    """One CTE pair per HITS half-step (a = Aᵀh then h = Aa, each
+    L2-normalized) — unrolled like ``_pagerank_ctes`` because DuckDB's
+    recursive CTEs disallow aggregation in the recursive term. The
+    norm guards zero exactly as the engine does (divide by 1.0).
+
+    Every CTE is MATERIALIZED: each level is referenced more than once
+    (the dense score joins verts AND feeds the next half-step, the norm
+    subquery re-reads the update), and DuckDB's default inlining would
+    otherwise duplicate the whole upstream tree per reference —
+    exponential in the iteration count over the expensive triples CTE."""
+    parts = [
+        "verts AS MATERIALIZED "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 AS s FROM verts)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""a{i}u AS MATERIALIZED (
+            SELECT e.dst AS node, sum(h.s) AS v
+            FROM h{i - 1} h JOIN e ON e.src = h.node GROUP BY 1
+        )""")
+        parts.append(f"""a{i}z AS MATERIALIZED (
+            SELECT CASE WHEN coalesce(sqrt(sum(v * v)), 0.0) > 0.0
+                        THEN sqrt(sum(v * v)) ELSE 1.0 END AS z
+            FROM a{i}u
+        )""")
+        parts.append(f"""a{i} AS MATERIALIZED (
+            SELECT vv.node, coalesce(u.v, 0.0) / (SELECT z FROM a{i}z) AS s
+            FROM verts vv LEFT JOIN a{i}u u ON u.node = vv.node
+        )""")
+        parts.append(f"""h{i}u AS MATERIALIZED (
+            SELECT e.src AS node, sum(a.s) AS v
+            FROM a{i} a JOIN e ON e.dst = a.node GROUP BY 1
+        )""")
+        parts.append(f"""h{i}z AS MATERIALIZED (
+            SELECT CASE WHEN coalesce(sqrt(sum(v * v)), 0.0) > 0.0
+                        THEN sqrt(sum(v * v)) ELSE 1.0 END AS z
+            FROM h{i}u
+        )""")
+        parts.append(f"""h{i} AS MATERIALIZED (
+            SELECT vv.node, coalesce(u.v, 0.0) / (SELECT z FROM h{i}z) AS s
+            FROM verts vv LEFT JOIN h{i}u u ON u.node = vv.node
+        )""")
+    return ",\n".join(parts) + f"""
+        SELECT a.node, round(a.s, 6) AS authority, round(h.s, 6) AS hub
+        FROM a{iterations} a JOIN h{iterations} h ON a.node = h.node
+        ORDER BY a.node"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3518,6 +3575,11 @@ def oracle_sql() -> dict[str, str]:
             {triples_cte},
             e AS (SELECT subj AS src, obj AS dst FROM trip GROUP BY 1, 2),
             {_pagerank_ctes(iterations=5, damping=0.85)}
+        """,
+        "kg_hits": f"""
+            {triples_cte},
+            e AS (SELECT subj AS src, obj AS dst FROM trip GROUP BY 1, 2),
+            {_hits_ctes(iterations=5)}
         """,
         "kg_triangles": f"""
             {triples_cte},

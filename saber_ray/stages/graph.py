@@ -6,6 +6,8 @@ any downstream graph user runs).
 
 from __future__ import annotations
 
+import math
+
 import pyarrow as pa
 
 import ray.data as rd
@@ -538,3 +540,157 @@ def clustering_coefficient(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dat
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _hits_local(e: rd.Dataset, iterations: int) -> rd.Dataset:
+    """Small-graph fast path: HITS power iteration on the collected
+    deduped edge list with numpy scatter-adds (same synchronous update
+    as the distributed path, identical after the 6-decimal round)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    rows = e.take_all()
+    src = [r["src"] for r in rows]
+    dst = [r["dst"] for r in rows]
+    nodes = sorted(set(src) | set(dst))
+    idx = {v: i for i, v in enumerate(nodes)}
+    si = np.array([idx[s] for s in src], dtype=np.int64)
+    di = np.array([idx[d] for d in dst], dtype=np.int64)
+    n = len(nodes)
+    hub = np.ones(n, dtype=np.float64)
+    auth = np.zeros(n, dtype=np.float64)
+    for _ in range(iterations):
+        auth = np.bincount(di, weights=hub[si], minlength=n)
+        z = np.sqrt((auth * auth).sum())
+        auth = auth / (z if z > 0.0 else 1.0)
+        hub = np.bincount(si, weights=auth[di], minlength=n)
+        z = np.sqrt((hub * hub).sum())
+        hub = hub / (z if z > 0.0 else 1.0)
+    out = pa.table({
+        "node": pa.array(nodes, type=pa.string()),
+        "authority": pa.array(auth, type=pa.float64()),
+        "hub": pa.array(hub, type=pa.float64()),
+    })
+    for name in ("authority", "hub"):
+        out = out.set_column(
+            out.column_names.index(name), name,
+            pc.round(out[name], 6, round_mode="half_towards_infinity"))
+    return rd.from_arrow(out)
+
+
+def hits(
+    edges: rd.Dataset,
+    iterations: int = 5,
+    num_partitions: int = 8,
+    local_threshold: int = 100_000,
+) -> rd.Dataset:
+    """HITS hubs-and-authorities over the directed (src, dst) edge
+    table — ``iterations`` synchronous steps of a = Aᵀh, h = Aa with an
+    L2 normalization after every half-step (hub init 1.0).
+
+    Distributed shape per half-step: ONE hash join (scores flow along
+    edges) + ONE groupby sum, a scalar sum-of-squares reduction for the
+    norm (one double to the driver), and a left-join back onto the full
+    vertex set so sinks/sources carry explicit zeros. Score tables are
+    (node, value) — never broadcast — so the same plan runs when nodes
+    outnumber driver memory. Small deduped edge lists (the canonical KG
+    graph, not the corpus) drop to an identical-math numpy loop.
+
+    Returns (node, authority, hub) rounded to 6 decimals — reproduced
+    exactly by the chained-CTE DuckDB oracle (one CTE per half-step).
+    """
+    import pyarrow.compute as pc
+
+    e = edges.select_columns(["src", "dst"]).groupby(["src", "dst"]).count()
+    e = e.drop_columns(["count()"]).repartition(num_partitions).materialize()
+
+    if e.count() <= local_threshold:
+        return _hits_local(e, iterations)
+
+    verts = (
+        e.map_batches(
+            lambda b: pa.table(
+                {"node": pa.concat_arrays([
+                    b["src"].combine_chunks(), b["dst"].combine_chunks()
+                ])}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node").count().drop_columns(["count()"])
+        .repartition(max(2, num_partitions // 2)).materialize()
+    )
+
+    def _dense(sparse: rd.Dataset, key: str, val: str) -> rd.Dataset:
+        """verts LEFT JOIN the sparse (key, val) scores → (node, s)."""
+        return verts.join(
+            sparse, join_type="left_outer", num_partitions=num_partitions,
+            on=("node",), right_on=(key,),
+        ).map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "s": pc.coalesce(b[val], pa.scalar(0.0)),
+            }),
+            batch_format="pyarrow",
+        ).repartition(max(2, num_partitions // 2)).materialize()
+
+    def _normalize(dense: rd.Dataset) -> rd.Dataset:
+        z = dense.map_batches(
+            lambda b: pa.table({"sq": pc.multiply(b["s"], b["s"])}),
+            batch_format="pyarrow",
+        ).sum("sq")
+        z = math.sqrt(z) if z and z > 0.0 else 1.0
+        return dense.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "s": pc.divide(b["s"], pa.scalar(z)),
+            }),
+            batch_format="pyarrow",
+        ).repartition(max(2, num_partitions // 2)).materialize()
+
+    hubs = verts.map_batches(
+        lambda b: b.append_column(
+            "s", pa.array([1.0] * b.num_rows, type=pa.float64())),
+        batch_format="pyarrow",
+    ).repartition(max(2, num_partitions // 2)).materialize()
+    auth = None
+
+    for _ in range(iterations):
+        a_in = (
+            hubs.join(
+                e, join_type="inner", num_partitions=num_partitions,
+                on=("node",), right_on=("src",),
+            )
+            .map_batches(
+                lambda b: pa.table({"dst": b["dst"], "v": b["s"]}),
+                batch_format="pyarrow")
+            .groupby("dst").sum("v")
+            .repartition(max(2, num_partitions // 2)).materialize()
+        )
+        auth = _normalize(_dense(a_in, "dst", "sum(v)"))
+        h_in = (
+            auth.join(
+                e, join_type="inner", num_partitions=num_partitions,
+                on=("node",), right_on=("dst",),
+            )
+            .map_batches(
+                lambda b: pa.table({"src": b["src"], "v": b["s"]}),
+                batch_format="pyarrow")
+            .groupby("src").sum("v")
+            .repartition(max(2, num_partitions // 2)).materialize()
+        )
+        hubs = _normalize(_dense(h_in, "src", "sum(v)"))
+
+    joined = auth.rename_columns({"s": "authority"}).join(
+        hubs.rename_columns({"node": "hnode", "s": "hub"}),
+        join_type="inner", num_partitions=num_partitions,
+        on=("node",), right_on=("hnode",),
+    )
+    return joined.map_batches(
+        lambda b: pa.table({
+            "node": b["node"],
+            "authority": pc.round(b["authority"], 6,
+                                  round_mode="half_towards_infinity"),
+            "hub": pc.round(b["hub"], 6, round_mode="half_towards_infinity"),
+        }),
+        batch_format="pyarrow",
+    )

@@ -298,6 +298,37 @@ def test_pagerank_properties():
     assert r1["hub"] > r1["b"] > r1["c"]
 
 
+def test_hits_properties():
+    """Authority concentrates on the most-pointed-at node; hubs on the
+    node linking to the best authorities; local and distributed paths
+    agree after the 6-decimal round."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.graph import hits
+
+    # a, b, c all point at 'sink'; 'a' additionally points at b and c,
+    # making it the strongest hub; 'sink' has no out-edges at all
+    edges = rd.from_arrow(pa.table({
+        "src": ["a", "b", "c", "a", "a"],
+        "dst": ["sink", "sink", "sink", "b", "c"],
+    }))
+    got = {r["node"]: (r["authority"], r["hub"])
+           for r in hits(edges, iterations=4).take_all()}
+    dist = {r["node"]: (r["authority"], r["hub"])
+            for r in hits(edges, iterations=4, local_threshold=0).take_all()}
+    assert got == dist
+    assert set(got) == {"a", "b", "c", "sink"}
+    # sink is the unique best authority, and a the unique best hub
+    assert got["sink"][0] > max(got[n][0] for n in ("a", "b", "c"))
+    assert got["a"][1] > max(got[n][1] for n in ("b", "c", "sink"))
+    # sink emits nothing → zero hub; a receives nothing → zero authority
+    assert got["sink"][1] == 0.0 and got["a"][0] == 0.0
+    # L2 norms ~1 after the final normalization of each half-step
+    hub_sq = sum(v[1] ** 2 for v in got.values())
+    assert abs(hub_sq - 1.0) < 1e-4
+
+
 def test_triangles():
     """Each undirected triangle appears exactly once as a < b < c,
     regardless of edge direction or duplication; disconnected edges and
