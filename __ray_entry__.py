@@ -966,6 +966,49 @@ def _q_kg_hits(sf_dir: str):
     return hits(demo_edges(sf_dir).materialize(), iterations=5)
 
 
+def _q_kg_adamic_adar(sf_dir: str):
+    # the full demo KG is a near-clique (no non-adjacent pairs), so the
+    # link-prediction query runs over the STRONG subgraph — edges whose
+    # support clears 92% of the max — which is sparse at every sf
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from saber_ray.pipelines.demo import demo_edges
+    from saber_ray.stages.graph import adamic_adar
+
+    ed = demo_edges(sf_dir).materialize()
+    thr = 0.92 * float(ed.max("support"))
+    strong = ed.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            pc.cast(b["support"], pa.float64()), pa.scalar(thr))),
+        batch_format="pyarrow",
+    )
+    return adamic_adar(strong)
+
+
+def _q_kg_reciprocity(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_edges
+    from saber_ray.stages.graph import reciprocity
+
+    return reciprocity(demo_edges(sf_dir).materialize())
+
+
+def _q_events_funnel(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    from saber_ray.stages.relational import funnel
+
+    steps = ("signup", "click", "purchase")
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+        filter=pads.field("event_type").isin(list(steps)),
+    )
+    return funnel(ev, steps=steps)
+
+
 def _q_kg_triangles(sf_dir: str):
     from saber_ray.pipelines.demo import demo_edges
     from saber_ray.stages.graph import triangles
@@ -1887,6 +1930,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q11": _q_tpch_q11,
         "tpch_q20": _q_tpch_q20,
         "kg_hits": _q_kg_hits,
+        "kg_adamic_adar": _q_kg_adamic_adar,
+        "kg_reciprocity": _q_kg_reciprocity,
+        "events_funnel": _q_events_funnel,
         # rows-only (no SQL oracle — the BPE merge loop is iterative);
         # golden-tested in tests/test_bpe.py; past the driver's 50-row
         # record window by design so it never displaces a hash-checked
@@ -3580,6 +3626,82 @@ def oracle_sql() -> dict[str, str]:
             {triples_cte},
             e AS (SELECT subj AS src, obj AS dst FROM trip GROUP BY 1, 2),
             {_hits_ctes(iterations=5)}
+        """,
+        "kg_adamic_adar": f"""
+            {triples_cte},
+            ed AS (
+                SELECT subj AS src, pred, obj AS dst,
+                       CAST(sum(n) AS BIGINT) AS support
+                FROM trip GROUP BY 1, 2, 3
+            ),
+            e AS (
+                SELECT src, dst FROM ed
+                WHERE support >= 0.92 * (SELECT max(support) FROM ed)
+                GROUP BY 1, 2
+            ),
+            ud AS (
+                SELECT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM e WHERE src <> dst GROUP BY 1, 2
+            ),
+            deg AS (
+                SELECT node_id, CAST(count(*) AS BIGINT) AS degree FROM (
+                    SELECT u AS node_id FROM ud UNION ALL SELECT v FROM ud
+                ) GROUP BY 1
+            ),
+            adj AS (SELECT u AS n, v AS x FROM ud
+                    UNION ALL SELECT v, u FROM ud),
+            scored AS (
+                SELECT l.x AS a, r.x AS b,
+                       CAST(count(*) AS BIGINT) AS common_neighbors,
+                       sum(1.0 / ln(d.degree)) AS aa
+                FROM adj l
+                JOIN adj r ON r.n = l.n AND l.x < r.x
+                JOIN deg d ON d.node_id = l.n
+                GROUP BY 1, 2
+            )
+            SELECT s.a, s.b, s.common_neighbors, round(s.aa, 6) AS aa_score
+            FROM scored s
+            LEFT JOIN ud ON ud.u = s.a AND ud.v = s.b
+            WHERE ud.u IS NULL
+        """,
+        "kg_reciprocity": f"""
+            {triples_cte},
+            e AS (SELECT subj AS src, obj AS dst FROM trip GROUP BY 1, 2),
+            pc AS (
+                SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM e WHERE src <> dst GROUP BY 1, 2
+            )
+            SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_edges,
+                   CAST(coalesce(sum(CASE WHEN cnt = 2 THEN 2 ELSE 0 END), 0)
+                        AS BIGINT) AS n_reciprocal,
+                   CASE WHEN coalesce(sum(cnt), 0) > 0
+                        THEN round(sum(CASE WHEN cnt = 2 THEN 2 ELSE 0 END)
+                                   * 1.0 / sum(cnt), 6)
+                        ELSE 0.0 END AS reciprocity
+            FROM pc
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON s1.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON s2.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+                   (SELECT count(*) FROM s1) AS users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         """,
         "kg_triangles": f"""
             {triples_cte},

@@ -694,3 +694,191 @@ def hits(
         }),
         batch_format="pyarrow",
     )
+
+
+def adamic_adar(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+    """Link prediction over the undirected KG: for every NON-adjacent
+    node pair (a < b) sharing at least one neighbor, the common-neighbor
+    count and the Adamic–Adar score Σ_n 1/ln(deg(n)) over the shared
+    neighbors n — the classic "which edge is missing?" signal a curation
+    pass runs over a freshly canonicalized graph.
+
+    Shape: reuses the ``triangles`` wedge machinery — undirect+dedup
+    (ONE groupby), attach each center's weight 1/ln(deg) to its
+    adjacency rows via ONE node-keyed hash join (degree < 2 centers are
+    dropped first: they cannot anchor a wedge), ONE self-join on the
+    center builds scored wedges, ONE (a, b) groupby sums count+weight,
+    and a left-anti join against the edge set removes already-connected
+    pairs. Wedge cost is the usual Σ deg(n)² — hot hubs dominate; at
+    corpus scale cap or sample per-center adjacency before the wedge
+    join (the KG node table after canonicalization is small relative to
+    the corpus, so the default is exact).
+
+    Returns (a, b, common_neighbors, aa_score) with aa_score rounded to
+    6 decimals (half-away-from-zero, matching the SQL oracle).
+    """
+    import pyarrow.compute as pc
+
+    ud = undirected_edges(edges, num_partitions)
+    id_type = _node_id_type(ud, edges)
+
+    def _empty() -> rd.Dataset:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], type=id_type),
+            "b": pa.array([], type=id_type),
+            "common_neighbors": pa.array([], type=pa.int64()),
+            "aa_score": pa.array([], type=pa.float64()),
+        }))
+
+    if ud.count() == 0:
+        return _empty()
+
+    def _endpoints(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks() if isinstance(batch["u"], pa.ChunkedArray) else batch["u"]
+        v = batch["v"].combine_chunks() if isinstance(batch["v"], pa.ChunkedArray) else batch["v"]
+        return pa.table({"node_id": pa.concat_arrays([u, v])})
+
+    # AA weight per wedge-capable center: w(n) = 1 / ln(deg(n)), deg >= 2
+    weights = (
+        ud.map_batches(_endpoints, batch_format="pyarrow")
+        .groupby("node_id").count()
+        .map_batches(
+            lambda b: (lambda t: pa.table({
+                "n": t["node_id"],
+                "w": pc.divide(
+                    pa.scalar(1.0),
+                    pc.ln(pc.cast(t["count()"], pa.float64()))),
+            }))(b.filter(pc.greater(b["count()"], pa.scalar(1)))),
+            batch_format="pyarrow",
+        )
+        .repartition(max(2, num_partitions // 2)).materialize()
+    )
+    if weights.count() == 0:  # no center has degree >= 2 → no wedges
+        # (guarded BEFORE the join: an all-empty side carries schema-less
+        # blocks that poison the hash join, see ``k_hop_pairs``)
+        return _empty()
+
+    def _adjacency(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks() if isinstance(batch["u"], pa.ChunkedArray) else batch["u"]
+        v = batch["v"].combine_chunks() if isinstance(batch["v"], pa.ChunkedArray) else batch["v"]
+        return pa.table({
+            "n": pa.concat_arrays([u, v]),
+            "x": pa.concat_arrays([v, u]),
+        })
+
+    adjw = (
+        ud.map_batches(_adjacency, batch_format="pyarrow")
+        .join(weights, join_type="inner", num_partitions=num_partitions,
+              on=("n",))
+        .repartition(num_partitions).materialize()
+    )
+
+    left = adjw.rename_columns({"x": "a"})
+    right = adjw.select_columns(["n", "x"]).rename_columns({"x": "b"})
+    wedges = (
+        left.join(right, join_type="inner", num_partitions=num_partitions,
+                  on=("n",))
+        .map_batches(
+            lambda t: pa.table({
+                "a": t["a"], "b": t["b"], "w": t["w"],
+                "c": pa.array([1] * t.num_rows, type=pa.int64()),
+            }).filter(pc.less(t["a"], t["b"])),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions).materialize()
+    )
+    if wedges.count() == 0:
+        return _empty()
+
+    scored = (
+        wedges.groupby(["a", "b"]).sum(["c", "w"])
+        .repartition(max(2, num_partitions // 2)).materialize()
+    )
+
+    # left-anti against the edge set: keep only non-adjacent pairs
+    ud_marked = ud.map_batches(
+        lambda b: b.append_column(
+            "adj_flag", pa.array([1] * b.num_rows, type=pa.int8())),
+        batch_format="pyarrow",
+    ).repartition(max(2, num_partitions // 2)).materialize()
+
+    joined = scored.join(
+        ud_marked, join_type="left_outer", num_partitions=num_partitions,
+        on=("a", "b"), right_on=("u", "v"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.is_null(batch["adj_flag"])
+        t = batch.filter(keep)
+        return pa.table({
+            "a": t["a"],
+            "b": t["b"],
+            "common_neighbors": pc.cast(t["sum(c)"], pa.int64()),
+            "aa_score": pc.round(pc.cast(t["sum(w)"], pa.float64()), 6,
+                                 round_mode="half_towards_infinity"),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def reciprocity(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+    """One-row edge-reciprocity summary of the directed KG:
+    (n_edges, n_reciprocal, reciprocity) over DISTINCT non-loop directed
+    edges — n_reciprocal counts edges whose reverse also exists.
+
+    No self-join: each distinct directed edge maps to its undirected
+    pair, ONE (u, v) groupby counts directions present (1 or 2), and
+    per-batch partial sums collapse to a single row — two shuffles of
+    (pair, count) rows, one scalar-sized reduce.
+    """
+    import pyarrow.compute as pc
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        src, dst = batch["src"], batch["dst"]
+        keep = pc.not_equal(src, dst)
+        src, dst = src.filter(keep), dst.filter(keep)
+        return pa.table({
+            "u": pc.min_element_wise(src, dst),
+            "v": pc.max_element_wise(src, dst),
+        })
+
+    pair_counts = (
+        edges.select_columns(["src", "dst"])
+        .groupby(["src", "dst"]).count().drop_columns(["count()"])
+        .map_batches(undirect, batch_format="pyarrow")
+        .groupby(["u", "v"]).count()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt = pc.cast(batch["count()"], pa.int64())
+        total = pc.sum(cnt).as_py() or 0
+        recip = pc.sum(
+            pc.if_else(pc.equal(cnt, pa.scalar(2, pa.int64())),
+                       pa.scalar(2, pa.int64()),
+                       pa.scalar(0, pa.int64()))).as_py() or 0
+        return pa.table({
+            "__k": pa.array([0], type=pa.int64()),
+            "n_edges": pa.array([total], type=pa.int64()),
+            "n_reciprocal": pa.array([recip], type=pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ne = pc.cast(batch["sum(n_edges)"], pa.int64())
+        nr = pc.cast(batch["sum(n_reciprocal)"], pa.int64())
+        ratio = pc.if_else(
+            pc.greater(ne, pa.scalar(0, pa.int64())),
+            pc.divide(pc.cast(nr, pa.float64()), pc.cast(ne, pa.float64())),
+            pa.scalar(0.0),
+        )
+        return pa.table({
+            "n_edges": ne,
+            "n_reciprocal": nr,
+            "reciprocity": pc.round(ratio, 6,
+                                    round_mode="half_towards_infinity"),
+        })
+
+    return (
+        pair_counts.map_batches(partial, batch_format="pyarrow")
+        .groupby("__k").sum(["n_edges", "n_reciprocal"])
+        .map_batches(finish, batch_format="pyarrow")
+    )

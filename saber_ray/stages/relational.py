@@ -2943,3 +2943,82 @@ def promotable_suppliers(
         "s_name": pa.array([r[0] for r in rows], type=pa.string()),
         "s_acctbal": pa.array([r[1] for r in rows], type=pa.float64()),
     })
+
+
+def funnel(
+    events: rd.Dataset,
+    steps: tuple[str, ...] = ("signup", "click", "purchase"),
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    type_column: str = "event_type",
+) -> rd.Dataset:
+    """Ordered conversion funnel: a user reaches step i+1 with their
+    first ``steps[i+1]`` event STRICTLY after their first step-i
+    timestamp (first = min ts of the qualifying events). Returns one row
+    per step: (step, event_type, users).
+
+    Scale shape: prune to the step event types + 3 columns at the scan
+    (callers should push ``isin(steps)`` into the parquet filter), ONE
+    ``hash(user) % P`` bucket shuffle — every user's rows land in one
+    bucket, so per-bucket step counts sum exactly — then vectorized
+    pandas inside each bucket (grouped mins + a map-threshold filter per
+    step, no per-user Python calls), and a step-keyed groupby over
+    P × len(steps) partial rows.
+    """
+    import pandas as pd
+
+    from ..functions.partitioning import shuffle_partitions
+
+    steps = tuple(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    n = shuffle_partitions(8, events)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch[type_column], value_set=pa.array(list(steps)))
+        batch = batch.filter(keep)
+        return batch.append_column(
+            "__bucket", _key_buckets(batch, user_column, n))
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        counts = []
+        cur = (
+            df[df[type_column] == steps[0]]
+            .groupby(user_column, sort=False)[ts_column].min()
+        )
+        counts.append(len(cur))
+        for s in steps[1:]:
+            sub = df[df[type_column] == s]
+            thr = sub[user_column].map(cur)  # NaT where user not reached
+            sub = sub[sub[ts_column] > thr]
+            cur = sub.groupby(user_column, sort=False)[ts_column].min()
+            counts.append(len(cur))
+        return pd.DataFrame({
+            "step": pd.array(range(1, len(steps) + 1), dtype="int64"),
+            "users": pd.array(counts, dtype="int64"),
+        })
+
+    agg = (
+        events.select_columns([user_column, ts_column, type_column])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("step").sum("users")
+    )
+
+    name_of = {i + 1: s for i, s in enumerate(steps)}
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        step = pc.cast(batch["step"], pa.int64())
+        return pa.table({
+            "step": step,
+            "event_type": pa.array(
+                [name_of[i] for i in step.to_pylist()], type=pa.string()),
+            "users": pc.cast(batch["sum(users)"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -426,3 +426,63 @@ def test_pathological_docs_flow_through_graph():
     # the unicode doc still tags its ascii gazetteer surfaces
     assert set(mentions[mentions.doc_id == "unicode"]["text"]) == {
         "p53", "glucose"}
+
+
+def test_adamic_adar_square_and_path():
+    """Square a-b-c-d-a: the two diagonals are the only non-adjacent
+    pairs, each with 2 common neighbors of degree 2 → aa = 2/ln(2);
+    adjacent pairs never appear; direction and duplicates are ignored."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.graph import adamic_adar
+
+    edges = rd.from_arrow(pa.table({
+        "src": ["a", "b", "c", "a", "b"],   # b→a dup direction of a→b
+        "dst": ["b", "c", "d", "d", "a"],
+    }))
+    got = {(r["a"], r["b"]): (r["common_neighbors"], r["aa_score"])
+           for r in adamic_adar(edges).take_all()}
+    import math
+    aa2 = round(2.0 / math.log(2.0), 6)
+    assert got == {("a", "c"): (2, aa2), ("b", "d"): (2, aa2)}
+
+
+def test_adamic_adar_star_hub_weighting():
+    """Star hub h with leaves x,y,z: every leaf pair shares only the
+    hub, weighted 1/ln(3); leaf pairs are returned, (h, leaf) pairs are
+    adjacent and excluded; a degree-1-only graph returns empty."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.graph import adamic_adar
+
+    edges = rd.from_arrow(pa.table({
+        "src": ["h", "h", "h"], "dst": ["x", "y", "z"],
+    }))
+    got = {(r["a"], r["b"]): (r["common_neighbors"], r["aa_score"])
+           for r in adamic_adar(edges).take_all()}
+    w = round(1.0 / math.log(3.0), 6)
+    assert got == {("x", "y"): (1, w), ("x", "z"): (1, w), ("y", "z"): (1, w)}
+
+    lone = rd.from_arrow(pa.table({"src": ["p"], "dst": ["q"]}))
+    assert adamic_adar(lone).take_all() == []
+
+
+def test_reciprocity():
+    """Distinct non-loop directed edges: (a,b) both ways + (a,c) one way
+    → 2 of 3 reciprocal; duplicates and self-loops don't count."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.graph import reciprocity
+
+    edges = rd.from_arrow(pa.table({
+        "src": ["a", "b", "a", "a", "d"],
+        "dst": ["b", "a", "c", "b", "d"],   # a→b dup, d→d loop
+    }))
+    (row,) = reciprocity(edges).take_all()
+    assert row == {"n_edges": 3, "n_reciprocal": 2,
+                   "reciprocity": round(2 / 3, 6)}

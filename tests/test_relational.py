@@ -814,3 +814,34 @@ def test_events_active_users_matches_duckdb():
 
     _frames_equal(e.queries()["events_active_users"](SF).to_pandas(),
                   _duck(e.oracle_sql()["events_active_users"]))
+
+
+def test_funnel_strict_ordering():
+    """Step i+1 counts only first-events STRICTLY after the user's
+    step-i first event: equal timestamps don't convert, pre-step events
+    don't convert, and every step row is emitted even when zero users
+    reach it."""
+    from saber_ray.stages.relational import funnel
+
+    rows = [
+        # u1 converts fully: signup < click < purchase
+        (1, 0, "signup"), (1, 10, "click"), (1, 20, "purchase"),
+        # u2: click BEFORE signup only → step 1 only
+        (2, 10, "signup"), (2, 5, "click"),
+        # u3: click only, never signed up → no steps
+        (3, 1, "click"), (3, 2, "purchase"),
+        # u4: click at the SAME ts as signup (not strictly after)
+        (4, 7, "signup"), (4, 7, "click"),
+        # u5: signup→click, purchase before the click → step 2
+        (5, 0, "signup"), (5, 9, "click"), (5, 4, "purchase"),
+        # noise event type is ignored
+        (1, 1, "error"),
+    ]
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([_ts(r[1]) for r in rows], type=pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+    }))
+    got = {r["step"]: (r["event_type"], r["users"])
+           for r in funnel(ev).take_all()}
+    assert got == {1: ("signup", 4), 2: ("click", 2), 3: ("purchase", 1)}
