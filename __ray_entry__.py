@@ -967,23 +967,47 @@ def _q_kg_hits(sf_dir: str):
 
 
 def _q_kg_adamic_adar(sf_dir: str):
-    # the full demo KG is a near-clique (no non-adjacent pairs), so the
-    # link-prediction query runs over the STRONG subgraph — edges whose
-    # support clears 92% of the max — which is sparse at every sf
+    from saber_ray.stages.graph import adamic_adar
+
+    return adamic_adar(_strong_demo_edges(sf_dir))
+
+
+def _strong_demo_edges(sf_dir: str):
+    """The sparse high-support demo subgraph (support ≥ 92% of max) —
+    the full demo KG is a near-clique, useless for structure queries."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from saber_ray.pipelines.demo import demo_edges
-    from saber_ray.stages.graph import adamic_adar
 
     ed = demo_edges(sf_dir).materialize()
     thr = 0.92 * float(ed.max("support"))
-    strong = ed.map_batches(
+    return ed.map_batches(
         lambda b: b.filter(pc.greater_equal(
             pc.cast(b["support"], pa.float64()), pa.scalar(thr))),
         batch_format="pyarrow",
     )
-    return adamic_adar(strong)
+
+
+def _q_kg_k_core(sf_dir: str):
+    from saber_ray.stages.graph import k_core
+
+    return k_core(_strong_demo_edges(sf_dir), k=3)
+
+
+def _q_kg_bfs_depths(sf_dir: str):
+    from saber_ray.stages.graph import bfs_depths
+
+    return bfs_depths(_strong_demo_edges(sf_dir))
+
+
+def _q_events_cohorts(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import cohort_retention
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    return cohort_retention(ev)
 
 
 def _q_kg_reciprocity(sf_dir: str):
@@ -1932,7 +1956,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": _q_kg_hits,
         "kg_adamic_adar": _q_kg_adamic_adar,
         "kg_reciprocity": _q_kg_reciprocity,
+        "kg_k_core": _q_kg_k_core,
+        "kg_bfs_depths": _q_kg_bfs_depths,
         "events_funnel": _q_events_funnel,
+        "events_cohorts": _q_events_cohorts,
         # rows-only (no SQL oracle — the BPE merge loop is iterative);
         # golden-tested in tests/test_bpe.py; past the driver's 50-row
         # record window by design so it never displaces a hash-checked
@@ -2249,6 +2276,35 @@ def _hits_ctes(iterations: int = 5) -> str:
         SELECT a.node, round(a.s, 6) AS authority, round(h.s, 6) AS hub
         FROM a{iterations} a JOIN h{iterations} h ON a.node = h.node
         ORDER BY a.node"""
+
+
+def _k_core_ctes(k: int, rounds: int = 15) -> str:
+    """One (degree, keep, edges) CTE triple per peel round, unrolled
+    like ``_pagerank_ctes`` (DuckDB recursive CTEs disallow aggregation
+    in the recursive term). ``rounds`` must exceed the peel depth —
+    bounded by the node count, and the demo KG is gazetteer-bounded at
+    13 nodes. Each level is MATERIALIZED: it's referenced twice."""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(f"""d{i} AS MATERIALIZED (
+            SELECT node_id, count(*) AS deg FROM (
+                SELECT u AS node_id FROM e{i - 1}
+                UNION ALL SELECT v FROM e{i - 1}
+            ) GROUP BY 1
+        )""")
+        parts.append(f"""k{i} AS MATERIALIZED (
+            SELECT node_id FROM d{i} WHERE deg >= {k}
+        )""")
+        parts.append(f"""e{i} AS MATERIALIZED (
+            SELECT u, v FROM e{i - 1}
+            JOIN k{i} a ON a.node_id = u
+            JOIN k{i} b ON b.node_id = v
+        )""")
+    return ",\n".join(parts) + f"""
+        SELECT node_id, CAST(count(*) AS BIGINT) AS core_degree FROM (
+            SELECT u AS node_id FROM e{rounds}
+            UNION ALL SELECT v FROM e{rounds}
+        ) GROUP BY 1"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3663,6 +3719,70 @@ def oracle_sql() -> dict[str, str]:
             FROM scored s
             LEFT JOIN ud ON ud.u = s.a AND ud.v = s.b
             WHERE ud.u IS NULL
+        """,
+        "kg_k_core": f"""
+            {triples_cte},
+            ed AS (
+                SELECT subj AS src, pred, obj AS dst,
+                       CAST(sum(n) AS BIGINT) AS support
+                FROM trip GROUP BY 1, 2, 3
+            ),
+            e AS (
+                SELECT src, dst FROM ed
+                WHERE support >= 0.92 * (SELECT max(support) FROM ed)
+                GROUP BY 1, 2
+            ),
+            e0 AS MATERIALIZED (
+                SELECT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM e WHERE src <> dst GROUP BY 1, 2
+            ),
+            {_k_core_ctes(k=3)}
+        """,
+        "kg_bfs_depths": f"""
+            {triples_cte.replace("WITH ", "WITH RECURSIVE ", 1)},
+            ed AS (
+                SELECT subj AS src, pred, obj AS dst,
+                       CAST(sum(n) AS BIGINT) AS support
+                FROM trip GROUP BY 1, 2, 3
+            ),
+            e AS (
+                SELECT src, dst FROM ed
+                WHERE support >= 0.92 * (SELECT max(support) FROM ed)
+                GROUP BY 1, 2
+            ),
+            ud AS (
+                SELECT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM e WHERE src <> dst GROUP BY 1, 2
+            ),
+            adj AS (SELECT u, v FROM ud UNION ALL SELECT v, u FROM ud),
+            walk(node, d) AS (
+                SELECT (SELECT min(u) FROM ud), 0
+                UNION
+                SELECT adj.v, walk.d + 1
+                FROM walk JOIN adj ON adj.u = walk.node
+                WHERE walk.d < 20
+            )
+            SELECT node AS node_id, CAST(min(d) AS BIGINT) AS depth
+            FROM walk GROUP BY 1
+        """,
+        "events_cohorts": """
+            WITH wk AS (
+                SELECT user_id, event_type,
+                       CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS w
+                FROM events
+            ),
+            coh AS (
+                SELECT user_id, min(w) AS cw FROM wk
+                WHERE event_type = 'signup' GROUP BY 1
+            ),
+            act AS (
+                SELECT DISTINCT wk.user_id, coh.cw, wk.w - coh.cw AS off
+                FROM wk JOIN coh ON coh.user_id = wk.user_id
+                WHERE wk.w >= coh.cw
+            )
+            SELECT cw AS cohort_week, off AS week_offset,
+                   CAST(count(*) AS BIGINT) AS users
+            FROM act GROUP BY 1, 2
         """,
         "kg_reciprocity": f"""
             {triples_cte},

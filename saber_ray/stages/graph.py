@@ -882,3 +882,185 @@ def reciprocity(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
         .groupby("__k").sum(["n_edges", "n_reciprocal"])
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def k_core(
+    edges: rd.Dataset,
+    k: int = 2,
+    num_partitions: int = 8,
+    max_iters: int = 50,
+) -> rd.Dataset:
+    """The k-core of the undirected KG: iteratively peel every node
+    whose remaining degree is < k until none is left, then report each
+    surviving node with its in-core degree — the standard "dense
+    backbone" cut run before expensive per-node analytics.
+
+    Each peel round is ONE degree groupby + TWO semi-joins (keep the
+    edges whose BOTH endpoints survive); convergence is the edge count
+    (monotone decreasing, so an unchanged count IS the fixed point —
+    only a scalar reaches the driver per round). Rounds ≤ #peeled nodes;
+    ``max_iters`` bounds pathological chains with a warning.
+
+    Returns (node_id, core_degree) — empty when the k-core is empty.
+    """
+    import logging
+
+    ud = undirected_edges(edges, num_partitions)
+    id_type = _node_id_type(ud, edges)
+
+    def _empty() -> rd.Dataset:
+        return rd.from_arrow(pa.table({
+            "node_id": pa.array([], type=id_type),
+            "core_degree": pa.array([], type=pa.int64()),
+        }))
+
+    def _endpoints(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks() if isinstance(batch["u"], pa.ChunkedArray) else batch["u"]
+        v = batch["v"].combine_chunks() if isinstance(batch["v"], pa.ChunkedArray) else batch["v"]
+        return pa.table({"node_id": pa.concat_arrays([u, v])})
+
+    def _degrees(ed: rd.Dataset) -> rd.Dataset:
+        return (
+            ed.map_batches(_endpoints, batch_format="pyarrow")
+            .groupby("node_id").count()
+            .rename_columns({"count()": "core_degree"})
+        )
+
+    n_edges = ud.count()
+    if n_edges == 0:
+        return _empty()
+
+    import pyarrow.compute as pc
+
+    for _ in range(max_iters):
+        keep = (
+            _degrees(ud)
+            .map_batches(
+                lambda b: b.filter(
+                    pc.greater_equal(b["core_degree"],
+                                     pa.scalar(k, pa.int64()))
+                ).select(["node_id"]),
+                batch_format="pyarrow",
+            )
+            .repartition(max(2, num_partitions // 2)).materialize()
+        )
+        if keep.count() == 0:
+            return _empty()
+        # repartition+materialize BETWEEN the chained joins: the first
+        # join's empty partition blocks are schema-less and poison the
+        # second join's FieldRef resolution (see ``k_hop_pairs``)
+        half = (
+            ud.join(keep.rename_columns({"node_id": "u"}),
+                    join_type="inner", num_partitions=num_partitions,
+                    on=("u",))
+            .repartition(max(2, num_partitions // 2)).materialize()
+        )
+        if half.count() == 0:
+            return _empty()
+        ud = (
+            half.join(keep.rename_columns({"node_id": "v"}),
+                      join_type="inner", num_partitions=num_partitions,
+                      on=("v",))
+            .repartition(max(2, num_partitions // 2)).materialize()
+        )
+        remaining = ud.count()
+        if remaining == n_edges:
+            break
+        if remaining == 0:
+            return _empty()
+        n_edges = remaining
+    else:
+        logging.getLogger(__name__).warning(
+            "k_core hit max_iters=%d before the fixed point", max_iters)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node_id": batch["node_id"],
+            "core_degree": pc.cast(batch["core_degree"], pa.int64()),
+        })
+
+    return _degrees(ud).map_batches(finish, batch_format="pyarrow")
+
+
+def bfs_depths(
+    edges: rd.Dataset,
+    source: str | None = None,
+    num_partitions: int = 8,
+    max_iters: int = 50,
+) -> rd.Dataset:
+    """Undirected BFS from ``source`` (default: the minimum node id —
+    deterministic without a parameter): (node_id, depth) for every
+    REACHABLE node, depth 0 at the source.
+
+    Iterative frontier expansion: each round joins the frontier against
+    the adjacency (ONE hash join), anti-joins the visited set (ONE
+    left-outer + null filter), and stops when the frontier empties —
+    O(graph diameter) rounds, only per-round counts reach the driver.
+    """
+    ud = undirected_edges(edges, num_partitions)
+    id_type = _node_id_type(ud, edges)
+
+    if ud.count() == 0:
+        return rd.from_arrow(pa.table({
+            "node_id": pa.array([], type=id_type),
+            "depth": pa.array([], type=pa.int64()),
+        }))
+
+    import pyarrow.compute as pc
+
+    adj = ud.map_batches(
+        lambda b: pa.table({
+            "n": pa.concat_arrays([b["u"].combine_chunks(),
+                                   b["v"].combine_chunks()]),
+            "x": pa.concat_arrays([b["v"].combine_chunks(),
+                                   b["u"].combine_chunks()]),
+        }),
+        batch_format="pyarrow",
+    ).repartition(num_partitions).materialize()
+
+    if source is None:
+        source = ud.min("u")  # min over u == global min: u < v on every row
+
+    visited = rd.from_arrow(pa.table({
+        "node_id": pa.array([source], type=id_type),
+        "depth": pa.array([0], type=pa.int64()),
+    })).materialize()
+    frontier = visited.select_columns(["node_id"]).materialize()
+
+    for depth in range(1, max_iters + 1):
+        nxt = (
+            frontier.rename_columns({"node_id": "n"})
+            .join(adj, join_type="inner", num_partitions=num_partitions,
+                  on=("n",))
+            .select_columns(["x"]).rename_columns({"x": "node_id"})
+            .groupby("node_id").count().drop_columns(["count()"])
+            .repartition(max(2, num_partitions // 2)).materialize()
+        )
+        if nxt.count() == 0:
+            break
+        fresh = (
+            nxt.join(
+                visited.map_batches(
+                    lambda b: b.select(["node_id"]).append_column(
+                        "seen", pa.array([1] * b.num_rows, type=pa.int8())),
+                    batch_format="pyarrow",
+                ),
+                join_type="left_outer", num_partitions=num_partitions,
+                on=("node_id",),
+            )
+            .map_batches(
+                lambda b, d=depth: (lambda t: pa.table({
+                    "node_id": t["node_id"],
+                    "depth": pa.array([d] * t.num_rows, type=pa.int64()),
+                }))(b.filter(pc.is_null(b["seen"]))),
+                batch_format="pyarrow",
+            )
+            .repartition(max(2, num_partitions // 2)).materialize()
+        )
+        if fresh.count() == 0:
+            break
+        visited = visited.union(fresh).repartition(
+            max(2, num_partitions // 2)).materialize()
+        frontier = fresh.select_columns(["node_id"]).materialize()
+
+    return visited

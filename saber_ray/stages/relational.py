@@ -3022,3 +3022,76 @@ def funnel(
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cohort_retention(
+    events: rd.Dataset,
+    signup_type: str = "signup",
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    type_column: str = "event_type",
+) -> rd.Dataset:
+    """Weekly cohort retention: cohort_week = epoch-week of a user's
+    FIRST ``signup_type`` event; for every week ≥ that in which the user
+    has ANY event, count the user once. Returns
+    (cohort_week, week_offset, users) — the classic retention triangle.
+
+    Weeks are integer epoch-microseconds // 1 week — identical integer
+    math to the oracle's ``floor(epoch(ts)/604800)``, no calendar/WEEK
+    locale semantics to disagree over. Scale shape: ONE hash(user) % P
+    bucket shuffle (each user lands wholly in one bucket, so per-bucket
+    DISTINCT (user, cohort, offset) rows make the final per-cell sums
+    exact — the two-level local-dedup shape of the windowed
+    distinct-actives operator), vectorized pandas inside the bucket,
+    then one tiny (cohort, offset) groupby over P × cells partials.
+    """
+    import pandas as pd
+
+    from ..functions.partitioning import shuffle_partitions
+
+    week_us = 7 * 24 * 3600 * 1_000_000
+    n = shuffle_partitions(8, events)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", _key_buckets(batch, user_column, n))
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        wk = df[ts_column].astype("int64") // week_us
+        df = df.assign(__wk=wk)
+        cohorts = (
+            df[df[type_column] == signup_type]
+            .groupby(user_column, sort=False)["__wk"].min()
+        )
+        cw = df[user_column].map(cohorts)
+        act = df.assign(__cw=cw)[cw.notna() & (wk >= cw)]
+        cells = (
+            act[[user_column, "__cw", "__wk"]].drop_duplicates()
+            .assign(__off=lambda d: (d["__wk"] - d["__cw"]).astype("int64"))
+            .groupby(["__cw", "__off"], sort=False).size()
+        )
+        out = cells.reset_index(name="users")
+        return pd.DataFrame({
+            "cohort_week": out["__cw"].astype("int64"),
+            "week_offset": out["__off"].astype("int64"),
+            "users": out["users"].astype("int64"),
+        })
+
+    agg = (
+        events.select_columns([user_column, ts_column, type_column])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"]).sum("users")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "cohort_week": pc.cast(batch["cohort_week"], pa.int64()),
+            "week_offset": pc.cast(batch["week_offset"], pa.int64()),
+            "users": pc.cast(batch["sum(users)"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -486,3 +486,41 @@ def test_reciprocity():
     (row,) = reciprocity(edges).take_all()
     assert row == {"n_edges": 3, "n_reciprocal": 2,
                    "reciprocity": round(2 / 3, 6)}
+
+
+def test_k_core_peels_tail():
+    """Triangle a-b-c with tail c-d-e: the 2-core iteratively peels e
+    THEN d (two rounds — degree-1 at peel time, not initially) leaving
+    the triangle at degree 2 each; the 3-core is empty."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.graph import k_core
+
+    edges = rd.from_arrow(pa.table({
+        "src": ["a", "b", "c", "c", "d"],
+        "dst": ["b", "c", "a", "d", "e"],
+    }))
+    got = {r["node_id"]: r["core_degree"] for r in k_core(edges, k=2).take_all()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    assert k_core(edges, k=3).take_all() == []
+
+
+def test_bfs_depths():
+    """Path a-b-c-d (+ disconnected x-y): min-id default source gives
+    depths 0..3; unreachable nodes are absent; direction is ignored;
+    an explicit source re-roots."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.graph import bfs_depths
+
+    edges = rd.from_arrow(pa.table({
+        "src": ["b", "b", "d", "x"],
+        "dst": ["a", "c", "c", "y"],
+    }))
+    got = {r["node_id"]: r["depth"] for r in bfs_depths(edges).take_all()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    rerooted = {r["node_id"]: r["depth"]
+                for r in bfs_depths(edges, source="c").take_all()}
+    assert rerooted == {"c": 0, "b": 1, "d": 1, "a": 2}

@@ -845,3 +845,38 @@ def test_funnel_strict_ordering():
     got = {r["step"]: (r["event_type"], r["users"])
            for r in funnel(ev).take_all()}
     assert got == {1: ("signup", 4), 2: ("click", 2), 3: ("purchase", 1)}
+
+
+def test_cohort_retention():
+    """cohort = epoch-week of first signup; each (user, active week ≥
+    cohort) counts once; pre-signup activity and never-signed-up users
+    are excluded; duplicate events in a week don't double-count."""
+    import datetime as dt2
+
+    from saber_ray.stages.relational import cohort_retention
+
+    def at(day: int, hour: int = 0):
+        return dt2.datetime(2024, 1, 1) + dt2.timedelta(days=day, hours=hour)
+
+    import numpy as np
+
+    week_us = 7 * 24 * 3600 * 1_000_000
+    w0 = int(np.datetime64(at(0), "us").astype(np.int64)) // week_us
+
+    rows = [
+        # u1: signup in w0, active w0 (twice) and w0+2
+        (1, at(0), "signup"), (1, at(1), "click"), (1, at(1, 5), "view"),
+        (1, at(15), "purchase"),
+        # u2: pre-signup click in w0 (excluded), signup w0+1, active w0+1
+        (2, at(2), "click"), (2, at(8), "signup"), (2, at(9), "view"),
+        # u3: never signs up
+        (3, at(3), "click"),
+    ]
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+    }))
+    got = {(r["cohort_week"], r["week_offset"]): r["users"]
+           for r in cohort_retention(ev).take_all()}
+    assert got == {(w0, 0): 1, (w0, 2): 1, (w0 + 1, 0): 1}
