@@ -1001,6 +1001,23 @@ def _q_kg_bfs_depths(sf_dir: str):
     return bfs_depths(_strong_demo_edges(sf_dir))
 
 
+def _q_events_transitions(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import event_transitions
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type", "event_id"])
+    return event_transitions(ev)
+
+
+def _q_embedding_group_stats(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.similarity import embedding_group_stats
+
+    emb = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+    return embedding_group_stats(emb)
+
+
 def _q_events_cohorts(sf_dir: str):
     from saber_ray.sources.testdata import read_table
     from saber_ray.stages.relational import cohort_retention
@@ -1960,6 +1977,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_depths": _q_kg_bfs_depths,
         "events_funnel": _q_events_funnel,
         "events_cohorts": _q_events_cohorts,
+        "events_transitions": _q_events_transitions,
+        "embedding_group_stats": _q_embedding_group_stats,
         # rows-only (no SQL oracle — the BPE merge loop is iterative);
         # golden-tested in tests/test_bpe.py; past the driver's 50-row
         # record window by design so it never displaces a hash-checked
@@ -3764,6 +3783,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS node_id, CAST(min(d) AS BIGINT) AS depth
             FROM walk GROUP BY 1
+        """,
+        "events_transitions": """
+            WITH o AS (
+                SELECT event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS nxt
+                FROM events
+            )
+            SELECT event_type AS from_type, nxt AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """,
+        "embedding_group_stats": """
+            WITH dims AS (
+                SELECT label, g.i,
+                       sum(CAST(e.embedding[g.i] AS DOUBLE)) AS s
+                FROM embeddings e,
+                     unnest(generate_series(1, len(e.embedding))) AS g(i)
+                GROUP BY 1, 2
+            ),
+            base AS (
+                SELECT label, CAST(count(*) AS BIGINT) AS n,
+                       sum(list_sum(list_transform(
+                           embedding, x -> CAST(x AS DOUBLE) * x))) AS ssq
+                FROM embeddings GROUP BY 1
+            ),
+            cn AS (
+                SELECT d.label, sum((d.s / b.n) * (d.s / b.n)) AS c2
+                FROM dims d JOIN base b USING (label) GROUP BY 1
+            )
+            SELECT b.label, b.n, round(b.ssq / b.n - cn.c2, 6) AS inertia
+            FROM base b JOIN cn USING (label)
         """,
         "events_cohorts": """
             WITH wk AS (

@@ -3095,3 +3095,64 @@ def cohort_retention(
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def event_transitions(
+    events: rd.Dataset,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    type_column: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> rd.Dataset:
+    """First-order Markov transition counts over per-user event
+    sequences: (from_type, to_type, n) where n counts consecutive event
+    pairs in (ts, tiebreak) order — the behavioral sequence-mining
+    primitive behind funnels and next-event prediction.
+
+    Scale shape: ONE hash(user) % P bucket shuffle; inside a bucket one
+    sort + one grouped ``shift(-1)`` produces every user's successor
+    column vectorized (no per-user Python calls); per-bucket
+    (from, to) partial counts collapse in a final tiny groupby over
+    P × |types|² rows.
+    """
+    import pandas as pd
+
+    from ..functions.partitioning import shuffle_partitions
+
+    n = shuffle_partitions(8, events)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", _key_buckets(batch, user_column, n))
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values([user_column, ts_column, order_tiebreak],
+                            kind="mergesort")
+        nxt = df.groupby(user_column, sort=False)[type_column].shift(-1)
+        pairs = pd.DataFrame({
+            "from_type": df[type_column], "to_type": nxt,
+        }).dropna(subset=["to_type"])
+        out = (pairs.groupby(["from_type", "to_type"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = (
+        events.select_columns(
+            [user_column, ts_column, type_column, order_tiebreak])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["from_type", "to_type"]).sum("n")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "from_type": batch["from_type"],
+            "to_type": batch["to_type"],
+            "n": pc.cast(batch["sum(n)"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

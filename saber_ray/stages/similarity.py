@@ -864,3 +864,83 @@ def embedding_dup_pairs(
                          "id_b": pa.array(out_b, type=id_type)})
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def _list_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n, dim) float64 matrix from a ``list<float>`` column — zero-copy
+    flatten + reshape when the lists are uniform-length (the embedding
+    contract), falling back to a Python materialization for ragged or
+    null-bearing blocks."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    if col.null_count == 0 and (widths == widths[0]).all() and widths[0] > 0:
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(n, int(widths[0]))
+    return np.asarray(
+        [v if v is not None else [] for v in col.to_pylist()],
+        dtype=np.float64)
+
+
+def embedding_group_stats(
+    embeddings: rd.Dataset,
+    group_column: str = "label",
+    vector_column: str = "embedding",
+) -> rd.Dataset:
+    """Per-group embedding dispersion: (group, n, inertia) where inertia
+    is the mean squared distance to the group's OWN centroid — the
+    "how tight is this cluster / source / language" diagnostic run
+    before sampling or semantic dedup.
+
+    One pass, no second centroid-distance scan: with c = mean(x),
+    E‖x−c‖² = E‖x‖² − ‖c‖², so each batch emits per-group partials
+    (n, Σ‖x‖², Σx) from a vectorized flatten-reshape matmul, and a tiny
+    per-group combine (#groups × #batches partial rows, vectors of one
+    dim each) finishes the algebra. Nothing vector-sized is shuffled
+    beyond the partials; nothing reaches the driver.
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        mat = _list_matrix(batch[vector_column])
+        groups = batch[group_column]
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        keys = groups.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        k = len(uniq)
+        counts = np.bincount(inv, minlength=k)
+        sq = (mat * mat).sum(axis=1)
+        sumsq = np.bincount(inv, weights=sq, minlength=k)
+        dim = mat.shape[1] if mat.size else 0
+        sums = np.zeros((k, dim), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        return pa.table({
+            group_column: pa.array(uniq.tolist(), type=groups.type),
+            "n": pa.array(counts, type=pa.int64()),
+            "sumsq": pa.array(sumsq, type=pa.float64()),
+            "sumvec": pa.array(sums.tolist(),
+                               type=pa.list_(pa.float64())),
+        })
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        n = int(df["n"].sum())
+        sumsq = float(df["sumsq"].sum())
+        sumvec = np.sum(np.stack(df["sumvec"].to_numpy()), axis=0)
+        centroid = sumvec / n
+        inertia = sumsq / n - float(centroid @ centroid)
+        return pd.DataFrame({
+            group_column: df[group_column].iloc[:1],
+            "n": pd.array([n], dtype="int64"),
+            "inertia": [round(inertia, 6)],
+        })
+
+    return (
+        embeddings.select_columns([group_column, vector_column])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(group_column)
+        .map_groups(combine, batch_format="pandas")
+    )

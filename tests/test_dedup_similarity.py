@@ -975,3 +975,23 @@ def test_exact_drop_stats_null_group_kept():
         for r in exact_drop_stats(docs).take_all()
     )
     assert got == [("", 2, 1), ("web", 1, 0)]
+
+
+def test_embedding_group_stats():
+    """inertia = mean squared distance to the group's own centroid:
+    a two-point group at distance 2 has centroid midway → inertia 1;
+    a singleton group has inertia 0; groups don't leak into each other."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.similarity import embedding_group_stats
+
+    emb = rd.from_arrow(pa.table({
+        "label": pa.array([0, 0, 1], type=pa.int32()),
+        "embedding": pa.array(
+            [[1.0, 0.0], [-1.0, 0.0], [5.0, 5.0]],
+            type=pa.list_(pa.float32())),
+    }))
+    got = {r["label"]: (r["n"], r["inertia"])
+           for r in embedding_group_stats(emb).take_all()}
+    assert got == {0: (2, 1.0), 1: (1, 0.0)}

@@ -880,3 +880,25 @@ def test_cohort_retention():
     got = {(r["cohort_week"], r["week_offset"]): r["users"]
            for r in cohort_retention(ev).take_all()}
     assert got == {(w0, 0): 1, (w0, 2): 1, (w0 + 1, 0): 1}
+
+
+def test_event_transitions():
+    """Consecutive pairs per user in (ts, event_id) order; ties broken
+    by event_id; sequences never cross users; last event has no
+    successor."""
+    from saber_ray.stages.relational import event_transitions
+
+    rows = [  # (user, minute, event_id, type)
+        (1, 0, 1, "a"), (1, 1, 2, "b"), (1, 2, 3, "a"),
+        (2, 0, 4, "a"), (2, 0, 5, "b"),   # same ts → event_id order
+        (3, 5, 6, "c"),                   # singleton: no pair
+    ]
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([_ts(r[1]) for r in rows], type=pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+    }))
+    got = {(r["from_type"], r["to_type"]): r["n"]
+           for r in event_transitions(ev).take_all()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
