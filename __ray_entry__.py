@@ -1010,6 +1010,25 @@ def _q_events_transitions(sf_dir: str):
     return event_transitions(ev)
 
 
+def _q_hard_negatives(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.similarity import hard_negatives
+
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "embedding", "label"])
+    qrows = sorted(
+        (r for r in ds.filter(expr="vec_id < 5").take_all()),
+        key=lambda r: r["vec_id"],
+    )
+    return hard_negatives(
+        ds,
+        np.array([r["embedding"] for r in qrows], dtype=np.float64),
+        [r["vec_id"] for r in qrows],
+        [r["label"] for r in qrows],
+        k=10,
+    )
+
+
 def _q_embedding_group_stats(sf_dir: str):
     from saber_ray.sources.testdata import read_table
     from saber_ray.stages.similarity import embedding_group_stats
@@ -1979,6 +1998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohorts": _q_events_cohorts,
         "events_transitions": _q_events_transitions,
         "embedding_group_stats": _q_embedding_group_stats,
+        "hard_negatives": _q_hard_negatives,
         # rows-only (no SQL oracle — the BPE merge loop is iterative);
         # golden-tested in tests/test_bpe.py; past the driver's 50-row
         # record window by design so it never displaces a hash-checked
@@ -3795,6 +3815,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS from_type, nxt AS to_type,
                    CAST(count(*) AS BIGINT) AS n
             FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """,
+        "hard_negatives": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS e, label AS ql
+                FROM embeddings WHERE vec_id < 5
+            ),
+            sims AS (
+                SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           q.e::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+                FROM q, embeddings c
+                WHERE c.label <> q.ql
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id)
+                           AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
         """,
         "embedding_group_stats": """
             WITH dims AS (

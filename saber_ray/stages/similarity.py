@@ -944,3 +944,83 @@ def embedding_group_stats(
         .groupby(group_column)
         .map_groups(combine, batch_format="pandas")
     )
+
+
+class _HardNegativeTopK:
+    """Map stage: local top-k cosine candidates vs a broadcast query
+    matrix, EXCLUDING candidates that share the query's label — the
+    contrastive-training hard-negative miner. Same broadcast/actor-pool
+    contract as ``BruteForceTopK``: queries normalized once per actor,
+    one matmul per batch, only k × nq candidate rows leave the task."""
+
+    def __init__(self, queries_ref, query_ids, query_labels, k: int = 10,
+                 id_column: str = "vec_id", vector_column: str = "embedding",
+                 label_column: str = "label"):
+        queries = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self._q = _normalize(queries)
+        self._qids = np.asarray(query_ids)
+        self._qlabels = np.asarray(query_labels)
+        self._k = k
+        self._id = id_column
+        self._vec = vector_column
+        self._label = label_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "query_id": pa.array([], pa.array(self._qids.tolist()).type
+                                     if len(self._qids) else pa.int64()),
+                "neighbor_id": pa.array(
+                    [], batch.schema.field(self._id).type),
+                "cosine": pa.array([], pa.float64()),
+            })
+        ids = np.asarray(batch[self._id].to_pylist())
+        labels = np.asarray(batch[self._label].to_pylist())
+        mat = _normalize(_stack(batch[self._vec]))
+        sims = mat @ self._q.T                              # [n, nq]
+        sims[labels[:, None] == self._qlabels[None, :]] = -np.inf
+        k = min(self._k, len(ids))
+        out_q, out_n, out_s = [], [], []
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]
+        for qi in range(sims.shape[1]):
+            rows = top[:, qi]
+            rows = rows[np.isfinite(sims[rows, qi])]        # drop masked
+            out_q.extend([self._qids[qi]] * len(rows))
+            out_n.extend(ids[rows].tolist())
+            out_s.extend(sims[rows, qi].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q),
+            "neighbor_id": pa.array(out_n),
+            "cosine": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def hard_negatives(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    query_labels,
+    k: int = 10,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    label_column: str = "label",
+    concurrency=None,
+) -> rd.Dataset:
+    """Hard-negative mining: per query, the k most cosine-similar
+    corpus vectors whose label DIFFERS from the query's —
+    (query_id, neighbor_id, rank), rank 1 = hardest negative.
+    Deterministic tie-break on neighbor_id, like ``knn_topk``."""
+    queries_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    cands = ds.map_batches(
+        _HardNegativeTopK,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref, "query_ids": list(query_ids),
+            "query_labels": list(query_labels), "k": k,
+            "id_column": id_column, "vector_column": vector_column,
+            "label_column": label_column,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or pinned_pool(8),
+    )
+    return cands.groupby("query_id").map_groups(
+        _merge_topk(k, exclude_self=False), batch_format="pandas")

@@ -995,3 +995,30 @@ def test_embedding_group_stats():
     got = {r["label"]: (r["n"], r["inertia"])
            for r in embedding_group_stats(emb).take_all()}
     assert got == {0: (2, 1.0), 1: (1, 0.0)}
+
+
+def test_hard_negatives_masks_own_label():
+    """Neighbors never share the query's label, ranking follows cosine
+    (hardest = most similar cross-label vector), self is irrelevant
+    because it shares the label; k caps the output."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.similarity import hard_negatives
+
+    vecs = {
+        0: [1.0, 0.0], 1: [0.9, 0.1],          # label A
+        2: [0.8, 0.2], 3: [0.0, 1.0],          # label B
+        4: [-1.0, 0.0],                        # label B
+    }
+    labels = {0: "A", 1: "A", 2: "B", 3: "B", 4: "B"}
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(list(vecs), type=pa.int64()),
+        "embedding": pa.array([vecs[i] for i in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([labels[i] for i in vecs], type=pa.string()),
+    }))
+    out = hard_negatives(
+        ds, np.array([vecs[0]]), [0], ["A"], k=2).take_all()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(2, 1), (3, 2)]
