@@ -1056,13 +1056,12 @@ def _q_kg_reciprocity(sf_dir: str):
 def _q_events_funnel(sf_dir: str):
     import pyarrow.dataset as pads
 
-    import ray.data as rd
-
+    from saber_ray.sources.testdata import read_table
     from saber_ray.stages.relational import funnel
 
     steps = ("signup", "click", "purchase")
-    ev = rd.read_parquet(
-        f"{sf_dir}/events.parquet",
+    ev = read_table(
+        sf_dir, "events",
         columns=["user_id", "ts", "event_type"],
         filter=pads.field("event_type").isin(list(steps)),
     )
@@ -3799,7 +3798,7 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT adj.v, walk.d + 1
                 FROM walk JOIN adj ON adj.u = walk.node
-                WHERE walk.d < 20
+                WHERE walk.d < 50
             )
             SELECT node AS node_id, CAST(min(d) AS BIGINT) AS depth
             FROM walk GROUP BY 1

@@ -542,7 +542,8 @@ def clustering_coefficient(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dat
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
-def _hits_local(e: rd.Dataset, iterations: int) -> rd.Dataset:
+def _hits_local(e: rd.Dataset, iterations: int,
+                id_type: "pa.DataType") -> rd.Dataset:
     """Small-graph fast path: HITS power iteration on the collected
     deduped edge list with numpy scatter-adds (same synchronous update
     as the distributed path, identical after the 6-decimal round)."""
@@ -567,7 +568,7 @@ def _hits_local(e: rd.Dataset, iterations: int) -> rd.Dataset:
         z = np.sqrt((hub * hub).sum())
         hub = hub / (z if z > 0.0 else 1.0)
     out = pa.table({
-        "node": pa.array(nodes, type=pa.string()),
+        "node": pa.array(nodes, type=id_type),
         "authority": pa.array(auth, type=pa.float64()),
         "hub": pa.array(hub, type=pa.float64()),
     })
@@ -601,11 +602,29 @@ def hits(
     """
     import pyarrow.compute as pc
 
+    from ..functions.arrowtypes import arrow_types
+
+    if iterations < 1:
+        raise ValueError("hits needs iterations >= 1")
+
     e = edges.select_columns(["src", "dst"]).groupby(["src", "dst"]).count()
     e = e.drop_columns(["count()"]).repartition(num_partitions).materialize()
 
+    es = e.schema()
+    id_type = (arrow_types(e)["src"]
+               if es is not None and "src" in es.names
+               else (arrow_types(edges)["src"]
+                     if edges.schema() is not None
+                     and "src" in edges.schema().names else pa.string()))
+
+    if e.count() == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=id_type),
+            "authority": pa.array([], type=pa.float64()),
+            "hub": pa.array([], type=pa.float64()),
+        }))
     if e.count() <= local_threshold:
-        return _hits_local(e, iterations)
+        return _hits_local(e, iterations, id_type)
 
     verts = (
         e.map_batches(
@@ -1062,5 +1081,13 @@ def bfs_depths(
         visited = visited.union(fresh).repartition(
             max(2, num_partitions // 2)).materialize()
         frontier = fresh.select_columns(["node_id"]).materialize()
+    else:
+        # loop exhausted with a live frontier: deeper nodes exist but
+        # would be silently reported unreachable — never silently
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "bfs_depths hit max_iters=%d with a non-empty frontier; "
+            "nodes deeper than that are omitted", max_iters)
 
     return visited

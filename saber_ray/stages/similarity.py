@@ -65,40 +65,62 @@ def _stack(column) -> np.ndarray:
 
 
 class BruteForceTopK:
-    """Map stage: local top-k cosine candidates vs a broadcast query matrix."""
+    """Map stage: local top-k cosine candidates vs a broadcast query
+    matrix, optionally masking candidates that share the query's label
+    (hard-negative mining).
+
+    The local cut is TIE-SAFE: every row matching the per-query k-th
+    score is emitted (not an arbitrary argpartition winner), so the
+    global merge's (cosine DESC, neighbor_id) ranking sees every row
+    the oracle's ``row_number()`` could select — duplicate embeddings
+    at the boundary inflate a block's candidate set only by the tie
+    multiplicity."""
 
     def __init__(self, queries_ref, query_ids, k: int = 10,
-                 id_column: str = "vec_id", vector_column: str = "embedding"):
+                 id_column: str = "vec_id", vector_column: str = "embedding",
+                 query_labels=None, label_column: str = "label"):
         queries = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         self._q = _normalize(queries)          # [nq, d], once per actor
         self._qids = np.asarray(query_ids)
+        self._qid_type = (pa.array(self._qids.tolist()).type
+                          if len(self._qids) else pa.int64())
+        self._qlabels = (np.asarray(query_labels)
+                         if query_labels is not None else None)
+        self._label = label_column
         self._k = k
         self._id = id_column
         self._vec = vector_column
 
+    def _typed_empty(self, batch: pa.Table) -> pa.Table:
+        # keep the REAL id types on empty output: untyped pa.array([])
+        # infers null and produces schema-conflicting blocks downstream
+        return pa.table({
+            "query_id": pa.array([], self._qid_type),
+            "neighbor_id": pa.array([], batch.schema.field(self._id).type),
+            "cosine": pa.array([], pa.float64()),
+        })
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            # keep the REAL id types on empty blocks: hardcoded int64
-            # here produces schema-conflicting blocks when ids are strings
-            return pa.table({
-                "query_id": pa.array([], pa.array(self._qids.tolist()).type
-                                     if len(self._qids) else pa.int64()),
-                "neighbor_id": pa.array(
-                    [], batch.schema.field(self._id).type),
-                "cosine": pa.array([], pa.float64()),
-            })
+            return self._typed_empty(batch)
         ids = np.asarray(batch[self._id].to_pylist())
         mat = _normalize(_stack(batch[self._vec]))          # [n, d]
         sims = mat @ self._q.T                              # [n, nq]
+        if self._qlabels is not None:
+            labels = np.asarray(batch[self._label].to_pylist())
+            sims[labels[:, None] == self._qlabels[None, :]] = -np.inf
         k = min(self._k, len(ids))
+        kth = np.partition(sims, -k, axis=0)[-k]            # [nq]
         out_q, out_n, out_s = [], [], []
-        # per query: local top-k rows of this batch
-        top = np.argpartition(-sims, k - 1, axis=0)[:k]     # [k, nq]
         for qi in range(sims.shape[1]):
-            rows = top[:, qi]
+            col = sims[:, qi]
+            rows = np.nonzero(col >= kth[qi])[0]
+            rows = rows[np.isfinite(col[rows])]             # drop masked
             out_q.extend([self._qids[qi]] * len(rows))
             out_n.extend(ids[rows].tolist())
-            out_s.extend(sims[rows, qi].tolist())
+            out_s.extend(col[rows].tolist())
+        if not out_q:                                       # fully masked
+            return self._typed_empty(batch)
         return pa.table(
             {
                 "query_id": pa.array(out_q),
@@ -869,8 +891,8 @@ def embedding_dup_pairs(
 def _list_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """(n, dim) float64 matrix from a ``list<float>`` column — zero-copy
     flatten + reshape when the lists are uniform-length (the embedding
-    contract), falling back to a Python materialization for ragged or
-    null-bearing blocks."""
+    contract); ragged or null-bearing blocks go through ``_stack``,
+    which names the offending row instead of dying deep in numpy."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
@@ -881,9 +903,7 @@ def _list_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if col.null_count == 0 and (widths == widths[0]).all() and widths[0] > 0:
         flat = col.flatten().to_numpy(zero_copy_only=False)
         return flat.astype(np.float64, copy=False).reshape(n, int(widths[0]))
-    return np.asarray(
-        [v if v is not None else [] for v in col.to_pylist()],
-        dtype=np.float64)
+    return _stack(col)
 
 
 def embedding_group_stats(
@@ -910,7 +930,9 @@ def embedding_group_stats(
         if isinstance(groups, pa.ChunkedArray):
             groups = groups.combine_chunks()
         keys = groups.to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(keys, return_inverse=True)
+        # factorize, not np.unique: a null group key must stay a group
+        # (np.unique sorts and None < str raises)
+        inv, uniq = pd.factorize(keys, use_na_sentinel=False)
         k = len(uniq)
         counts = np.bincount(inv, minlength=k)
         sq = (mat * mat).sum(axis=1)
@@ -918,8 +940,12 @@ def embedding_group_stats(
         dim = mat.shape[1] if mat.size else 0
         sums = np.zeros((k, dim), dtype=np.float64)
         np.add.at(sums, inv, mat)
+        # a null NUMERIC key surfaces from factorize as NaN — restore
+        # None so the typed Arrow column round-trips it as a null group
+        key_vals = [None if (isinstance(v, float) and v != v) else v
+                    for v in list(uniq)]
         return pa.table({
-            group_column: pa.array(uniq.tolist(), type=groups.type),
+            group_column: pa.array(key_vals, type=groups.type),
             "n": pa.array(counts, type=pa.int64()),
             "sumsq": pa.array(sumsq, type=pa.float64()),
             "sumvec": pa.array(sums.tolist(),
@@ -946,55 +972,6 @@ def embedding_group_stats(
     )
 
 
-class _HardNegativeTopK:
-    """Map stage: local top-k cosine candidates vs a broadcast query
-    matrix, EXCLUDING candidates that share the query's label — the
-    contrastive-training hard-negative miner. Same broadcast/actor-pool
-    contract as ``BruteForceTopK``: queries normalized once per actor,
-    one matmul per batch, only k × nq candidate rows leave the task."""
-
-    def __init__(self, queries_ref, query_ids, query_labels, k: int = 10,
-                 id_column: str = "vec_id", vector_column: str = "embedding",
-                 label_column: str = "label"):
-        queries = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        self._q = _normalize(queries)
-        self._qids = np.asarray(query_ids)
-        self._qlabels = np.asarray(query_labels)
-        self._k = k
-        self._id = id_column
-        self._vec = vector_column
-        self._label = label_column
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({
-                "query_id": pa.array([], pa.array(self._qids.tolist()).type
-                                     if len(self._qids) else pa.int64()),
-                "neighbor_id": pa.array(
-                    [], batch.schema.field(self._id).type),
-                "cosine": pa.array([], pa.float64()),
-            })
-        ids = np.asarray(batch[self._id].to_pylist())
-        labels = np.asarray(batch[self._label].to_pylist())
-        mat = _normalize(_stack(batch[self._vec]))
-        sims = mat @ self._q.T                              # [n, nq]
-        sims[labels[:, None] == self._qlabels[None, :]] = -np.inf
-        k = min(self._k, len(ids))
-        out_q, out_n, out_s = [], [], []
-        top = np.argpartition(-sims, k - 1, axis=0)[:k]
-        for qi in range(sims.shape[1]):
-            rows = top[:, qi]
-            rows = rows[np.isfinite(sims[rows, qi])]        # drop masked
-            out_q.extend([self._qids[qi]] * len(rows))
-            out_n.extend(ids[rows].tolist())
-            out_s.extend(sims[rows, qi].tolist())
-        return pa.table({
-            "query_id": pa.array(out_q),
-            "neighbor_id": pa.array(out_n),
-            "cosine": pa.array(out_s, type=pa.float64()),
-        })
-
-
 def hard_negatives(
     ds: rd.Dataset,
     queries: np.ndarray,
@@ -1009,10 +986,11 @@ def hard_negatives(
     """Hard-negative mining: per query, the k most cosine-similar
     corpus vectors whose label DIFFERS from the query's —
     (query_id, neighbor_id, rank), rank 1 = hardest negative.
-    Deterministic tie-break on neighbor_id, like ``knn_topk``."""
+    Deterministic tie-break on neighbor_id, like ``knn_topk``; the map
+    stage IS ``BruteForceTopK`` with its label mask engaged."""
     queries_ref = ray.put(np.asarray(queries, dtype=np.float64))
     cands = ds.map_batches(
-        _HardNegativeTopK,
+        BruteForceTopK,
         fn_constructor_kwargs={
             "queries_ref": queries_ref, "query_ids": list(query_ids),
             "query_labels": list(query_labels), "k": k,

@@ -1022,3 +1022,30 @@ def test_hard_negatives_masks_own_label():
     out = hard_negatives(
         ds, np.array([vecs[0]]), [0], ["A"], k=2).take_all()
     assert [(r["neighbor_id"], r["rank"]) for r in out] == [(2, 1), (3, 2)]
+
+
+def test_brute_force_topk_tie_safe_and_masked_schema():
+    """The local cut keeps EVERY row tied at the k-th score (so the
+    global merge can apply the oracle's neighbor_id tie-break), and a
+    non-empty but fully label-masked block returns the TYPED empty
+    schema, not null-typed columns."""
+    import numpy as np
+    import pyarrow as pa
+
+    from saber_ray.stages.similarity import BruteForceTopK
+
+    batch = pa.table({
+        "vec_id": pa.array([10, 3, 7], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0]] * 3, type=pa.list_(pa.float32())),
+        "label": pa.array(["A", "A", "A"], type=pa.string()),
+    })
+    fn = BruteForceTopK(np.array([[1.0, 0.0]]), [0], k=1)
+    out = fn(batch)
+    # all three candidates tie at cosine 1.0 → all three survive the cut
+    assert sorted(out["neighbor_id"].to_pylist()) == [3, 7, 10]
+
+    masked = BruteForceTopK(np.array([[1.0, 0.0]]), [0], k=2,
+                            query_labels=["A"])(batch)
+    assert masked.num_rows == 0
+    assert masked.schema.field("query_id").type == pa.int64()
+    assert masked.schema.field("neighbor_id").type == pa.int64()
