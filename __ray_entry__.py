@@ -1053,6 +1053,20 @@ def _q_kg_reciprocity(sf_dir: str):
     return reciprocity(demo_edges(sf_dir).materialize())
 
 
+def _q_kg_summary(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_edges
+    from saber_ray.stages.graph import graph_summary
+
+    return graph_summary(demo_edges(sf_dir))
+
+
+def _q_kg_degree_histogram(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_edges
+    from saber_ray.stages.graph import degree_histogram
+
+    return degree_histogram(demo_edges(sf_dir))
+
+
 def _q_events_funnel(sf_dir: str):
     import pyarrow.dataset as pads
 
@@ -1993,6 +2007,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reciprocity": _q_kg_reciprocity,
         "kg_k_core": _q_kg_k_core,
         "kg_bfs_depths": _q_kg_bfs_depths,
+        "kg_summary": _q_kg_summary,
+        "kg_degree_histogram": _q_kg_degree_histogram,
         "events_funnel": _q_events_funnel,
         "events_cohorts": _q_events_cohorts,
         "events_transitions": _q_events_transitions,
@@ -3876,6 +3892,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT cw AS cohort_week, off AS week_offset,
                    CAST(count(*) AS BIGINT) AS users
             FROM act GROUP BY 1, 2
+        """,
+        "kg_summary": f"""
+            {triples_cte},
+            e AS (SELECT subj AS src, pred, obj AS dst FROM trip GROUP BY 1, 2, 3),
+            verts AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            deg AS (
+                SELECT node_id, CAST(count(*) AS BIGINT) AS degree FROM (
+                    SELECT src AS node_id FROM e UNION ALL SELECT dst FROM e
+                ) GROUP BY 1
+            )
+            SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST((SELECT count(*) FROM verts) AS BIGINT) AS n_nodes,
+                   round((SELECT count(*) FROM e) * 1.0
+                         / (SELECT count(*) FROM verts), 6) AS avg_out_degree,
+                   (SELECT max(degree) FROM deg) AS max_degree,
+                   round((SELECT count(*) FROM e) * 1.0
+                         / ((SELECT count(*) FROM verts)
+                            * ((SELECT count(*) FROM verts) - 1)), 6)
+                       AS density
+        """,
+        "kg_degree_histogram": f"""
+            {triples_cte},
+            e AS (SELECT subj AS src, pred, obj AS dst FROM trip GROUP BY 1, 2, 3),
+            deg AS (
+                SELECT node_id, CAST(count(*) AS BIGINT) AS degree FROM (
+                    SELECT src AS node_id FROM e UNION ALL SELECT dst FROM e
+                ) GROUP BY 1
+            )
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY 1
         """,
         "kg_reciprocity": f"""
             {triples_cte},

@@ -1091,3 +1091,82 @@ def bfs_depths(
             "nodes deeper than that are omitted", max_iters)
 
     return visited
+
+
+def graph_summary(edges: rd.Dataset) -> rd.Dataset:
+    """One-row shape card for the edge table: (n_edges, n_nodes,
+    avg_out_degree, max_degree, density) — n_edges at the stored
+    (src, pred, dst) grain, degrees from ``node_degrees``, density =
+    n_edges / (n·(n−1)) over directed pairs.
+
+    One pass over the (already tiny) degree table: per-batch partials
+    (node count, Σout, max degree) → a single-key groupby → scalar
+    algebra. Nothing edge-sized reaches the driver.
+    """
+    import pyarrow.compute as pc
+
+    degrees = node_degrees(edges)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = pc.cast(batch["out_degree"], pa.int64())
+        deg = pc.cast(batch["degree"], pa.int64())
+        return pa.table({
+            "__k": pa.array([0], type=pa.int64()),
+            "n_nodes": pa.array([batch.num_rows], type=pa.int64()),
+            "n_edges": pa.array([pc.sum(out).as_py() or 0], type=pa.int64()),
+            "max_degree": pa.array([pc.max(deg).as_py() or 0],
+                                   type=pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_nodes = pc.cast(batch["sum(n_nodes)"], pa.int64())
+        n_edges = pc.cast(batch["sum(n_edges)"], pa.int64())
+        max_deg = pc.cast(batch["max(max_degree)"], pa.int64())
+        nn = pc.cast(n_nodes, pa.float64())
+        ne = pc.cast(n_edges, pa.float64())
+        avg = pc.if_else(pc.greater(nn, pa.scalar(0.0)),
+                         pc.divide(ne, nn), pa.scalar(0.0))
+        denom = pc.multiply(nn, pc.subtract(nn, pa.scalar(1.0)))
+        dens = pc.if_else(pc.greater(denom, pa.scalar(0.0)),
+                          pc.divide(ne, denom), pa.scalar(0.0))
+        return pa.table({
+            "n_edges": n_edges,
+            "n_nodes": n_nodes,
+            "avg_out_degree": pc.round(avg, 6,
+                                   round_mode="half_towards_infinity"),
+            "max_degree": max_deg,
+            "density": pc.round(dens, 6,
+                                round_mode="half_towards_infinity"),
+        })
+
+    return (
+        degrees.map_batches(partial, batch_format="pyarrow")
+        .groupby("__k").aggregate(
+            *_summary_aggs())
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def _summary_aggs():
+    from ray.data.aggregate import Max, Sum
+
+    return (Sum("n_nodes"), Sum("n_edges"), Max("max_degree"))
+
+
+def degree_histogram(edges: rd.Dataset) -> rd.Dataset:
+    """(degree, n_nodes): how many nodes have each total degree — the
+    skew diagnostic read before choosing salting/bucketing parameters.
+    ONE extra groupby over the node-degree table."""
+    import pyarrow.compute as pc
+
+    return (
+        node_degrees(edges)
+        .groupby("degree").count()
+        .map_batches(
+            lambda b: pa.table({
+                "degree": pc.cast(b["degree"], pa.int64()),
+                "n_nodes": pc.cast(b["count()"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )

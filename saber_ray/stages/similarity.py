@@ -195,17 +195,20 @@ class MaskedTopK:
         self._id = id_column
         self._vec = vector_column
 
+    def _typed_empty(self, batch: pa.Table) -> pa.Table:
+        # keep the REAL id types on empty output: untyped pa.array([])
+        # infers null and produces schema-conflicting blocks downstream
+        return pa.table({
+            "query_id": pa.array([], pa.array(self._qids.tolist()).type
+                                 if len(self._qids) else pa.int64()),
+            "neighbor_id": pa.array(
+                [], batch.schema.field(self._id).type),
+            "cosine": pa.array([], pa.float64()),
+        })
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            # keep the REAL id types on empty blocks: hardcoded int64
-            # here produces schema-conflicting blocks when ids are strings
-            return pa.table({
-                "query_id": pa.array([], pa.array(self._qids.tolist()).type
-                                     if len(self._qids) else pa.int64()),
-                "neighbor_id": pa.array(
-                    [], batch.schema.field(self._id).type),
-                "cosine": pa.array([], pa.float64()),
-            })
+            return self._typed_empty(batch)
         ids = np.asarray(batch[self._id].to_pylist())
         mat = _normalize(_stack(batch[self._vec]))
         parts = self._assign(mat)                           # [n]
@@ -213,13 +216,20 @@ class MaskedTopK:
         sims = mat @ self._q.T
         sims = np.where(allowed, sims, -np.inf)
         k = min(self._k, len(ids))
+        # tie-safe cut (see BruteForceTopK): keep every row matching the
+        # per-query k-th score so the global merge's neighbor_id
+        # tie-break sees every candidate the oracle could rank
+        kth = np.partition(sims, -k, axis=0)[-k]            # [nq]
         out_q, out_n, out_s = [], [], []
-        top = np.argpartition(-sims, k - 1, axis=0)[:k]
         for qi in range(sims.shape[1]):
-            rows = [r for r in top[:, qi] if np.isfinite(sims[r, qi])]
+            col = sims[:, qi]
+            rows = np.nonzero(col >= kth[qi])[0]
+            rows = rows[np.isfinite(col[rows])]             # drop masked
             out_q.extend([self._qids[qi]] * len(rows))
             out_n.extend(ids[rows].tolist())
-            out_s.extend(sims[rows, qi].tolist())
+            out_s.extend(col[rows].tolist())
+        if not out_q:                                       # fully masked
+            return self._typed_empty(batch)
         return pa.table(
             {
                 "query_id": pa.array(out_q),

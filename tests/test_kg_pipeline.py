@@ -524,3 +524,23 @@ def test_bfs_depths():
     rerooted = {r["node_id"]: r["depth"]
                 for r in bfs_depths(edges, source="c").take_all()}
     assert rerooted == {"c": 0, "b": 1, "d": 1, "a": 2}
+
+
+def test_graph_summary_and_degree_histogram():
+    """Summary algebra on a known 3-edge graph (a→b, a→c, b→c):
+    3 nodes, avg out-degree 1, max total degree 2 (every node),
+    density 3/6; histogram puts all 3 nodes at degree 2."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.graph import degree_histogram, graph_summary
+
+    edges = rd.from_arrow(pa.table({
+        "src": ["a", "a", "b"], "dst": ["b", "c", "c"],
+    }))
+    (row,) = graph_summary(edges).take_all()
+    assert row == {"n_edges": 3, "n_nodes": 3, "avg_out_degree": 1.0,
+                   "max_degree": 2, "density": 0.5}
+    hist = {r["degree"]: r["n_nodes"]
+            for r in degree_histogram(edges).take_all()}
+    assert hist == {2: 3}
