@@ -959,6 +959,14 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(demo_edges(sf_dir).materialize(), iterations=5)
 
 
+def _q_kg_pagerank_weighted(sf_dir: str):
+    from saber_ray.pipelines.demo import demo_edges
+    from saber_ray.stages.graph import pagerank
+
+    return pagerank(demo_edges(sf_dir).materialize(), iterations=5,
+                    weight_column="support")
+
+
 def _q_kg_hits(sf_dir: str):
     from saber_ray.pipelines.demo import demo_edges
     from saber_ray.stages.graph import hits
@@ -2009,6 +2017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_depths": _q_kg_bfs_depths,
         "kg_summary": _q_kg_summary,
         "kg_degree_histogram": _q_kg_degree_histogram,
+        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "events_funnel": _q_events_funnel,
         "events_cohorts": _q_events_cohorts,
         "events_transitions": _q_events_transitions,
@@ -2255,15 +2264,23 @@ def _cms_sql(lg_w: int = 12, depth: int = 4, k: int = 20) -> str:
     """
 
 
-def _pagerank_ctes(iterations: int = 5, damping: float = 0.85) -> str:
+def _pagerank_ctes(iterations: int = 5, damping: float = 0.85,
+                   weighted: bool = False) -> str:
     """One CTE per power iteration (DuckDB recursive CTEs disallow
     aggregation in the recursive term, so the fixed iteration count
     unrolls declaratively). Constants are written as the SAME float
     expressions the engine evaluates — (1.0 - 0.85) is 0.15000000000000002
-    in IEEE doubles, NOT the literal 0.15 — so rounded values agree."""
+    in IEEE doubles, NOT the literal 0.15 — so rounded values agree.
+    ``weighted`` expects ``e(src, dst, w)`` and uses transition
+    probability w(u,v)/W_out(u) with the SAME left-to-right float order
+    as the engine: (rank * w) / W."""
+    outdeg = ("SELECT src, sum(w) AS outdeg FROM e GROUP BY 1" if weighted
+              else "SELECT src, count(*) AS outdeg FROM e GROUP BY 1")
+    contrib = ("sum(r.rank * e.w / d.outdeg)" if weighted
+               else "sum(r.rank / CAST(d.outdeg AS DOUBLE))")
     parts = [
         "verts AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
-        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1)",
+        f"deg AS ({outdeg})",
         "params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
         "r0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM verts)",
     ]
@@ -2273,7 +2290,7 @@ def _pagerank_ctes(iterations: int = 5, damping: float = 0.85) -> str:
                    (1.0 - {damping}) / (SELECT n FROM params)
                    + {damping} * coalesce(s.c, 0.0) AS rank
             FROM verts v LEFT JOIN (
-                SELECT e.dst, sum(r.rank / CAST(d.outdeg AS DOUBLE)) AS c
+                SELECT e.dst, {contrib} AS c
                 FROM r{i} r
                 JOIN deg d ON d.src = r.node
                 JOIN e ON e.src = r.node
@@ -3731,6 +3748,13 @@ def oracle_sql() -> dict[str, str]:
             {triples_cte},
             e AS (SELECT subj AS src, obj AS dst FROM trip GROUP BY 1, 2),
             {_pagerank_ctes(iterations=5, damping=0.85)}
+        """,
+        "kg_pagerank_weighted": f"""
+            {triples_cte},
+            e AS (SELECT subj AS src, obj AS dst,
+                         CAST(sum(n) AS DOUBLE) AS w
+                  FROM trip GROUP BY 1, 2),
+            {_pagerank_ctes(iterations=5, damping=0.85, weighted=True)}
         """,
         "kg_hits": f"""
             {triples_cte},

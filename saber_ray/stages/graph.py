@@ -217,7 +217,8 @@ def connected_components(
     return labels.rename_columns({"label": "component"})
 
 
-def _pagerank_local(e: rd.Dataset, iterations: int, damping: float) -> rd.Dataset:
+def _pagerank_local(e: rd.Dataset, iterations: int, damping: float,
+                    weighted: bool = False) -> rd.Dataset:
     """Small-graph fast path: power-iterate the collected deduped edge
     list with numpy scatter-adds (same synchronous update as the
     distributed path, bit-identical after the 6-decimal round)."""
@@ -232,11 +233,16 @@ def _pagerank_local(e: rd.Dataset, iterations: int, damping: float) -> rd.Datase
     si = np.array([idx[s] for s in src], dtype=np.int64)
     di = np.array([idx[d] for d in dst], dtype=np.int64)
     n = len(nodes)
-    outdeg = np.bincount(si, minlength=n).astype(np.float64)
+    if weighted:
+        w = np.array([float(r["w"]) for r in rows], dtype=np.float64)
+        outw = np.bincount(si, weights=w, minlength=n)
+    else:
+        w = np.ones(len(rows), dtype=np.float64)
+        outw = np.bincount(si, minlength=n).astype(np.float64)
     rank = np.full(n, 1.0 / n)
     base = (1.0 - damping) / n
     for _ in range(iterations):
-        contrib = rank[si] / outdeg[si]
+        contrib = rank[si] * w / outw[si]
         inflow = np.bincount(di, weights=contrib, minlength=n)
         rank = base + damping * inflow
     out = pa.table({
@@ -255,6 +261,7 @@ def pagerank(
     damping: float = 0.85,
     num_partitions: int = 8,
     local_threshold: int = 100_000,
+    weight_column: str | None = None,
 ) -> rd.Dataset:
     """PageRank over the directed (src, dst) edge table — ``iterations``
     synchronous power steps, uniform init 1/N, dangling mass dropped
@@ -279,19 +286,43 @@ def pagerank(
     """
     import pyarrow.compute as pc
 
-    e = edges.select_columns(["src", "dst"]).groupby(["src", "dst"]).count()
-    e = e.drop_columns(["count()"]).repartition(num_partitions).materialize()
+    weighted = weight_column is not None
+    if weighted:
+        # edge weight = weight_column summed over duplicate (src, dst)
+        # rows; transition probability becomes w(u,v) / W_out(u)
+        e = (
+            edges.select_columns(["src", "dst", weight_column])
+            .groupby(["src", "dst"]).sum(weight_column)
+            .map_batches(
+                lambda b: pa.table({
+                    "src": b["src"], "dst": b["dst"],
+                    "w": pc.cast(b[f"sum({weight_column})"], pa.float64()),
+                }),
+                batch_format="pyarrow",
+            )
+        )
+    else:
+        e = (edges.select_columns(["src", "dst"])
+             .groupby(["src", "dst"]).count().drop_columns(["count()"]))
+    e = e.repartition(num_partitions).materialize()
 
     if e.count() <= local_threshold:
-        return _pagerank_local(e, iterations, damping)
+        return _pagerank_local(e, iterations, damping, weighted=weighted)
 
     # repartition+materialize before every join input: Ray's hash join
     # chokes on the schema-less empty blocks that groupby/join stages
     # can emit (same hygiene as k_hop_pairs)
-    deg = (
-        e.groupby("src").count().rename_columns({"count()": "outdeg", "src": "dsrc"})
-        .repartition(max(2, num_partitions // 2)).materialize()
-    )
+    if weighted:
+        deg = (
+            e.groupby("src").sum("w")
+            .rename_columns({"sum(w)": "outdeg", "src": "dsrc"})
+            .repartition(max(2, num_partitions // 2)).materialize()
+        )
+    else:
+        deg = (
+            e.groupby("src").count().rename_columns({"count()": "outdeg", "src": "dsrc"})
+            .repartition(max(2, num_partitions // 2)).materialize()
+        )
     # edges ⨝ out-degree once, OUTSIDE the loop (loop-invariant):
     # (src, dst, outdeg) — each iteration then needs a single join
     e_deg = e.join(
@@ -330,10 +361,12 @@ def pagerank(
         )
 
         def contrib(batch: pa.Table) -> pa.Table:
-            return pa.table({
-                "dst": batch["dst"],
-                "c": pc.divide(batch["rank"], pc.cast(batch["outdeg"], pa.float64())),
-            })
+            # float order matches the local path and the SQL oracle:
+            # (rank * w) / W — not (rank / W) * w
+            num = (pc.multiply(batch["rank"], batch["w"]) if weighted
+                   else batch["rank"])
+            c = pc.divide(num, pc.cast(batch["outdeg"], pa.float64()))
+            return pa.table({"dst": batch["dst"], "c": c})
 
         inflow = (
             flowing.map_batches(contrib, batch_format="pyarrow")

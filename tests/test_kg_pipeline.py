@@ -544,3 +544,30 @@ def test_graph_summary_and_degree_histogram():
     hist = {r["degree"]: r["n_nodes"]
             for r in degree_histogram(edges).take_all()}
     assert hist == {2: 3}
+
+
+def test_pagerank_weighted_shifts_mass():
+    """With a→b weight 9 and a→c weight 1, b outranks c (uniform weights
+    tie them); local and distributed weighted paths agree after the
+    6-decimal round; weight duplicates on the same (src, dst) sum."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.graph import pagerank
+
+    edges = rd.from_arrow(pa.table({
+        "src": ["a", "a", "a", "b", "c"],
+        "dst": ["b", "b", "c", "a", "a"],
+        "support": pa.array([4, 5, 1, 1, 1], type=pa.int64()),
+    }))
+    local = {r["node"]: r["rank"]
+             for r in pagerank(edges, iterations=4,
+                               weight_column="support").take_all()}
+    dist = {r["node"]: r["rank"]
+            for r in pagerank(edges, iterations=4, weight_column="support",
+                              local_threshold=0).take_all()}
+    assert local == dist
+    assert local["b"] > local["c"]
+    unw = {r["node"]: r["rank"]
+           for r in pagerank(edges, iterations=4).take_all()}
+    assert unw["b"] == unw["c"]
