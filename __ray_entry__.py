@@ -1009,6 +1009,14 @@ def _q_kg_bfs_depths(sf_dir: str):
     return bfs_depths(_strong_demo_edges(sf_dir))
 
 
+def _q_events_outliers(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import grouped_outliers
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_outliers(ev, z=2.0)
+
+
 def _q_events_transitions(sf_dir: str):
     from saber_ray.sources.testdata import read_table
     from saber_ray.stages.relational import event_transitions
@@ -2021,6 +2029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_cohorts": _q_events_cohorts,
         "events_transitions": _q_events_transitions,
+        "events_outliers": _q_events_outliers,
         "embedding_group_stats": _q_embedding_group_stats,
         "hard_negatives": _q_hard_negatives,
         # rows-only (no SQL oracle — the BPE merge loop is iterative);
@@ -3854,6 +3863,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS from_type, nxt AS to_type,
                    CAST(count(*) AS BIGINT) AS n
             FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """,
+        "events_outliers": """
+            WITH s AS (
+                SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+                       sum(value) AS s1, sum(value * value) AS s2
+                FROM events WHERE value IS NOT NULL GROUP BY 1
+            ),
+            st AS (
+                SELECT event_type, n, s1 / n AS m,
+                       sqrt(greatest(0.0, s2 / n - (s1 / n) * (s1 / n)))
+                           AS sd
+                FROM s
+            )
+            SELECT e.event_type, st.n,
+                   CAST(count(CASE WHEN abs(e.value - st.m) > 2.0 * st.sd
+                                   THEN 1 END) AS BIGINT) AS n_outliers
+            FROM events e JOIN st USING (event_type)
+            WHERE e.value IS NOT NULL
+            GROUP BY 1, 2
         """,
         "hard_negatives": """
             WITH q AS (

@@ -3156,3 +3156,108 @@ def event_transitions(
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_outliers(
+    ds: rd.Dataset,
+    group_column: str = "event_type",
+    value_column: str = "value",
+    z: float = 3.0,
+) -> rd.Dataset:
+    """Per-group z-score outlier counts: (group, n, n_outliers) where an
+    outlier has |x − mean| > z · stddev_pop within its group — the
+    data-quality gate run on a metric column before training on it.
+
+    Two streaming passes, no per-group Python: pass 1 accumulates naive
+    moments (n, Σx, Σx²) per (batch, group) vectorized and merges them
+    in a tiny groupby (the ``grouped_pearson`` shape); the per-group
+    stats — #groups rows, small BY CONTRACT of a grouping column — are
+    collected once and CLOSED OVER for pass 2's counting scan (broadcast
+    lookup, not a shuffle join). Moments, mean and stddev use the exact
+    float order of the SQL oracle (m = s1/n; sd = √max(0, s2/n − m·m)),
+    so the hard threshold test agrees bit-for-bit.
+
+    Null values are ignored in both the moments and the counts.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def moments(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch[value_column])
+        batch = batch.filter(keep)
+        keys = batch[group_column].to_numpy(zero_copy_only=False)
+        vals = pc.cast(batch[value_column], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        inv, uniq = pd.factorize(keys, use_na_sentinel=False)
+        k = len(uniq)
+        groups = batch[group_column]
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        key_vals = [None if (isinstance(v, float) and v != v) else v
+                    for v in list(uniq)]
+        return pa.table({
+            group_column: pa.array(key_vals, type=groups.type),
+            "n": pa.array(np.bincount(inv, minlength=k), type=pa.int64()),
+            "s1": pa.array(np.bincount(inv, weights=vals, minlength=k),
+                           type=pa.float64()),
+            "s2": pa.array(
+                np.bincount(inv, weights=vals * vals, minlength=k),
+                type=pa.float64()),
+        })
+
+    merged = (
+        ds.select_columns([group_column, value_column])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby(group_column).sum(["n", "s1", "s2"])
+        .take_all()
+    )
+    stats = {}
+    for r in merged:
+        n = int(r["sum(n)"])
+        if n == 0:
+            continue
+        m = r["sum(s1)"] / n
+        sd = math.sqrt(max(0.0, r["sum(s2)"] / n - m * m))
+        stats[r[group_column]] = (n, m, sd)
+
+    def count_outliers(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch[value_column])
+        batch = batch.filter(keep)
+        keys = batch[group_column].to_numpy(zero_copy_only=False)
+        vals = pc.cast(batch[value_column], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        groups = batch[group_column]
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        inv, uniq = pd.factorize(keys, use_na_sentinel=False)
+        k = len(uniq)
+        means = np.array([stats.get(g, (0, 0.0, 0.0))[1] for g in uniq])
+        sds = np.array([stats.get(g, (0, 0.0, 0.0))[2] for g in uniq])
+        is_out = np.abs(vals - means[inv]) > z * sds[inv]
+        key_vals = [None if (isinstance(v, float) and v != v) else v
+                    for v in list(uniq)]
+        return pa.table({
+            group_column: pa.array(key_vals, type=groups.type),
+            "n_outliers": pa.array(
+                np.bincount(inv, weights=is_out, minlength=k).astype(
+                    np.int64), type=pa.int64()),
+        })
+
+    agg = (
+        ds.select_columns([group_column, value_column])
+        .map_batches(count_outliers, batch_format="pyarrow")
+        .groupby(group_column).sum("n_outliers")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keys = batch[group_column].to_pylist()
+        return pa.table({
+            group_column: batch[group_column],
+            "n": pa.array([stats[g][0] for g in keys], type=pa.int64()),
+            "n_outliers": pc.cast(batch["sum(n_outliers)"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -902,3 +902,20 @@ def test_event_transitions():
     got = {(r["from_type"], r["to_type"]): r["n"]
            for r in event_transitions(ev).take_all()}
     assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_grouped_outliers():
+    """Known moments: group 'a' = nine 0.0s and one 10.0 → mean 1,
+    sd 3 → only the 10.0 exceeds |x−m| > 2σ; a constant group has
+    σ = 0 and no outliers; nulls are ignored in n and the counts."""
+    from saber_ray.stages.relational import grouped_outliers
+
+    ev = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 10 + ["b"] * 3 + ["a"],
+                               type=pa.string()),
+        "value": pa.array([0.0] * 9 + [10.0] + [5.0, 5.0, 5.0] + [None],
+                          type=pa.float64()),
+    }))
+    got = {r["event_type"]: (r["n"], r["n_outliers"])
+           for r in grouped_outliers(ev, z=2.0).take_all()}
+    assert got == {"a": (10, 1), "b": (3, 0)}
