@@ -218,7 +218,8 @@ def connected_components(
 
 
 def _pagerank_local(e: rd.Dataset, iterations: int, damping: float,
-                    weighted: bool = False) -> rd.Dataset:
+                    weighted: bool = False,
+                    id_type: "pa.DataType | None" = None) -> rd.Dataset:
     """Small-graph fast path: power-iterate the collected deduped edge
     list with numpy scatter-adds (same synchronous update as the
     distributed path, bit-identical after the 6-decimal round)."""
@@ -246,7 +247,7 @@ def _pagerank_local(e: rd.Dataset, iterations: int, damping: float,
         inflow = np.bincount(di, weights=contrib, minlength=n)
         rank = base + damping * inflow
     out = pa.table({
-        "node": pa.array(nodes, type=pa.string()),
+        "node": pa.array(nodes, type=id_type or pa.string()),
         "rank": pa.array(rank, type=pa.float64()),
     })
     out = out.set_column(
@@ -307,7 +308,8 @@ def pagerank(
     e = e.repartition(num_partitions).materialize()
 
     if e.count() <= local_threshold:
-        return _pagerank_local(e, iterations, damping, weighted=weighted)
+        return _pagerank_local(e, iterations, damping, weighted=weighted,
+                               id_type=_col_id_type(e, "src", edges))
 
     # repartition+materialize before every join input: Ray's hash join
     # chokes on the schema-less empty blocks that groupby/join stages
@@ -424,18 +426,27 @@ def undirected_edges(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
     )
 
 
-def _node_id_type(ud: rd.Dataset, edges: rd.Dataset) -> "pa.DataType":
-    """Node-id Arrow type for typed-empty results: an EMPTY undirected
-    edge set (self-loop-only / empty graph) reports ``schema() is
-    None``, so fall back to the input edge table's ``src`` type."""
+def _col_id_type(ds: rd.Dataset, column: str,
+                 fallback: rd.Dataset | None = None,
+                 fallback_column: str = "src") -> "pa.DataType":
+    """Node-id Arrow type for typed-empty results and local fast paths:
+    a derived table that came out EMPTY (self-loop-only / empty graph)
+    reports ``schema() is None``, so fall back to the original edge
+    table's id column, then to string."""
     from ..functions.arrowtypes import arrow_types
 
-    ud_schema = ud.schema()
-    if ud_schema is not None and "u" in ud_schema.names:
-        return arrow_types(ud)["u"]
-    es = edges.schema()
-    return (arrow_types(edges)["src"]
-            if es is not None and "src" in es.names else pa.string())
+    s = ds.schema()
+    if s is not None and column in s.names:
+        return arrow_types(ds)[column]
+    if fallback is not None:
+        fs = fallback.schema()
+        if fs is not None and fallback_column in fs.names:
+            return arrow_types(fallback)[fallback_column]
+    return pa.string()
+
+
+def _node_id_type(ud: rd.Dataset, edges: rd.Dataset) -> "pa.DataType":
+    return _col_id_type(ud, "u", edges, "src")
 
 
 def triangles(edges: rd.Dataset, num_partitions: int = 8,
@@ -635,20 +646,13 @@ def hits(
     """
     import pyarrow.compute as pc
 
-    from ..functions.arrowtypes import arrow_types
-
     if iterations < 1:
         raise ValueError("hits needs iterations >= 1")
 
     e = edges.select_columns(["src", "dst"]).groupby(["src", "dst"]).count()
     e = e.drop_columns(["count()"]).repartition(num_partitions).materialize()
 
-    es = e.schema()
-    id_type = (arrow_types(e)["src"]
-               if es is not None and "src" in es.names
-               else (arrow_types(edges)["src"]
-                     if edges.schema() is not None
-                     and "src" in edges.schema().names else pa.string()))
+    id_type = _col_id_type(e, "src", edges)
 
     if e.count() == 0:
         return rd.from_arrow(pa.table({
@@ -1120,8 +1124,8 @@ def bfs_depths(
         import logging
 
         logging.getLogger(__name__).warning(
-            "bfs_depths hit max_iters=%d with a non-empty frontier; "
-            "nodes deeper than that are omitted", max_iters)
+            "bfs_depths stopped at max_iters=%d with a live frontier; "
+            "nodes deeper than that (if any) are omitted", max_iters)
 
     return visited
 

@@ -3186,26 +3186,23 @@ def grouped_outliers(
     import pyarrow.compute as pc
 
     def moments(batch: pa.Table) -> pa.Table:
+        # Arrow-native group_by keys NULL groups directly (no factorize
+        # NaN sentinel to repair — the grouped_pearson partial shape)
         keep = pc.is_valid(batch[value_column])
         batch = batch.filter(keep)
-        keys = batch[group_column].to_numpy(zero_copy_only=False)
-        vals = pc.cast(batch[value_column], pa.float64()).to_numpy(
-            zero_copy_only=False)
-        inv, uniq = pd.factorize(keys, use_na_sentinel=False)
-        k = len(uniq)
-        groups = batch[group_column]
-        if isinstance(groups, pa.ChunkedArray):
-            groups = groups.combine_chunks()
-        key_vals = [None if (isinstance(v, float) and v != v) else v
-                    for v in list(uniq)]
+        v = pc.cast(batch[value_column], pa.float64())
+        t = pa.table({
+            group_column: batch[group_column],
+            "v": v,
+            "v2": pc.multiply(v, v),
+        })
+        g = t.group_by(group_column).aggregate(
+            [("v", "count"), ("v", "sum"), ("v2", "sum")])
         return pa.table({
-            group_column: pa.array(key_vals, type=groups.type),
-            "n": pa.array(np.bincount(inv, minlength=k), type=pa.int64()),
-            "s1": pa.array(np.bincount(inv, weights=vals, minlength=k),
-                           type=pa.float64()),
-            "s2": pa.array(
-                np.bincount(inv, weights=vals * vals, minlength=k),
-                type=pa.float64()),
+            group_column: g[group_column],
+            "n": pc.cast(g["v_count"], pa.int64()),
+            "s1": g["v_sum"],
+            "s2": g["v2_sum"],
         })
 
     merged = (
@@ -3234,8 +3231,12 @@ def grouped_outliers(
             groups = groups.combine_chunks()
         inv, uniq = pd.factorize(keys, use_na_sentinel=False)
         k = len(uniq)
-        means = np.array([stats.get(g, (0, 0.0, 0.0))[1] for g in uniq])
-        sds = np.array([stats.get(g, (0, 0.0, 0.0))[2] for g in uniq])
+        # factorize surfaces a NULL key as NaN, but the stats dict (built
+        # from Arrow group_by rows) keys it as None — normalize the probe
+        norm = [None if (isinstance(g, float) and g != g) else g
+                for g in uniq]
+        means = np.array([stats.get(g, (0, 0.0, 0.0))[1] for g in norm])
+        sds = np.array([stats.get(g, (0, 0.0, 0.0))[2] for g in norm])
         is_out = np.abs(vals - means[inv]) > z * sds[inv]
         key_vals = [None if (isinstance(v, float) and v != v) else v
                     for v in list(uniq)]

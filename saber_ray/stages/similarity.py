@@ -107,8 +107,18 @@ class BruteForceTopK:
         mat = _normalize(_stack(batch[self._vec]))          # [n, d]
         sims = mat @ self._q.T                              # [n, nq]
         if self._qlabels is not None:
-            labels = np.asarray(batch[self._label].to_pylist())
-            sims[labels[:, None] == self._qlabels[None, :]] = -np.inf
+            # SQL semantics (oracle: WHERE c.label <> q.label): a NULL
+            # label on EITHER side never satisfies <>, so mask it too —
+            # plain == would silently keep null-labeled candidates
+            raw = batch[self._label].to_pylist()
+            labels = np.asarray(raw)
+            cand_null = np.array([l is None for l in raw], dtype=bool)
+            q_null = np.array([l is None for l in self._qlabels.tolist()],
+                              dtype=bool)
+            mask = (labels[:, None] == self._qlabels[None, :])
+            mask |= cand_null[:, None]
+            mask |= q_null[None, :]
+            sims[mask] = -np.inf
         k = min(self._k, len(ids))
         kth = np.partition(sims, -k, axis=0)[-k]            # [nq]
         out_q, out_n, out_s = [], [], []
@@ -189,6 +199,8 @@ class MaskedTopK:
                  id_column: str = "vec_id", vector_column: str = "embedding"):
         self._q = _normalize(ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref)
         self._qids = np.asarray(query_ids)
+        self._qid_type = (pa.array(self._qids.tolist()).type
+                          if len(self._qids) else pa.int64())
         self._assign = ray.get(assign_ref) if isinstance(assign_ref, ray.ObjectRef) else assign_ref
         self._probe = ray.get(probe_bool_ref) if isinstance(probe_bool_ref, ray.ObjectRef) else probe_bool_ref
         self._k = k
@@ -199,8 +211,7 @@ class MaskedTopK:
         # keep the REAL id types on empty output: untyped pa.array([])
         # infers null and produces schema-conflicting blocks downstream
         return pa.table({
-            "query_id": pa.array([], pa.array(self._qids.tolist()).type
-                                 if len(self._qids) else pa.int64()),
+            "query_id": pa.array([], self._qid_type),
             "neighbor_id": pa.array(
                 [], batch.schema.field(self._id).type),
             "cosine": pa.array([], pa.float64()),

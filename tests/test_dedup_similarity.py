@@ -1049,3 +1049,23 @@ def test_brute_force_topk_tie_safe_and_masked_schema():
     assert masked.num_rows == 0
     assert masked.schema.field("query_id").type == pa.int64()
     assert masked.schema.field("neighbor_id").type == pa.int64()
+
+
+def test_hard_negatives_null_labels_sql_semantics():
+    """NULL <> x is never true in SQL: a null-labeled candidate is never
+    a hard negative, and a null-labeled query gets no negatives."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.similarity import hard_negatives
+
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0]] * 3, type=pa.list_(pa.float32())),
+        "label": pa.array(["A", None, "B"], type=pa.string()),
+    }))
+    out = hard_negatives(ds, np.array([[1.0, 0.0]]), [9], ["A"], k=3).take_all()
+    assert [r["neighbor_id"] for r in out] == [2]   # null candidate dropped
+    none_q = hard_negatives(ds, np.array([[1.0, 0.0]]), [9], [None], k=3).take_all()
+    assert none_q == []                              # null query: nothing

@@ -571,3 +571,21 @@ def test_pagerank_weighted_shifts_mass():
     unw = {r["node"]: r["rank"]
            for r in pagerank(edges, iterations=4).take_all()}
     assert unw["b"] == unw["c"]
+
+
+def test_pagerank_integer_node_ids_local_path():
+    """Integer node ids must survive the LOCAL fast path (it used to
+    hardcode string) and agree with the distributed path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.graph import pagerank
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([1, 2, 3], type=pa.int64()),
+        "dst": pa.array([2, 3, 1], type=pa.int64()),
+    }))
+    local = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).take_all()}
+    dist = {r["node"]: r["rank"]
+            for r in pagerank(edges, iterations=3, local_threshold=0).take_all()}
+    assert local == dist and set(local) == {1, 2, 3}

@@ -919,3 +919,17 @@ def test_grouped_outliers():
     got = {r["event_type"]: (r["n"], r["n_outliers"])
            for r in grouped_outliers(ev, z=2.0).take_all()}
     assert got == {"a": (10, 1), "b": (3, 0)}
+
+
+def test_grouped_outliers_null_group():
+    """A NULL group key is a first-class group: its own moments, its own
+    counts — not the (0, 0, 0) stats-miss that counts everything."""
+    from saber_ray.stages.relational import grouped_outliers
+
+    ev = rd.from_arrow(pa.table({
+        "event_type": pa.array([None, None, "a", "a"], type=pa.string()),
+        "value": pa.array([5.0, 5.0, 1.0, 1.0], type=pa.float64()),
+    }))
+    got = {r["event_type"]: (r["n"], r["n_outliers"])
+           for r in grouped_outliers(ev, z=2.0).take_all()}
+    assert got == {None: (2, 0), "a": (2, 0)}
