@@ -1009,6 +1009,83 @@ def _q_kg_bfs_depths(sf_dir: str):
     return bfs_depths(_strong_demo_edges(sf_dir))
 
 
+def _q_events_session_stats(sf_dir: str):
+    # composition: the bucketed sessionize operator feeding a scalar
+    # aggregate — (n_sessions, avg_events, avg_duration_sec)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import sessionize
+
+    sess = sessionize(read_table(sf_dir, "events",
+                                 columns=["user_id", "ts"]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["n"], pa.int64())
+        dur = pc.divide(
+            pc.cast(pc.subtract(
+                pc.cast(b["session_end"], pa.int64()),
+                pc.cast(b["session_start"], pa.int64())), pa.float64()),
+            pa.scalar(1_000_000.0))
+        return pa.table({
+            "__k": pa.array([0], type=pa.int64()),
+            "cnt": pa.array([b.num_rows], type=pa.int64()),
+            "sum_n": pa.array([pc.sum(n).as_py() or 0], type=pa.int64()),
+            "sum_dur": pa.array([pc.sum(dur).as_py() or 0.0],
+                                type=pa.float64()),
+        })
+
+    def finish(b: pa.Table) -> pa.Table:
+        cnt = pc.cast(b["sum(cnt)"], pa.int64())
+        c = pc.cast(cnt, pa.float64())
+        avg_ev = pc.divide(pc.cast(b["sum(sum_n)"], pa.float64()), c)
+        avg_dur = pc.divide(b["sum(sum_dur)"], c)
+        return pa.table({
+            "n_sessions": cnt,
+            "avg_events": pc.round(avg_ev, 6,
+                                   round_mode="half_towards_infinity"),
+            "avg_duration_sec": pc.round(
+                avg_dur, 6, round_mode="half_towards_infinity"),
+        })
+
+    return (
+        sess.map_batches(partial, batch_format="pyarrow")
+        .groupby("__k").sum(["cnt", "sum_n", "sum_dur"])
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def _q_label_source_crosstab(sf_dir: str):
+    # distributed hash join docs ⨝ embeddings + grouped count/mean:
+    # "which sources feed which embedding clusters"
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Mean
+
+    from saber_ray.sources.testdata import read_table
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "label"])
+    joined = docs.join(emb, join_type="inner", num_partitions=8,
+                       on=("doc_id",), right_on=("vec_id",))
+    agg = joined.groupby(["label", "source"]).aggregate(
+        Count(), Mean("n_chars"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": b["label"],
+            "source": b["source"],
+            "n": pc.cast(b["count()"], pa.int64()),
+            "avg_chars": pc.round(pc.cast(b["mean(n_chars)"], pa.float64()),
+                                  6, round_mode="half_towards_infinity"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_events_outliers(sf_dir: str):
     from saber_ray.sources.testdata import read_table
     from saber_ray.stages.relational import grouped_outliers
@@ -2030,6 +2107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohorts": _q_events_cohorts,
         "events_transitions": _q_events_transitions,
         "events_outliers": _q_events_outliers,
+        "events_session_stats": _q_events_session_stats,
+        "label_source_crosstab": _q_label_source_crosstab,
         "embedding_group_stats": _q_embedding_group_stats,
         "hard_negatives": _q_hard_negatives,
         # rows-only (no SQL oracle — the BPE merge loop is iterative);
@@ -3863,6 +3942,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS from_type, nxt AS to_type,
                    CAST(count(*) AS BIGINT) AS n
             FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """,
+        "events_session_stats": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_num
+                FROM e
+            ),
+            sess AS (
+                SELECT user_id, session_num,
+                       CAST(count(*) AS BIGINT) AS n,
+                       min(ts) AS session_start, max(ts) AS session_end
+                FROM s GROUP BY 1, 2
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   round(avg(n), 6) AS avg_events,
+                   round(avg((epoch_us(session_end)
+                              - epoch_us(session_start)) / 1000000.0), 6)
+                       AS avg_duration_sec
+            FROM sess
+        """,
+        "label_source_crosstab": """
+            SELECT e.label, d.source, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(d.n_chars), 6) AS avg_chars
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+            GROUP BY 1, 2
         """,
         "events_outliers": """
             WITH s AS (
