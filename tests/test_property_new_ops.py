@@ -231,3 +231,81 @@ def test_quality_report_matches_bruteforce():
                 want[(src, reason)] = want.get((src, reason), 0) + 1
         assert got == sorted((s, r, c) for (s, r), c in want.items()), (
             f"trial {trial}")
+
+
+def _random_typed_events(rng, n, n_users, types=("signup", "click",
+                                                 "purchase", "view")):
+    df = _random_events(rng, n, n_users)
+    df["event_type"] = [types[i] for i in rng.integers(0, len(types), n)]
+    return df
+
+
+def test_funnel_vs_bruteforce_random():
+    from saber_ray.stages.relational import funnel
+
+    steps = ("signup", "click", "purchase")
+    for seed in (5, 23, 71):
+        rng = np.random.default_rng(seed)
+        df = _random_typed_events(rng, 120, 8)
+        ds = rd.from_arrow(pa.Table.from_pandas(
+            df[["user_id", "ts", "event_type"]])).repartition(3)
+        got = {r["step"]: r["users"] for r in funnel(ds, steps=steps).take_all()}
+        want = {1: 0, 2: 0, 3: 0}
+        for _, u in df.groupby("user_id"):
+            t = None
+            for i, s in enumerate(steps, 1):
+                sub = u[u.event_type == s]
+                if t is not None:
+                    sub = sub[sub.ts > t]
+                if sub.empty:
+                    break
+                t = sub.ts.min()
+                want[i] += 1
+        assert got == want, seed
+
+
+def test_event_transitions_vs_bruteforce_random():
+    from saber_ray.stages.relational import event_transitions
+
+    for seed in (7, 41):
+        rng = np.random.default_rng(seed)
+        df = _random_typed_events(rng, 100, 6)
+        ds = rd.from_arrow(pa.Table.from_pandas(
+            df[["user_id", "ts", "event_type", "event_id"]])).repartition(4)
+        got = {(r["from_type"], r["to_type"]): r["n"]
+               for r in event_transitions(ds).take_all()}
+        want = {}
+        for _, u in df.groupby("user_id"):
+            seq = u.sort_values(["ts", "event_id"]).event_type.tolist()
+            for a, b in zip(seq, seq[1:]):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        assert got == want, seed
+
+
+def test_cohort_retention_vs_bruteforce_random():
+    from saber_ray.stages.relational import cohort_retention
+
+    week_us = 7 * 24 * 3600 * 1_000_000
+    for seed in (11, 59):
+        rng = np.random.default_rng(seed)
+        df = _random_typed_events(rng, 150, 10)
+        # spread events over ~3 weeks so offsets exist
+        df["ts"] = df["ts"] + pd.to_timedelta(
+            rng.integers(0, 20, len(df)), unit="D")
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        ds = rd.from_arrow(pa.Table.from_pandas(
+            df[["user_id", "ts", "event_type"]])).repartition(3)
+        got = {(r["cohort_week"], r["week_offset"]): r["users"]
+               for r in cohort_retention(ds).take_all()}
+        want = {}
+        wk = df.ts.astype("int64") // week_us
+        df2 = df.assign(wk=wk)
+        for uid, u in df2.groupby("user_id"):
+            su = u[u.event_type == "signup"]
+            if su.empty:
+                continue
+            cw = int(su.wk.min())
+            for w in sorted(set(int(x) for x in u.wk if x >= cw)):
+                key = (cw, w - cw)
+                want[key] = want.get(key, 0) + 1
+        assert got == want, seed
