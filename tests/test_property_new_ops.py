@@ -309,3 +309,97 @@ def test_cohort_retention_vs_bruteforce_random():
                 key = (cw, w - cw)
                 want[key] = want.get(key, 0) + 1
         assert got == want, seed
+
+
+def _random_graph(rng, n_nodes, n_edges):
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes, n_edges)
+    return pd.DataFrame({
+        "src": [f"n{i}" for i in src],
+        "dst": [f"n{i}" for i in dst],
+    })
+
+
+def test_hits_vs_bruteforce_random():
+    from saber_ray.stages.graph import hits
+
+    for seed in (13, 37):
+        rng = np.random.default_rng(seed)
+        df = _random_graph(rng, 8, 20)
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+        got = {r["node"]: (r["authority"], r["hub"])
+               for r in hits(ds, iterations=4).take_all()}
+        # brute force on the deduped edge set
+        e = df.drop_duplicates()
+        nodes = sorted(set(e.src) | set(e.dst))
+        idx = {v: i for i, v in enumerate(nodes)}
+        si = np.array([idx[s] for s in e.src])
+        di = np.array([idx[d] for d in e.dst])
+        hub = np.ones(len(nodes))
+        for _ in range(4):
+            auth = np.bincount(di, weights=hub[si], minlength=len(nodes))
+            auth /= (np.linalg.norm(auth) or 1.0)
+            hub = np.bincount(si, weights=auth[di], minlength=len(nodes))
+            hub /= (np.linalg.norm(hub) or 1.0)
+        for v in nodes:
+            a, h = got[v]
+            assert abs(a - auth[idx[v]]) < 1e-5, (seed, v)
+            assert abs(h - hub[idx[v]]) < 1e-5, (seed, v)
+
+
+def test_adamic_adar_vs_bruteforce_random():
+    import math
+
+    from saber_ray.stages.graph import adamic_adar
+
+    for seed in (19, 83):
+        rng = np.random.default_rng(seed)
+        df = _random_graph(rng, 9, 16)
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(2)
+        got = {(r["a"], r["b"]): (r["common_neighbors"], r["aa_score"])
+               for r in adamic_adar(ds).take_all()}
+        adj = {}
+        for _, r in df.iterrows():
+            if r.src == r.dst:
+                continue
+            adj.setdefault(r.src, set()).add(r.dst)
+            adj.setdefault(r.dst, set()).add(r.src)
+        want = {}
+        nodes = sorted(adj)
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                if b in adj[a]:
+                    continue
+                common = adj[a] & adj[b]
+                if not common:
+                    continue
+                aa = sum(1.0 / math.log(len(adj[c])) for c in common)
+                want[(a, b)] = (len(common), round(aa, 6))
+        assert got == want, seed
+
+
+def test_k_core_vs_bruteforce_random():
+    from saber_ray.stages.graph import k_core
+
+    for seed in (29, 61):
+        rng = np.random.default_rng(seed)
+        df = _random_graph(rng, 10, 18)
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(2)
+        got = {r["node_id"]: r["core_degree"]
+               for r in k_core(ds, k=2).take_all()}
+        adj = {}
+        for _, r in df.iterrows():
+            if r.src == r.dst:
+                continue
+            adj.setdefault(r.src, set()).add(r.dst)
+            adj.setdefault(r.dst, set()).add(r.src)
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v, ns in adj.items() if len(ns) < 2]:
+                for w in adj.pop(v):
+                    if w in adj:
+                        adj[w].discard(v)
+                changed = True
+        want = {v: len(ns) for v, ns in adj.items() if ns}
+        assert got == want, seed
