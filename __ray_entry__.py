@@ -271,6 +271,52 @@ def _q_knn_ivf(sf_dir: str):
     )
 
 
+def _inject_media(batch: "pa.Table") -> "pa.Table":
+    """Deterministic media injection for the multimodal queries: every
+    5th document gets one image span ``img://<doc_id>`` appended — SQL
+    can reproduce the selection (``doc_id % 5 = 0``) exactly."""
+    out_ids, out_spans = [], []
+    for doc_id, spans in zip(
+        batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
+    ):
+        if int(doc_id) % 5 == 0:
+            spans = list(spans) + [{
+                "kind": "image", "text": "",
+                "media_ref": f"img://{doc_id}", "offset": len(spans),
+            }]
+        out_ids.append(doc_id)
+        out_spans.append(spans)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, type=batch.schema.field("doc_id").type),
+            "spans": pa.array(out_spans, type=batch.schema.field("spans").type),
+        }
+    )
+
+
+def _q_media_captions(sf_dir: str):
+    # interleaved-structure query: pair every injected media span with
+    # its nearest preceding text span (the caption) — one vectorized
+    # flatten/running-max pass, no Python loop over spans
+    import pyarrow.compute as pc
+
+    from saber_ray.sources.testdata import read_documents_interleaved
+    from saber_ray.stages.media import pair_media_captions
+
+    docs = read_documents_interleaved(sf_dir)
+    pairs = pair_media_captions(
+        docs.map_batches(_inject_media, batch_format="pyarrow"))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "media_ref": batch["media_ref"],
+            "caption_chars": pc.cast(batch["caption_chars"], pa.int64()),
+        })
+
+    return pairs.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_media_decode(sf_dir: str):
     """Multimodal path through the driver gate, value-checked: every 5th
     document gets one deterministic image span (``img://<doc_id>``),
@@ -285,28 +331,8 @@ def _q_media_decode(sf_dir: str):
     from saber_ray.stages.media import FakeMediaDecoder, extract_media_spans
 
     docs = read_documents_interleaved(sf_dir)
-
-    def inject(batch: pa.Table) -> pa.Table:
-        out_ids, out_spans = [], []
-        for doc_id, spans in zip(
-            batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
-        ):
-            if int(doc_id) % 5 == 0:
-                spans = list(spans) + [{
-                    "kind": "image", "text": "",
-                    "media_ref": f"img://{doc_id}", "offset": len(spans),
-                }]
-            out_ids.append(doc_id)
-            out_spans.append(spans)
-        return pa.table(
-            {
-                "doc_id": pa.array(out_ids, type=batch.schema.field("doc_id").type),
-                "spans": pa.array(out_spans, type=batch.schema.field("spans").type),
-            }
-        )
-
     media = extract_media_spans(
-        docs.map_batches(inject, batch_format="pyarrow")
+        docs.map_batches(_inject_media, batch_format="pyarrow")
     )
     decoded = media.map_batches(
         FakeMediaDecoder,
@@ -2109,6 +2135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": _q_events_outliers,
         "events_session_stats": _q_events_session_stats,
         "label_source_crosstab": _q_label_source_crosstab,
+        "media_captions": _q_media_captions,
         "embedding_group_stats": _q_embedding_group_stats,
         "hard_negatives": _q_hard_negatives,
         # rows-only (no SQL oracle — the BPE merge loop is iterative);
@@ -3942,6 +3969,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS from_type, nxt AS to_type,
                    CAST(count(*) AS BIGINT) AS n
             FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """,
+        "media_captions": """
+            SELECT doc_id, 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(length(text) AS BIGINT) AS caption_chars
+            FROM documents WHERE doc_id % 5 = 0
         """,
         "events_session_stats": """
             WITH e AS (

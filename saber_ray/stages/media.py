@@ -225,3 +225,76 @@ def media_features_batch(batch: pa.Table) -> pa.Table:
 def frame_sample(num_frames: int, every_k: int) -> list[int]:
     """Deterministic frame-sampling indices (video path): every k-th frame."""
     return list(range(0, num_frames, every_k))
+
+
+def pair_media_captions(documents: rd.Dataset) -> rd.Dataset:
+    """Interleaved-structure kernel: pair every NON-text span with its
+    nearest PRECEDING text span in the same document's span order — the
+    "caption" a curation pass keeps alongside an image/audio segment
+    before packing multimodal training rows.
+
+    Fully vectorized over the Arrow list column: flatten once, compute
+    per-span document membership from the list offsets, and find each
+    media span's caption with ONE running maximum over text positions
+    (reset at document boundaries via the offset compare) — no Python
+    loop over docs or spans. One row per media span:
+    (doc_id, span_idx, media_ref, caption, caption_chars);
+    caption is null when no text span precedes the media span.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def pair(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        empty = pa.table({
+            "doc_id": pa.array([], type=doc_ids.type),
+            "span_idx": pa.array([], type=pa.int64()),
+            "media_ref": pa.array([], type=pa.string()),
+            "caption": pa.array([], type=pa.string()),
+            "caption_chars": pa.array([], type=pa.int64()),
+        })
+        if len(spans) == 0:
+            return empty
+        offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = spans.flatten()                      # StructArray of spans
+        n_flat = len(flat)
+        if n_flat == 0:
+            return empty
+        kinds = np.asarray(flat.field("kind").to_pylist())
+        # doc index of each flattened span, and each span's doc start
+        doc_of = np.repeat(np.arange(len(spans), dtype=np.int64),
+                           np.diff(offsets))
+        doc_start = offsets[doc_of]
+        pos = np.arange(n_flat, dtype=np.int64)
+        is_text = kinds == "text"
+        # running "position of the latest text span so far" (global);
+        # a value before the span's own doc start means "no caption"
+        last_text = np.maximum.accumulate(np.where(is_text, pos, -1))
+        media_rows = np.nonzero(~is_text)[0]
+        if len(media_rows) == 0:
+            return empty
+        cap_pos = last_text[media_rows]
+        has_cap = cap_pos >= doc_start[media_rows]
+        texts = flat.field("text")
+        cap_idx = np.where(has_cap, cap_pos, 0)
+        captions = texts.take(pa.array(cap_idx, type=pa.int64()))
+        captions = pc.if_else(pa.array(has_cap), captions,
+                              pa.nulls(len(media_rows), pa.string()))
+        return pa.table({
+            "doc_id": doc_ids.take(pa.array(doc_of[media_rows])),
+            "span_idx": pa.array(media_rows - doc_start[media_rows],
+                                 type=pa.int64()),
+            "media_ref": flat.field("media_ref").take(
+                pa.array(media_rows, type=pa.int64())),
+            "caption": captions,
+            "caption_chars": pc.coalesce(
+                pc.cast(pc.utf8_length(captions), pa.int64()),
+                pa.scalar(0, pa.int64())),
+        })
+
+    return documents.map_batches(pair, batch_format="pyarrow")

@@ -271,3 +271,36 @@ def test_demo_annotated_staged_cache_keys_on_content(tmp_path):
     fresh = demo_annotated_staged(str(sf))
     assert fresh.count() == 9
     assert len(set(glob.glob(os.path.join(_STAGE_ROOT, "*")))) > len(dirs_before)
+
+
+def test_pair_media_captions_layouts():
+    """Nearest PRECEDING text span wins; media-first docs get a null
+    caption; running max never leaks a caption across doc boundaries."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.media import pair_media_captions
+
+    def sp(kind, text="", ref=""):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": 0}
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["d1", "d2", "d3"], type=pa.string()),
+        "spans": pa.array([
+            # text, img, text, img → each img pairs with the text before
+            [sp("text", "alpha"), sp("image", ref="m1"),
+             sp("text", "beta gamma"), sp("image", ref="m2")],
+            # media-FIRST: no caption, even though d1 ended with text
+            [sp("image", ref="m3"), sp("text", "delta")],
+            # text-only: no media rows at all
+            [sp("text", "epsilon")],
+        ]),
+    }))
+    got = {r["media_ref"]: (r["doc_id"], r["span_idx"], r["caption"],
+                            r["caption_chars"])
+           for r in pair_media_captions(docs).take_all()}
+    assert got == {
+        "m1": ("d1", 1, "alpha", 5),
+        "m2": ("d1", 3, "beta gamma", 10),
+        "m3": ("d2", 0, None, 0),
+    }
