@@ -1035,6 +1035,58 @@ def _q_kg_bfs_depths(sf_dir: str):
     return bfs_depths(_strong_demo_edges(sf_dir))
 
 
+def _q_dup_source_matrix(sf_dir: str):
+    # cross-source contamination diagnostic: which source pairs share
+    # verified near-duplicates — the minhash pair set joined to the
+    # source column twice (repartition+materialize between the chained
+    # hash joins, the empty-block hygiene), one (source, source) groupby
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from saber_ray.sources.testdata import read_table
+
+    pairs = _q_minhash_pairs(sf_dir).select_columns(["id_a", "id_b"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    half = (
+        pairs.join(
+            docs.rename_columns({"doc_id": "id_a", "source": "source_a"}),
+            join_type="inner", num_partitions=8, on=("id_a",))
+        .repartition(4).materialize()
+    )
+    if half.count() == 0:
+        return rd.from_arrow(pa.table({
+            "source_a": pa.array([], type=pa.string()),
+            "source_b": pa.array([], type=pa.string()),
+            "n_pairs": pa.array([], type=pa.int64()),
+        }))
+    joined = half.join(
+        docs.rename_columns({"doc_id": "id_b", "source": "source_b"}),
+        join_type="inner", num_partitions=8, on=("id_b",))
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source_a": pc.min_element_wise(batch["source_a"],
+                                            batch["source_b"]),
+            "source_b": pc.max_element_wise(batch["source_a"],
+                                            batch["source_b"]),
+        })
+
+    return (
+        joined.map_batches(norm, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"]).count()
+        .map_batches(
+            lambda b: pa.table({
+                "source_a": b["source_a"],
+                "source_b": b["source_b"],
+                "n_pairs": pc.cast(b["count()"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def _q_events_session_stats(sf_dir: str):
     # composition: the bucketed sessionize operator feeding a scalar
     # aggregate — (n_sessions, avg_events, avg_duration_sec)
@@ -2136,6 +2188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_stats": _q_events_session_stats,
         "label_source_crosstab": _q_label_source_crosstab,
         "media_captions": _q_media_captions,
+        "dup_source_matrix": _q_dup_source_matrix,
         "embedding_group_stats": _q_embedding_group_stats,
         "hard_negatives": _q_hard_negatives,
         # rows-only (no SQL oracle — the BPE merge loop is iterative);
@@ -4585,6 +4638,17 @@ def oracle_sql() -> dict[str, str]:
     # exact inverted-index candidates + exact Jaccard verify emit the SAME
     # verified-pair set as the MinHash flavor — one exact-join oracle
     sql["dedup_ngram_jaccard"] = sql["dedup_minhash_pairs"]
+    # cross-source matrix: the verified pair set joined to source twice
+    # (DuckDB allows a WITH inside a parenthesized subquery)
+    sql["dup_source_matrix"] = f"""
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM ({sql["dedup_minhash_pairs"]}) p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+        GROUP BY 1, 2
+    """
     # approx_quantiles: the SAME fixed-bin histogram algorithm in SQL —
     # bucket = floor((v-lo)/width) clamped, rank = ceil(q*n), linear
     # interpolation inside the bucket; identical IEEE double steps
