@@ -1003,19 +1003,22 @@ def _q_kg_hits(sf_dir: str):
 def _q_kg_adamic_adar(sf_dir: str):
     from saber_ray.stages.graph import adamic_adar
 
-    return adamic_adar(_strong_demo_edges(sf_dir))
+    return adamic_adar(_strong_demo_edges(sf_dir, frac=0.95))
 
 
-def _strong_demo_edges(sf_dir: str):
-    """The sparse high-support demo subgraph (support ≥ 92% of max) —
-    the full demo KG is a near-clique, useless for structure queries."""
+def _strong_demo_edges(sf_dir: str, frac: float = 0.92):
+    """The sparse high-support demo subgraph (support ≥ frac·max) — the
+    full demo KG is a near-clique, useless for structure queries. The
+    default 0.92 keeps the k-core/BFS subgraph non-trivial at every sf;
+    link prediction uses 0.95 (non-adjacent pairs exist at sf0.01 AND
+    sf0.1 there, where 0.92 leaves none at sf0.1)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from saber_ray.pipelines.demo import demo_edges
 
     ed = demo_edges(sf_dir).materialize()
-    thr = 0.92 * float(ed.max("support"))
+    thr = frac * float(ed.max("support"))
     return ed.map_batches(
         lambda b: b.filter(pc.greater_equal(
             pc.cast(b["support"], pa.float64()), pa.scalar(thr))),
@@ -3938,7 +3941,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             e AS (
                 SELECT src, dst FROM ed
-                WHERE support >= 0.92 * (SELECT max(support) FROM ed)
+                WHERE support >= 0.95 * (SELECT max(support) FROM ed)
                 GROUP BY 1, 2
             ),
             ud AS (
