@@ -1038,6 +1038,14 @@ def _q_kg_bfs_depths(sf_dir: str):
     return bfs_depths(_strong_demo_edges(sf_dir))
 
 
+def _q_source_distinctive_terms(sf_dir: str):
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.textstats import source_distinctive_terms
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+    return source_distinctive_terms(docs, k=10)
+
+
 def _q_dup_source_matrix(sf_dir: str):
     # cross-source contamination diagnostic: which source pairs share
     # verified near-duplicates — the minhash pair set joined to the
@@ -2192,6 +2200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_source_crosstab": _q_label_source_crosstab,
         "media_captions": _q_media_captions,
         "dup_source_matrix": _q_dup_source_matrix,
+        "source_distinctive_terms": _q_source_distinctive_terms,
         "embedding_group_stats": _q_embedding_group_stats,
         "hard_negatives": _q_hard_negatives,
         # rows-only (no SQL oracle — the BPE merge loop is iterative);
@@ -4025,6 +4034,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS from_type, nxt AS to_type,
                    CAST(count(*) AS BIGINT) AS n
             FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """,
+        "source_distinctive_terms": f"""
+            WITH toks AS (
+                SELECT source, unnest({TOKENS_SQL}) AS token FROM documents
+            ),
+            cnt AS (
+                SELECT source, token, CAST(count(*) AS BIGINT) AS n
+                FROM toks GROUP BY 1, 2
+            ),
+            stot AS (
+                SELECT source, CAST(sum(n) AS DOUBLE) AS A
+                FROM cnt GROUP BY 1
+            ),
+            gt AS (SELECT CAST(sum(n) AS DOUBLE) AS G FROM cnt),
+            ttot AS (
+                SELECT token, CAST(sum(n) AS DOUBLE) AS T
+                FROM cnt GROUP BY 1
+            ),
+            scored AS (
+                SELECT c.source, c.token,
+                       ln((c.n + 0.5) / (s.A - c.n + 0.5))
+                       - ln(((t.T - c.n) + 0.5)
+                            / (((SELECT G FROM gt) - s.A)
+                               - (t.T - c.n) + 0.5)) AS score
+                FROM cnt c
+                JOIN stot s USING (source)
+                JOIN ttot t USING (token)
+            )
+            SELECT source, token, round(score, 6) AS score FROM (
+                SELECT source, token, score,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY score DESC, token) AS rk
+                FROM scored
+            ) WHERE rk <= 10
         """,
         "media_captions": """
             SELECT doc_id, 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,

@@ -534,3 +534,72 @@ def token_entropy(ds: rd.Dataset, column: str = "text") -> pa.Table:
         "n_distinct": pa.array([distinct], type=pa.int64()),
         "entropy": pa.array([entropy], type=pa.float64()),
     })
+
+
+def source_distinctive_terms(
+    ds: rd.Dataset, group_column: str = "source", k: int = 10,
+    column: str = "text",
+) -> rd.Dataset:
+    """Per-group distinctive vocabulary: the k tokens with the highest
+    smoothed log-odds ratio of appearing in the group vs the REST of
+    the corpus (Monroe et al.'s "Fightin' Words" statistic with +0.5
+    smoothing) — the "what makes this source's language different"
+    report a mixture designer reads before weighting sources.
+
+    score(g, w) = ln((a+½)/(A−a+½)) − ln((b+½)/(B−b+½)) with
+    a = count of w in g, A = tokens in g, b/B the same outside g.
+
+    Shape: ONE (group, token) keyed sum (compressed per-batch partials,
+    ``grouped_token_frequency``), one vocab-keyed sum for the token
+    totals, ONE hash join to attach them, per-group totals broadcast as
+    a closure (#groups rows, small by contract), and the two-phase
+    grouped top-k. Returns (group, token, score) with score rounded to
+    6 decimals.
+    """
+    import numpy as np
+
+    from .sampling import top_n_per_group
+
+    cnt = grouped_token_frequency(ds, group_column, column)
+    cnt = cnt.repartition(8).materialize()
+
+    stot_rows = cnt.groupby(group_column).sum("n").take_all()
+    a_tot = {r[group_column]: float(r["sum(n)"]) for r in stot_rows}
+    g_tot = sum(a_tot.values())
+
+    ttot = (
+        cnt.groupby("token").sum("n")
+        .rename_columns({"sum(n)": "t_total"})
+        .repartition(8).materialize()
+    )
+
+    joined = cnt.join(ttot, join_type="inner", num_partitions=8,
+                      on=("token",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        a = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = batch["t_total"].to_numpy(zero_copy_only=False).astype(np.float64)
+        groups = batch[group_column].to_pylist()
+        big_a = np.array([a_tot[g] for g in groups])
+        b = t - a
+        big_b = g_tot - big_a
+        s = (np.log((a + 0.5) / (big_a - a + 0.5))
+             - np.log((b + 0.5) / (big_b - b + 0.5)))
+        return pa.table({
+            group_column: batch[group_column],
+            "token": batch["token"],
+            "score": pa.array(s, type=pa.float64()),
+        })
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    top = top_n_per_group(scored, group_column, "score", k,
+                          id_column="token")
+    return top.map_batches(
+        lambda b: pa.table({
+            group_column: b[group_column],
+            "token": b["token"],
+            "score": pc.round(b["score"], 6,
+                              round_mode="half_towards_infinity"),
+        }),
+        batch_format="pyarrow",
+    )

@@ -174,3 +174,28 @@ def test_token_entropy_known_distribution():
     s = token_entropy(skew)
     expected = -(7 / 8) * math.log2(7 / 8) - (1 / 8) * math.log2(1 / 8)
     assert abs(s["entropy"][0].as_py() - round(expected, 6)) < 1e-6
+
+
+def test_source_distinctive_terms():
+    """The token unique to a source tops its list (max log-odds); a
+    token shared equally scores near zero and ranks below; k caps each
+    group's rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.textstats import source_distinctive_terms
+
+    docs = rd.from_arrow(pa.table({
+        "source": ["a"] * 3 + ["b"] * 3,
+        "text": ["zebra common", "zebra common", "zebra filler",
+                 "yak common", "yak common", "yak filler"],
+    }))
+    out = source_distinctive_terms(docs, k=2).take_all()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["token"], r["score"]))
+    assert [t for t, _ in by_src["a"]][0] == "zebra"
+    assert [t for t, _ in by_src["b"]][0] == "yak"
+    assert all(len(v) == 2 for v in by_src.values())
+    # symmetric corpus: zebra's lift in a == yak's lift in b
+    assert by_src["a"][0][1] == by_src["b"][0][1] > 0
