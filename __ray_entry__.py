@@ -4037,7 +4037,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_distinctive_terms": f"""
             WITH toks AS (
+                -- engine side (grouped_token_frequency) drops null
+                -- groups; keep the corpora identical
                 SELECT source, unnest({TOKENS_SQL}) AS token FROM documents
+                WHERE source IS NOT NULL
             ),
             cnt AS (
                 SELECT source, token, CAST(count(*) AS BIGINT) AS n
@@ -4071,7 +4074,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_captions": """
             SELECT doc_id, 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
-                   CAST(length(text) AS BIGINT) AS caption_chars
+                   CAST(coalesce(length(text), 0) AS BIGINT) AS caption_chars
             FROM documents WHERE doc_id % 5 = 0
         """,
         "events_session_stats": """

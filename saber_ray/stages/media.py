@@ -261,17 +261,20 @@ def pair_media_captions(documents: rd.Dataset) -> rd.Dataset:
         if len(spans) == 0:
             return empty
         offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]   # re-base: a SLICED ListArray's
+        # raw offsets don't start at 0, but flatten() re-bases values
         flat = spans.flatten()                      # StructArray of spans
         n_flat = len(flat)
         if n_flat == 0:
             return empty
-        kinds = np.asarray(flat.field("kind").to_pylist())
         # doc index of each flattened span, and each span's doc start
         doc_of = np.repeat(np.arange(len(spans), dtype=np.int64),
                            np.diff(offsets))
         doc_start = offsets[doc_of]
         pos = np.arange(n_flat, dtype=np.int64)
-        is_text = kinds == "text"
+        is_text = pc.fill_null(
+            pc.equal(flat.field("kind"), pa.scalar("text")), False
+        ).to_numpy(zero_copy_only=False).astype(bool)
         # running "position of the latest text span so far" (global);
         # a value before the span's own doc start means "no caption"
         last_text = np.maximum.accumulate(np.where(is_text, pos, -1))

@@ -550,7 +550,8 @@ def source_distinctive_terms(
     a = count of w in g, A = tokens in g, b/B the same outside g.
 
     Shape: ONE (group, token) keyed sum (compressed per-batch partials,
-    ``grouped_token_frequency``), one vocab-keyed sum for the token
+    ``grouped_token_frequency`` — null groups are EXCLUDED, like every
+    grouped token statistic here), one vocab-keyed sum for the token
     totals, ONE hash join to attach them, per-group totals broadcast as
     a closure (#groups rows, small by contract), and the two-phase
     grouped top-k. Returns (group, token, score) with score rounded to
