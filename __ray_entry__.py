@@ -985,6 +985,32 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(demo_edges(sf_dir).materialize(), iterations=5)
 
 
+def _q_kg_pred_stats(sf_dir: str):
+    # per-predicate composition of the materialized KG: edge count +
+    # support mass per relation type — ONE groupby over the edge table
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from saber_ray.pipelines.demo import demo_edges
+
+    agg = demo_edges(sf_dir).groupby("pred").aggregate(
+        Count(), Sum("support"), Mean("support"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "pred": b["pred"],
+            "n_edges": pc.cast(b["count()"], pa.int64()),
+            "total_support": pc.cast(b["sum(support)"], pa.int64()),
+            "avg_support": pc.round(
+                pc.cast(b["mean(support)"], pa.float64()), 6,
+                round_mode="half_towards_infinity"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_kg_pagerank_weighted(sf_dir: str):
     from saber_ray.pipelines.demo import demo_edges
     from saber_ray.stages.graph import pagerank
@@ -2201,6 +2227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_captions": _q_media_captions,
         "dup_source_matrix": _q_dup_source_matrix,
         "source_distinctive_terms": _q_source_distinctive_terms,
+        "kg_pred_stats": _q_kg_pred_stats,
         "embedding_group_stats": _q_embedding_group_stats,
         "hard_negatives": _q_hard_negatives,
         # rows-only (no SQL oracle — the BPE merge loop is iterative);
@@ -3928,6 +3955,18 @@ def oracle_sql() -> dict[str, str]:
             {triples_cte},
             e AS (SELECT subj AS src, obj AS dst FROM trip GROUP BY 1, 2),
             {_pagerank_ctes(iterations=5, damping=0.85)}
+        """,
+        "kg_pred_stats": f"""
+            {triples_cte},
+            ed AS (
+                SELECT subj AS src, pred, obj AS dst,
+                       CAST(sum(n) AS BIGINT) AS support
+                FROM trip GROUP BY 1, 2, 3
+            )
+            SELECT pred, CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(support) AS BIGINT) AS total_support,
+                   round(avg(support), 6) AS avg_support
+            FROM ed GROUP BY 1
         """,
         "kg_pagerank_weighted": f"""
             {triples_cte},
