@@ -1784,6 +1784,26 @@ def _q_events_lag(sf_dir: str):
         sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]))
 
 
+def _q_events_rank(sf_dir: str):
+    # RANK window: per-user rank of event value (desc), ties sharing a
+    # rank — one hash(user) bucket shuffle, vectorized in-bucket rank
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import rank_within
+
+    return rank_within(read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "value"]))
+
+
+def _q_events_ntile(sf_dir: str):
+    # NTILE window summarized: per event_type, 4 position-quartiles in
+    # (value, id) order with row count + value range per tile
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import ntile_summary
+
+    return ntile_summary(read_table(
+        sf_dir, "events", columns=["event_id", "event_type", "value"]))
+
+
 def _q_top_bigrams(sf_dir: str):
     # corpus boilerplate detector: global top-20 word bigrams — per-batch
     # distinct-ngram partials, one groupby shuffle, sort+limit on the
@@ -2154,6 +2174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": _q_tpch_q17,
         "tpch_q22": _q_tpch_q22,
         "events_lag": _q_events_lag,
+        "events_rank": _q_events_rank,
+        "events_ntile": _q_events_ntile,
         "events_active_users": _q_events_active_users,
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
@@ -3759,6 +3781,22 @@ def oracle_sql() -> dict[str, str]:
                    value - lag(value) OVER w AS delta
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_rank": """
+            SELECT event_id, user_id, value,
+                   rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk
+            FROM events
+        """,
+        "events_ntile": """
+            WITH t AS (
+                SELECT event_type, value,
+                       ntile(4) OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS tile
+                FROM events
+            )
+            SELECT event_type, tile, CAST(count(*) AS BIGINT) AS n,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM t GROUP BY event_type, tile
         """,
         "pricing_rollup": """
             SELECT l_returnflag, l_linestatus,

@@ -2406,6 +2406,115 @@ def user_lag(
     )
 
 
+def rank_within(
+    events: rd.Dataset,
+    by: str = "user_id",
+    value_column: str = "value",
+    id_column: str = "event_id",
+    ascending: bool = False,
+) -> rd.Dataset:
+    """Per-key RANK window: each row paired with its rank of
+    ``value_column`` within its ``by`` partition — SQL's ``RANK() OVER
+    (PARTITION BY key ORDER BY value DESC)``, tie rows sharing a rank
+    and the following rank skipping (1, 1, 3, ...).
+
+    Returns (id, by, value, rnk).
+
+    Scale shape: the ``user_lag`` bucket shape — ONE hash shuffle on
+    ``hash(by) % P``, then one vectorized ``groupby(by).rank('min')``
+    per bucket; keys never become Python-level groups, so 10^8
+    distinct keys cost the same per row as 10^2.
+    """
+    import pandas as pd  # noqa: F401  (map_groups pandas format)
+
+    from ..functions.partitioning import shuffle_partitions
+
+    n = shuffle_partitions(8, events)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bucket", _key_buckets(batch, by, n))
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop(columns="__bucket")
+        rnk = df.groupby(by, sort=False)[value_column].rank(
+            method="min", ascending=ascending)
+        return df.assign(rnk=rnk.astype("int64"))[
+            [id_column, by, value_column, "rnk"]]
+
+    return (
+        events.select_columns([id_column, by, value_column])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def ntile_summary(
+    events: rd.Dataset,
+    by: str = "event_type",
+    value_column: str = "value",
+    id_column: str = "event_id",
+    tiles: int = 4,
+) -> rd.Dataset:
+    """Per-key NTILE window, summarized: rows of each ``by`` partition
+    are split into ``tiles`` position-buckets in (value, id) order with
+    SQL NTILE semantics (the first ``count % tiles`` buckets get one
+    extra row), then each (key, tile) reports its row count and value
+    range. Equivalent to ``NTILE(t) OVER (PARTITION BY key ORDER BY
+    value, id)`` followed by a GROUP BY (key, tile).
+
+    Returns (by, tile, n, min_value, max_value), tile 1-based.
+
+    Scale shape: ONE hash shuffle on ``hash(by) % P``; in-bucket the
+    tile index is pure vectorized arithmetic over ``cumcount`` and
+    ``transform('size')`` (no per-key Python), and the summary is one
+    grouped aggregate — output is O(#keys × tiles), not O(rows).
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (map_groups pandas format)
+
+    from ..functions.partitioning import shuffle_partitions
+
+    n = shuffle_partitions(8, events)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bucket", _key_buckets(batch, by, n))
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values([by, value_column, id_column]).drop(
+            columns="__bucket")
+        grp = df.groupby(by, sort=False)
+        pos = grp.cumcount().to_numpy()
+        size = grp[id_column].transform("size").to_numpy()
+        # SQL NTILE: quotient q rows per tile, the first r tiles get q+1
+        q, r = size // tiles, size % tiles
+        big = r * (q + 1)  # rows covered by the q+1-sized tiles
+        tile = np.where(
+            pos < big,
+            pos // np.maximum(q + 1, 1),
+            r + (pos - big) // np.maximum(q, 1),
+        ).astype(np.int64) + 1
+        out = (
+            df.assign(tile=tile)
+            .groupby([by, "tile"], sort=True)
+            .agg(
+                n=(id_column, "size"),
+                min_value=(value_column, "min"),
+                max_value=(value_column, "max"),
+            )
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        events.select_columns([id_column, by, value_column])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def waiting_suppliers(
     lineitem: rd.Dataset,
     orders: rd.Dataset,

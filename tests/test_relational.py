@@ -933,3 +933,51 @@ def test_grouped_outliers_null_group():
     got = {r["event_type"]: (r["n"], r["n_outliers"])
            for r in grouped_outliers(ev, z=2.0).take_all()}
     assert got == {None: (2, 0), "a": (2, 0)}
+
+
+# ------------------------------------------------------- rank / ntile ---
+
+
+def test_rank_within_tie_semantics():
+    """SQL RANK: tie rows share the min rank, the next rank skips."""
+    from saber_ray.stages.relational import rank_within
+
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7, 8], type=pa.int64()),
+        "value": pa.array([3.0, 9.0, 9.0, 1.0, 4.0], type=pa.float64()),
+    }))
+    got = {r["event_id"]: r["rnk"] for r in rank_within(ev).take_all()}
+    assert got == {2: 1, 3: 1, 1: 3, 4: 4, 5: 1}
+
+
+def test_events_rank_matches_duckdb():
+    import __ray_entry__ as e
+
+    got = e.queries()["events_rank"](SF).to_pandas()
+    want = _duck(e.oracle_sql()["events_rank"])
+    _frames_equal(got, want)
+
+
+def test_ntile_remainder_distribution():
+    """NTILE(4) over 6 rows: the first 6 % 4 = 2 tiles get 2 rows, the
+    last two get 1 — and tile boundaries follow (value, id) order."""
+    from saber_ray.stages.relational import ntile_summary
+
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array(list(range(6)), type=pa.int64()),
+        "event_type": pa.array(["x"] * 6),
+        "value": pa.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0]),
+    }))
+    rows = {r["tile"]: (r["n"], r["min_value"], r["max_value"])
+            for r in ntile_summary(ev).take_all()}
+    assert rows == {1: (2, 10.0, 20.0), 2: (2, 30.0, 40.0),
+                    3: (1, 50.0, 50.0), 4: (1, 60.0, 60.0)}
+
+
+def test_events_ntile_matches_duckdb():
+    import __ray_entry__ as e
+
+    got = e.queries()["events_ntile"](SF).to_pandas()
+    want = _duck(e.oracle_sql()["events_ntile"])
+    _frames_equal(got, want)
