@@ -1245,6 +1245,16 @@ def _q_embedding_group_stats(sf_dir: str):
     return embedding_group_stats(emb)
 
 
+def _q_embedding_quantize(sf_dir: str):
+    # int8 quantization calibration: per-vector scale + code stats,
+    # trunc semantics shared exactly with the SQL oracle (float64 IEEE)
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.similarity import embedding_quantize
+
+    return embedding_quantize(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+
+
 def _q_events_cohorts(sf_dir: str):
     from saber_ray.sources.testdata import read_table
     from saber_ray.stages.relational import cohort_retention
@@ -2159,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_source_crosstab": _q_label_source_crosstab,
         # -- window: embedding / media
         "embedding_group_stats": _q_embedding_group_stats,
+        "embedding_quantize": _q_embedding_quantize,
         "hard_negatives": _q_hard_negatives,
         "media_captions": _q_media_captions,
         # -- window: complex TPC-H representative
@@ -4246,6 +4257,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.label, b.n, round(b.ssq / b.n - cn.c2, 6) AS inertia
             FROM base b JOIN cn USING (label)
+        """,
+        "embedding_quantize": """
+            WITH m AS (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(
+                           embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id, maxabs,
+                       CASE WHEN maxabs = 0 THEN [0.0] ELSE
+                           list_transform(embedding,
+                               x -> trunc(CAST(x AS DOUBLE) * 127.0 / maxabs))
+                       END AS codes
+                FROM m
+            )
+            SELECT vec_id, maxabs / 127.0 AS scale,
+                   CAST(list_sum(codes) AS BIGINT) AS qsum,
+                   CAST(list_min(codes) AS BIGINT) AS qmin,
+                   CAST(list_max(codes) AS BIGINT) AS qmax
+            FROM q
         """,
         "events_cohorts": """
             WITH wk AS (

@@ -1023,3 +1023,51 @@ def hard_negatives(
     )
     return cands.groupby("query_id").map_groups(
         _merge_topk(k, exclude_self=False), batch_format="pandas")
+
+
+def embedding_quantize(
+    embeddings: rd.Dataset,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> rd.Dataset:
+    """Per-vector symmetric int8 quantization summary: scale =
+    max(|x|)/127 and the (sum, min, max) of the quantized codes
+    q_i = trunc(x_i * 127 / max|x|) — the calibration stats you'd
+    record when compressing an embedding store to int8. trunc (not
+    round) so engine and SQL oracle share exact float64 semantics with
+    no half-way rounding-mode ambiguity; an all-zero vector gets
+    scale 0 and all-zero codes. At scale the storage variant would
+    also emit the code bytes as a fixed_size_binary column; the stats
+    are the verifiable part.
+
+    Embarrassingly parallel: one vectorized map_batches, no shuffle —
+    float32 values are widened to float64 (exact) so numpy and SQL
+    compute identical IEEE results.
+    """
+
+    def quant(batch: pa.Table) -> pa.Table:
+        mat = _list_matrix(batch[vector_column])  # float64 (n, d)
+        n = len(batch)
+        if mat.size == 0:
+            z = np.zeros(n, dtype=np.int64)
+            return pa.table({
+                id_column: batch[id_column],
+                "scale": pa.array(np.zeros(n), type=pa.float64()),
+                "qsum": pa.array(z, type=pa.int64()),
+                "qmin": pa.array(z, type=pa.int64()),
+                "qmax": pa.array(z, type=pa.int64()),
+            })
+        maxabs = np.abs(mat).max(axis=1)
+        safe = np.where(maxabs == 0.0, 1.0, maxabs)
+        q = np.trunc(mat * 127.0 / safe[:, None])
+        q[maxabs == 0.0, :] = 0.0
+        return pa.table({
+            id_column: batch[id_column],
+            "scale": pa.array(maxabs / 127.0, type=pa.float64()),
+            "qsum": pa.array(q.sum(axis=1).astype(np.int64), type=pa.int64()),
+            "qmin": pa.array(q.min(axis=1).astype(np.int64), type=pa.int64()),
+            "qmax": pa.array(q.max(axis=1).astype(np.int64), type=pa.int64()),
+        })
+
+    return embeddings.select_columns([id_column, vector_column]).map_batches(
+        quant, batch_format="pyarrow")

@@ -1069,3 +1069,25 @@ def test_hard_negatives_null_labels_sql_semantics():
     assert [r["neighbor_id"] for r in out] == [2]   # null candidate dropped
     none_q = hard_negatives(ds, np.array([[1.0, 0.0]]), [9], [None], k=3).take_all()
     assert none_q == []                              # null query: nothing
+
+
+def test_embedding_quantize_codes():
+    """Known vectors: scale = max|x|/127, codes = trunc(x*127/max|x|);
+    the max-abs element quantizes to ±127, a zero vector to all zeros."""
+    from saber_ray.stages.similarity import embedding_quantize
+
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+        "embedding": pa.array(
+            [[2.0, -1.0, 0.5], [0.0, 0.0, 0.0], [-4.0, 2.0, 1.0]],
+            type=pa.list_(pa.float32())),
+    }))
+    got = {r["vec_id"]: r for r in embedding_quantize(ds).take_all()}
+    # vec 1: codes trunc([127, -63.5, 31.75]) = [127, -63, 31]
+    assert got[1]["scale"] == 2.0 / 127.0
+    assert (got[1]["qsum"], got[1]["qmin"], got[1]["qmax"]) == (95, -63, 127)
+    # zero vector: scale 0, all-zero codes
+    assert (got[2]["scale"], got[2]["qsum"], got[2]["qmin"], got[2]["qmax"]) \
+        == (0.0, 0, 0, 0)
+    # vec 3: max-abs element is negative → qmin = -127
+    assert (got[3]["qmin"], got[3]["qmax"]) == (-127, 63)
