@@ -1245,6 +1245,18 @@ def _q_embedding_group_stats(sf_dir: str):
     return embedding_group_stats(emb)
 
 
+def _q_corpus_card(sf_dir: str):
+    # one-row dataset card: per-batch single-row partials (counts, sums,
+    # batch-distinct facet sets) → one constant-key reduce; Arrow regex
+    # count for token volume, text never leaves the map stage
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.textstats import corpus_card
+
+    return corpus_card(read_table(
+        sf_dir, "documents",
+        columns=["doc_id", "text", "lang", "source", "n_chars"]))
+
+
 def _q_embedding_quantize(sf_dir: str):
     # int8 quantization calibration: per-vector scale + code stats,
     # trunc semantics shared exactly with the SQL oracle (float64 IEEE)
@@ -2170,6 +2182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- window: embedding / media
         "embedding_group_stats": _q_embedding_group_stats,
         "embedding_quantize": _q_embedding_quantize,
+        "corpus_card": _q_corpus_card,
         "hard_negatives": _q_hard_negatives,
         "media_captions": _q_media_captions,
         # -- window: complex TPC-H representative
@@ -4257,6 +4270,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.label, b.n, round(b.ssq / b.n - cn.c2, 6) AS inertia
             FROM base b JOIN cn USING (label)
+        """,
+        "corpus_card": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+                   CAST(sum(len(regexp_extract_all(text, '[0-9a-zA-Z]+'))) AS BIGINT)
+                       AS total_tokens
+            FROM documents
         """,
         "embedding_quantize": """
             WITH m AS (

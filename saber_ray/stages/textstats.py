@@ -604,3 +604,66 @@ def source_distinctive_terms(
         }),
         batch_format="pyarrow",
     )
+
+
+def corpus_card(
+    docs: rd.Dataset,
+    text_column: str = "text",
+    chars_column: str = "n_chars",
+    facet_columns: tuple[str, ...] = ("source", "lang"),
+) -> rd.Dataset:
+    """One-row dataset card: corpus size, facet cardinalities, and
+    token volume — the summary stamped next to an exported training
+    set. Returns (n_docs, n_<facet>s..., total_chars, avg_chars,
+    total_tokens).
+
+    Scale shape: each batch folds to ONE partial row (counts, sums,
+    and the batch's DISTINCT facet values — facets like source/lang
+    are low-cardinality by contract); one constant-key reduce merges
+    #batches partial rows. Token counting is the vectorized Arrow
+    regex-count kernel, not a Python loop; the text column never
+    leaves the map stage.
+    """
+    import numpy as np  # noqa: F401
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(
+            pc.fill_null(batch[text_column], ""), TOKEN_PATTERN)
+        cols: dict = {
+            "__k": pa.array([0], type=pa.int64()),
+            "n_docs": pa.array([len(batch)], type=pa.int64()),
+            "total_chars": pa.array(
+                [pc.sum(batch[chars_column]).as_py() or 0], type=pa.int64()),
+            "total_tokens": pa.array(
+                [pc.sum(toks).as_py() or 0], type=pa.int64()),
+        }
+        for f in facet_columns:
+            vals = pc.drop_null(pc.unique(batch[f]))
+            cols[f"__{f}_set"] = pa.array(
+                [vals.to_pylist()], type=pa.list_(pa.string()))
+        return pa.table(cols)
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        n_docs = int(df["n_docs"].sum())
+        total_chars = int(df["total_chars"].sum())
+        out = {"n_docs": pd.array([n_docs], dtype="int64")}
+        for f in facet_columns:
+            uniq = set()
+            for lst in df[f"__{f}_set"]:
+                uniq.update(lst)
+            out[f"n_{f}s"] = pd.array([len(uniq)], dtype="int64")
+        out["total_chars"] = pd.array([total_chars], dtype="int64")
+        out["avg_chars"] = [round(total_chars / n_docs, 6) if n_docs else 0.0]
+        out["total_tokens"] = pd.array(
+            [int(df["total_tokens"].sum())], dtype="int64")
+        return pd.DataFrame(out)
+
+    import pandas as pd  # noqa: F401  (map_groups pandas format)
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("__k")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -322,3 +322,26 @@ def test_quality_report_per_source_counts():
         ("web", "low_stopword"): 1,
         ("books", "ok"): 1,
     }
+
+
+def test_corpus_card_facets_and_empty_text():
+    """Facet cardinalities union across batches; null text counts 0
+    tokens but the doc still counts; one output row."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.textstats import corpus_card
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["a b", "ccc", None, "d 9"], type=pa.string()),
+        "lang": pa.array(["en", "fr", "en", "de"]),
+        "source": pa.array(["s1", "s1", "s2", "s2"]),
+        "n_chars": pa.array([3, 3, 0, 3], type=pa.int64()),
+    })).repartition(3)
+    row = corpus_card(docs).take_all()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_docs"] == 4 and r["n_sources"] == 2 and r["n_langs"] == 3
+    assert r["total_chars"] == 9 and r["total_tokens"] == 5
+    assert r["avg_chars"] == 2.25
