@@ -1032,6 +1032,14 @@ def _q_kg_adamic_adar(sf_dir: str):
     return adamic_adar(_strong_demo_edges(sf_dir, frac=0.95))
 
 
+def _q_kg_jaccard(sf_dir: str):
+    # neighborhood-Jaccard link prediction: the adamic_adar wedge pass
+    # plus two degree joins on the tiny non-adjacent pair table
+    from saber_ray.stages.graph import jaccard_neighbors
+
+    return jaccard_neighbors(_strong_demo_edges(sf_dir, frac=0.95))
+
+
 def _strong_demo_edges(sf_dir: str, frac: float = 0.92):
     """The sparse high-support demo subgraph (support ≥ frac·max) — the
     full demo KG is a near-clique, useless for structure queries. The
@@ -2137,6 +2145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _q_kg_components,
         "kg_hits": _q_kg_hits,
         "kg_adamic_adar": _q_kg_adamic_adar,
+        "kg_jaccard": _q_kg_jaccard,
         "kg_reciprocity": _q_kg_reciprocity,
         "kg_k_core": _q_kg_k_core,
         "kg_bfs_depths": _q_kg_bfs_depths,
@@ -4073,6 +4082,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s.a, s.b, s.common_neighbors, round(s.aa, 6) AS aa_score
             FROM scored s
+            LEFT JOIN ud ON ud.u = s.a AND ud.v = s.b
+            WHERE ud.u IS NULL
+        """,
+        "kg_jaccard": f"""
+            {triples_cte},
+            ed AS (
+                SELECT subj AS src, pred, obj AS dst,
+                       CAST(sum(n) AS BIGINT) AS support
+                FROM trip GROUP BY 1, 2, 3
+            ),
+            e AS (
+                SELECT src, dst FROM ed
+                WHERE support >= 0.95 * (SELECT max(support) FROM ed)
+                GROUP BY 1, 2
+            ),
+            ud AS (
+                SELECT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM e WHERE src <> dst GROUP BY 1, 2
+            ),
+            deg AS (
+                SELECT node_id, CAST(count(*) AS BIGINT) AS degree FROM (
+                    SELECT u AS node_id FROM ud UNION ALL SELECT v FROM ud
+                ) GROUP BY 1
+            ),
+            adj AS (SELECT u AS n, v AS x FROM ud
+                    UNION ALL SELECT v, u FROM ud),
+            scored AS (
+                SELECT l.x AS a, r.x AS b,
+                       CAST(count(*) AS BIGINT) AS common_neighbors
+                FROM adj l
+                JOIN adj r ON r.n = l.n AND l.x < r.x
+                GROUP BY 1, 2
+            )
+            SELECT s.a, s.b, s.common_neighbors,
+                   round(CAST(s.common_neighbors AS DOUBLE) /
+                         (da.degree + db.degree - s.common_neighbors), 6)
+                       AS jaccard
+            FROM scored s
+            JOIN deg da ON da.node_id = s.a
+            JOIN deg db ON db.node_id = s.b
             LEFT JOIN ud ON ud.u = s.a AND ud.v = s.b
             WHERE ud.u IS NULL
         """,

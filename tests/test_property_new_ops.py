@@ -403,3 +403,32 @@ def test_k_core_vs_bruteforce_random():
                 changed = True
         want = {v: len(ns) for v, ns in adj.items() if ns}
         assert got == want, seed
+
+
+def test_jaccard_neighbors_vs_bruteforce_random():
+    from saber_ray.stages.graph import jaccard_neighbors
+
+    for seed in (23, 71):
+        rng = np.random.default_rng(seed)
+        df = _random_graph(rng, 9, 16)
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(2)
+        got = {(r["a"], r["b"]): (r["common_neighbors"], r["jaccard"])
+               for r in jaccard_neighbors(ds).take_all()}
+        adj = {}
+        for _, r in df.iterrows():
+            if r.src == r.dst:
+                continue
+            adj.setdefault(r.src, set()).add(r.dst)
+            adj.setdefault(r.dst, set()).add(r.src)
+        want = {}
+        nodes = sorted(adj)
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                if b in adj[a]:
+                    continue
+                common = adj[a] & adj[b]
+                if not common:
+                    continue
+                j = len(common) / len(adj[a] | adj[b])
+                want[(a, b)] = (len(common), round(j, 6))
+        assert got == want, seed
