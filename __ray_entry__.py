@@ -1253,6 +1253,17 @@ def _q_embedding_group_stats(sf_dir: str):
     return embedding_group_stats(emb)
 
 
+def _q_quality_filter_adaptive(sf_dir: str):
+    # per-source adaptive gate: group q25 token-count thresholds
+    # (value-count-compressed exact quantiles) broadcast into a second
+    # streaming pass; audit summary per source
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.quality import adaptive_quality_filter
+
+    return adaptive_quality_filter(read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "source"]))
+
+
 def _q_corpus_card(sf_dir: str):
     # one-row dataset card: per-batch single-row partials (counts, sums,
     # batch-distinct facet sets) → one constant-key reduce; Arrow regex
@@ -2145,7 +2156,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _q_kg_components,
         "kg_hits": _q_kg_hits,
         "kg_adamic_adar": _q_kg_adamic_adar,
-        "kg_jaccard": _q_kg_jaccard,
         "kg_reciprocity": _q_kg_reciprocity,
         "kg_k_core": _q_kg_k_core,
         "kg_bfs_depths": _q_kg_bfs_depths,
@@ -2190,13 +2200,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_source_crosstab": _q_label_source_crosstab,
         # -- window: embedding / media
         "embedding_group_stats": _q_embedding_group_stats,
-        "embedding_quantize": _q_embedding_quantize,
-        "corpus_card": _q_corpus_card,
         "hard_negatives": _q_hard_negatives,
         "media_captions": _q_media_captions,
         # -- window: complex TPC-H representative
         "tpch_q9": _q_tpch_q9,
         # -- past the 50-cap: remaining never-driver-recorded (judge re-runs)
+        "kg_jaccard": _q_kg_jaccard,
+        "embedding_quantize": _q_embedding_quantize,
+        "corpus_card": _q_corpus_card,
+        "quality_filter_adaptive": _q_quality_filter_adaptive,
         "profile_numeric": _q_profile_numeric,
         "grouped_corr": _q_grouped_corr,
         "token_entropy": _q_token_entropy,
@@ -4759,6 +4771,32 @@ def oracle_sql() -> dict[str, str]:
             FROM lines l JOIN bg ON l.doc_id = bg.doc_id
         """,
         "quality_filter": qf_sql,
+        "quality_filter_adaptive": f"""
+            WITH t AS (
+                SELECT source,
+                       CAST(len({_TOKENS_RAW_SQL}) AS BIGINT) AS v
+                FROM documents
+            ),
+            cum AS (
+                SELECT source, v,
+                       sum(count(*)) OVER (
+                           PARTITION BY source ORDER BY v
+                       ) AS c,
+                       sum(count(*)) OVER (PARTITION BY source) AS n
+                FROM t GROUP BY source, v
+            ),
+            thr AS (
+                SELECT source, CAST(min(v) AS BIGINT) AS threshold
+                FROM cum WHERE cum.c >= CEIL(0.25 * cum.n)
+                GROUP BY source
+            )
+            SELECT t.source, thr.threshold,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (WHERE t.v >= thr.threshold)
+                        AS BIGINT) AS n_kept
+            FROM t JOIN thr USING (source)
+            GROUP BY t.source, thr.threshold
+        """,
         "grouped_corr": """
             SELECT l_returnflag,
                    CAST(count(*) AS BIGINT) AS n,

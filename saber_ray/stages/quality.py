@@ -468,3 +468,73 @@ def quality_report(
         .sum("n_docs")
         .rename_columns({"sum(n_docs)": "n_docs"})
     )
+
+
+def adaptive_quality_filter(
+    ds: rd.Dataset,
+    q: float = 0.25,
+    group_column: str = "source",
+    text_column: str = "text",
+) -> rd.Dataset:
+    """Per-group ADAPTIVE length gate: each group (source/domain) keeps
+    documents with at least its own q-quantile token count — fixed
+    global thresholds (``quality_filter_batch``) over-prune terse
+    domains and under-prune verbose ones; quantile-relative gates are
+    the standard correction. Returns the audit summary
+    (group, threshold, n_docs, n_kept).
+
+    Scale shape: pass 1 reduces to one row per (group, distinct token
+    count) (the ``grouped_quantiles`` value-count compression) and the
+    per-group thresholds — a #groups-sized table — are broadcast via
+    ``ray.put``; pass 2 re-counts tokens with the vectorized Arrow
+    regex kernel and folds each batch to #groups partial rows. Two
+    streaming scans of the text, nothing corpus-sized is materialized
+    or shuffled (the alternative — materializing per-doc token counts
+    between the passes — would pin O(corpus) rows in the object store
+    to save one cheap regex pass).
+    """
+    from .sampling import grouped_quantiles
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(
+            pc.fill_null(batch[text_column], ""), TOKEN_PATTERN)
+        return pa.table({
+            group_column: batch[group_column],
+            "v": pc.cast(toks, pa.int64()),
+        })
+
+    stats = ds.select_columns([group_column, text_column]).map_batches(
+        counts, batch_format="pyarrow")
+    thr_tbl = grouped_quantiles(stats, [q], "v", group_column)
+    thr = dict(zip(thr_tbl[group_column].to_pylist(),
+                   thr_tbl["value"].to_pylist()))
+    thr_ref = ray.put(thr)
+
+    def partial(batch: pa.Table, _ref=thr_ref) -> pa.Table:
+        import pandas as pd
+
+        tmap = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        t = counts(batch)
+        g = pd.Series(t[group_column].to_pylist())
+        v = t["v"].to_numpy(zero_copy_only=False)
+        cut = g.map(tmap).to_numpy(dtype=np.float64)
+        kept = v >= cut
+        df = pd.DataFrame({group_column: g, "kept": kept})
+        out = df.groupby(group_column, sort=False).agg(
+            n_docs=("kept", "size"), n_kept=("kept", "sum"))
+        out = out.reset_index()
+        return pa.table({
+            group_column: pa.array(out[group_column]),
+            "threshold": pa.array(
+                out[group_column].map(tmap), type=pa.int64()),
+            "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+            "n_kept": pa.array(out["n_kept"], type=pa.int64()),
+        })
+
+    return (
+        ds.select_columns([group_column, text_column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([group_column, "threshold"])
+        .sum(["n_docs", "n_kept"])
+        .rename_columns({"sum(n_docs)": "n_docs", "sum(n_kept)": "n_kept"})
+    )

@@ -345,3 +345,33 @@ def test_corpus_card_facets_and_empty_text():
     assert r["n_docs"] == 4 and r["n_sources"] == 2 and r["n_langs"] == 3
     assert r["total_chars"] == 9 and r["total_tokens"] == 5
     assert r["avg_chars"] == 2.25
+
+
+def test_adaptive_quality_filter_per_group_thresholds():
+    """Each group is gated by ITS OWN q25 token count: the terse group
+    keeps its short docs, the verbose group prunes relatively."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.quality import adaptive_quality_filter
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(8)), type=pa.int64()),
+        "source": pa.array(["t"] * 4 + ["v"] * 4),
+        # terse: 1,2,3,4 tokens (q25 → 1, all kept)
+        # verbose: 10,20,30,40 tokens (q25 → 10, all kept... use uneven)
+        "text": pa.array(
+            ["a", "a b", "a b c", "a b c d",
+             " ".join(["w"] * 10), " ".join(["w"] * 20),
+             " ".join(["w"] * 30), " ".join(["w"] * 5)]),
+    })).repartition(3)
+    got = {r["source"]: (r["threshold"], r["n_docs"], r["n_kept"])
+           for r in adaptive_quality_filter(docs).take_all()}
+    # terse: counts 1,2,3,4 → ceil(.25*4)=1st distinct cum ≥1 → threshold 1
+    assert got["t"] == (1, 4, 4)
+    # verbose: counts 5,10,20,30 → threshold 5 → all kept
+    assert got["v"] == (5, 4, 4)
+    # tighten q: q=0.5 → thresholds 2 and 10; kept 3 each
+    got2 = {r["source"]: (r["threshold"], r["n_kept"])
+            for r in adaptive_quality_filter(docs, q=0.5).take_all()}
+    assert got2 == {"t": (2, 3), "v": (10, 3)}
