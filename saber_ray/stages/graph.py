@@ -1284,3 +1284,116 @@ def jaccard_neighbors(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def random_walks(
+    edges: rd.Dataset,
+    length: int = 4,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Deterministic pseudo-random walks over the undirected KG — one
+    walk per node, ``length`` steps: from node c, a walk moves to the
+    neighbor x minimizing the stable hash md5(walk_id|step|x). The walk
+    corpus node2vec/DeepWalk-style graph embeddings train on, with the
+    sampling made deterministic (reproducible under retries and
+    repartitioning) AND SQL-reproducible
+    (``('0x'||substr(md5(k),1,16))::UBIGINT & (2^63-1)`` — the SimHash
+    oracle trick, ``functions/hashing.py``, masked to 63 bits because
+    Ray's groupby-min round-trips the join key through int64).
+    Hash-argmin ≈ uniform choice; a
+    temperature/bias variant would weight the hash by edge support.
+
+    Returns (walk_id, step, node_id), step 0 at the start node; a walk
+    ends early only at an isolated node (undirected adjacency has no
+    dead ends otherwise).
+
+    Shape: per step ONE frontier⨝adjacency hash join (candidates =
+    #walks × avg-degree rows — node-table-sized, never corpus-sized),
+    one (walk, min-hash) reduce, one join back to resolve the argmin,
+    and a min(x) reduce for the astronomically-unlikely hash tie —
+    identical tie semantics to the oracle's ORDER BY h, x. O(length)
+    rounds, only per-round counts reach the driver.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import stable_u64_md5
+
+    ud = undirected_edges(edges, num_partitions)
+    id_type = _node_id_type(ud, edges)
+
+    def _empty() -> rd.Dataset:
+        return rd.from_arrow(pa.table({
+            "walk_id": pa.array([], type=id_type),
+            "step": pa.array([], type=pa.int64()),
+            "node_id": pa.array([], type=id_type),
+        }))
+
+    if ud.count() == 0:
+        return _empty()
+
+    adj = ud.map_batches(
+        lambda b: pa.table({
+            "n": pa.concat_arrays([b["u"].combine_chunks(),
+                                   b["v"].combine_chunks()]),
+            "x": pa.concat_arrays([b["v"].combine_chunks(),
+                                   b["u"].combine_chunks()]),
+        }),
+        batch_format="pyarrow",
+    ).repartition(num_partitions).materialize()
+
+    cur = (
+        adj.select_columns(["n"]).rename_columns({"n": "walk_id"})
+        .groupby("walk_id").count().drop_columns(["count()"])
+        .map_batches(
+            lambda b: b.append_column("node_id", b["walk_id"]),
+            batch_format="pyarrow")
+        .repartition(max(2, num_partitions // 2)).materialize()
+    )
+
+    def stamp(ds: rd.Dataset, step: int) -> rd.Dataset:
+        return ds.map_batches(
+            lambda b, s=step: pa.table({
+                "walk_id": b["walk_id"],
+                "step": pa.array([s] * b.num_rows, type=pa.int64()),
+                "node_id": b["node_id"],
+            }),
+            batch_format="pyarrow")
+
+    out = stamp(cur, 0)
+    for step in range(1, length + 1):
+        def hash_cands(batch: pa.Table, s=step) -> pa.Table:
+            w = batch["walk_id"].to_pylist()
+            x = batch["x"].to_pylist()
+            # 63-bit mask: Ray's groupby-min yields int64, and a join
+            # key must not change type across the aggregate round-trip
+            h = [stable_u64_md5(f"{a}|{s}|{b}") & ((1 << 63) - 1)
+                 for a, b in zip(w, x)]
+            return pa.table({
+                "walk_id": batch["walk_id"],
+                "x": batch["x"],
+                "h": pa.array(h, type=pa.int64()),
+            })
+
+        cands = (
+            cur.select_columns(["walk_id", "node_id"])
+            .rename_columns({"node_id": "n"})
+            .join(adj, join_type="inner", num_partitions=num_partitions,
+                  on=("n",))
+            .map_batches(hash_cands, batch_format="pyarrow")
+            .repartition(max(2, num_partitions // 2)).materialize()
+        )
+        if cands.count() == 0:
+            break
+        best = (
+            cands.groupby("walk_id").min("h").rename_columns({"min(h)": "h"})
+            .repartition(max(2, num_partitions // 2)).materialize()
+        )
+        cur = (
+            cands.join(best, join_type="inner",
+                       num_partitions=num_partitions, on=("walk_id", "h"))
+            .groupby("walk_id").min("x")
+            .rename_columns({"min(x)": "node_id"})
+            .repartition(max(2, num_partitions // 2)).materialize()
+        )
+        out = out.union(stamp(cur, step))
+    return out

@@ -432,3 +432,35 @@ def test_jaccard_neighbors_vs_bruteforce_random():
                 j = len(common) / len(adj[a] | adj[b])
                 want[(a, b)] = (len(common), round(j, 6))
         assert got == want, seed
+
+
+def test_random_walks_vs_bruteforce():
+    """Walk next-hop = md5-argmin over neighbors, per (walk, step):
+    recompute every walk locally and require exact equality — this is
+    the determinism contract that makes the walk corpus reproducible
+    under retries and repartitioning."""
+    from saber_ray.functions.hashing import stable_u64_md5
+    from saber_ray.stages.graph import random_walks
+
+    rng = np.random.default_rng(37)
+    df = _random_graph(rng, 8, 14)
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    length = 3
+    got = {(r["walk_id"], r["step"]): r["node_id"]
+           for r in random_walks(ds, length=length).take_all()}
+
+    adj = {}
+    for _, r in df.iterrows():
+        if r.src == r.dst:
+            continue
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    want = {}
+    for start in adj:
+        cur = start
+        want[(start, 0)] = cur
+        for s in range(1, length + 1):
+            cur = min(adj[cur], key=lambda x: (
+                stable_u64_md5(f"{start}|{s}|{x}") & ((1 << 63) - 1), x))
+            want[(start, s)] = cur
+    assert got == want
