@@ -1032,6 +1032,17 @@ def _q_kg_adamic_adar(sf_dir: str):
     return adamic_adar(_strong_demo_edges(sf_dir, frac=0.95))
 
 
+def _q_nation_coverage(sf_dir: str):
+    # FULL OUTER reconciliation of two nation-keyed aggregates; both
+    # sides collapse to #nations rows before the join
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import nation_coverage
+
+    return nation_coverage(
+        read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"]),
+        read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"]))
+
+
 def _q_kg_random_walks(sf_dir: str):
     # deterministic DeepWalk corpus: one 4-step walk per node of the
     # sparse high-support subgraph, next hop = md5-argmin over neighbors
@@ -2218,6 +2229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": _q_embedding_quantize,
         "corpus_card": _q_corpus_card,
         "quality_filter_adaptive": _q_quality_filter_adaptive,
+        "nation_coverage": _q_nation_coverage,
         "profile_numeric": _q_profile_numeric,
         "grouped_corr": _q_grouped_corr,
         "token_entropy": _q_token_entropy,
@@ -4828,6 +4840,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lines l JOIN bg ON l.doc_id = bg.doc_id
         """,
         "quality_filter": qf_sql,
+        "nation_coverage": """
+            WITH c AS (
+                SELECT c_nationkey AS nationkey,
+                       CAST(count(*) AS BIGINT) AS n_cust
+                FROM customer WHERE c_acctbal > 9000.0 GROUP BY 1
+            ),
+            s AS (
+                SELECT s_nationkey AS nationkey,
+                       CAST(count(*) AS BIGINT) AS n_supp
+                FROM supplier WHERE s_acctbal > 9000.0 GROUP BY 1
+            )
+            SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+                   coalesce(c.n_cust, 0) AS n_cust,
+                   coalesce(s.n_supp, 0) AS n_supp
+            FROM c FULL OUTER JOIN s USING (nationkey)
+        """,
         "quality_filter_adaptive": f"""
             WITH t AS (
                 SELECT source,

@@ -3371,3 +3371,90 @@ def grouped_outliers(
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def nation_coverage(
+    customer: rd.Dataset,
+    supplier: rd.Dataset,
+    min_cust_bal: float = 9000.0,
+    min_supp_bal: float = 9000.0,
+) -> rd.Dataset:
+    """FULL OUTER reconciliation: per nation, how many high-balance
+    customers vs high-balance suppliers — nations present on only ONE
+    side survive with a zero on the other (the join type every audit
+    "compare two aggregates, keep all keys" report needs; the rest of
+    the suite covers inner/left/semi/anti/asof/range/broadcast/salted).
+
+    Both sides collapse to #nations-sized aggregates BEFORE the join
+    (per-batch partial count → one small groupby each), so the full
+    outer join touches two tiny tables regardless of corpus size.
+
+    Returns (nationkey, n_cust, n_supp) with nulls coalesced to 0.
+    """
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.greater(batch["c_acctbal"],
+                                    pa.scalar(min_cust_bal)))
+        g = f.group_by("c_nationkey").aggregate([([], "count_all")])
+        return pa.table({
+            "nationkey": g["c_nationkey"],
+            "n_cust": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    def supp_partial(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.greater(batch["s_acctbal"],
+                                    pa.scalar(min_supp_bal)))
+        g = f.group_by("s_nationkey").aggregate([([], "count_all")])
+        return pa.table({
+            "nationkey": g["s_nationkey"],
+            "n_supp": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    cust = (
+        customer.select_columns(["c_nationkey", "c_acctbal"])
+        .map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("nationkey").sum("n_cust")
+        .rename_columns({"sum(n_cust)": "n_cust"})
+        .repartition(2).materialize()
+    )
+    supp = (
+        supplier.select_columns(["s_nationkey", "s_acctbal"])
+        .map_batches(supp_partial, batch_format="pyarrow")
+        .groupby("nationkey").sum("n_supp")
+        .rename_columns({"sum(n_supp)": "n_supp"})
+        .repartition(2).materialize()
+    )
+
+    # an ALL-empty side makes Ray's full-outer finalize KeyError on the
+    # missing schema (the k_hop_pairs empty-block quirk, join flavor);
+    # an empty side also makes the outer join trivially one-sided
+    if cust.count() == 0:
+        return supp.map_batches(
+            lambda b: pa.table({
+                "nationkey": b["nationkey"],
+                "n_cust": pa.array([0] * b.num_rows, type=pa.int64()),
+                "n_supp": pc.cast(b["n_supp"], pa.int64()),
+            }),
+            batch_format="pyarrow")
+    if supp.count() == 0:
+        return cust.map_batches(
+            lambda b: pa.table({
+                "nationkey": b["nationkey"],
+                "n_cust": pc.cast(b["n_cust"], pa.int64()),
+                "n_supp": pa.array([0] * b.num_rows, type=pa.int64()),
+            }),
+            batch_format="pyarrow")
+
+    joined = cust.join(supp, join_type="full_outer", num_partitions=4,
+                       on=("nationkey",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nationkey": batch["nationkey"],
+            "n_cust": pc.fill_null(
+                pc.cast(batch["n_cust"], pa.int64()), 0),
+            "n_supp": pc.fill_null(
+                pc.cast(batch["n_supp"], pa.int64()), 0),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

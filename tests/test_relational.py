@@ -981,3 +981,42 @@ def test_events_ntile_matches_duckdb():
     got = e.queries()["events_ntile"](SF).to_pandas()
     want = _duck(e.oracle_sql()["events_ntile"])
     _frames_equal(got, want)
+
+
+# --------------------------------------------------------- full outer ---
+
+
+def test_nation_coverage_full_outer_zero_fill():
+    """Keys on only one side survive with a 0 on the other; shared keys
+    carry both counts."""
+    from saber_ray.stages.relational import nation_coverage
+
+    cust = rd.from_arrow(pa.table({
+        "c_nationkey": pa.array([1, 1, 2], type=pa.int64()),
+        "c_acctbal": pa.array([9500.0, 9600.0, 9700.0]),
+    }))
+    supp = rd.from_arrow(pa.table({
+        "s_nationkey": pa.array([2, 3], type=pa.int64()),
+        "s_acctbal": pa.array([9800.0, 9900.0]),
+    }))
+    got = {r["nationkey"]: (r["n_cust"], r["n_supp"])
+           for r in nation_coverage(cust, supp).take_all()}
+    assert got == {1: (2, 0), 2: (1, 1), 3: (0, 1)}
+
+
+def test_nation_coverage_empty_side():
+    """An all-empty side must not poison the outer join: the other
+    side survives with zeros."""
+    from saber_ray.stages.relational import nation_coverage
+
+    cust = rd.from_arrow(pa.table({
+        "c_nationkey": pa.array([4], type=pa.int64()),
+        "c_acctbal": pa.array([9500.0]),
+    }))
+    supp = rd.from_arrow(pa.table({
+        "s_nationkey": pa.array([5], type=pa.int64()),
+        "s_acctbal": pa.array([100.0]),   # filtered out → empty side
+    }))
+    got = {r["nationkey"]: (r["n_cust"], r["n_supp"])
+           for r in nation_coverage(cust, supp).take_all()}
+    assert got == {4: (1, 0)}
