@@ -1032,6 +1032,16 @@ def _q_kg_adamic_adar(sf_dir: str):
     return adamic_adar(_strong_demo_edges(sf_dir, frac=0.95))
 
 
+def _q_inverted_index(sf_dir: str):
+    # inverted-index build: distinct (token, doc) pairs shuffled once by
+    # token hash-bucket; df + head-8 postings per token
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.textstats import inverted_postings
+
+    return inverted_postings(read_table(
+        sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _q_nation_coverage(sf_dir: str):
     # FULL OUTER reconciliation of two nation-keyed aggregates; both
     # sides collapse to #nations rows before the join
@@ -2230,6 +2240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_card": _q_corpus_card,
         "quality_filter_adaptive": _q_quality_filter_adaptive,
         "nation_coverage": _q_nation_coverage,
+        "inverted_index": _q_inverted_index,
         "profile_numeric": _q_profile_numeric,
         "grouped_corr": _q_grouped_corr,
         "token_entropy": _q_token_entropy,
@@ -4840,6 +4851,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lines l JOIN bg ON l.doc_id = bg.doc_id
         """,
         "quality_filter": qf_sql,
+        "inverted_index": f"""
+            WITH pairs AS (
+                SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id, unnest({TOKENS_SQL}) AS token
+                    FROM documents)
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS df,
+                   array_to_string(list_slice(
+                       list(CAST(doc_id AS VARCHAR) ORDER BY doc_id),
+                       1, 8), ',') AS postings_head
+            FROM pairs GROUP BY token
+        """,
         "nation_coverage": """
             WITH c AS (
                 SELECT c_nationkey AS nationkey,

@@ -667,3 +667,77 @@ def corpus_card(
         .groupby("__k")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def inverted_postings(
+    docs: rd.Dataset,
+    head_k: int = 8,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Distributed inverted-index build: per token, its document
+    frequency and the first ``head_k`` posting doc ids (ascending,
+    comma-joined) — the retrieval-side structure a corpus engine
+    materializes next to the forward table. Returns
+    (token, df, postings_head).
+
+    Scale shape: each batch emits DISTINCT (token, doc) pairs — the
+    pairs ARE the index payload, so the one keyed shuffle is inherent
+    (the ``shuffle_export`` argument); tokens are hash-bucketed (the
+    bucket rule: keys never become Ray-level groups) and each bucket
+    reduces df with one C-level pandas groupby. Head-string assembly is
+    one Python join per OUTPUT row — work proportional to the index
+    being built, not to the corpus. At 100 TB the full posting lists
+    would land as list<int64> parquet partitioned by token hash;
+    ``head_k`` doubles as the hot-stopword cap.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from ..functions.hashing import stable_u64
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        ids: list = []
+        for did, text in zip(batch[id_column].to_pylist(),
+                             batch[text_column].to_pylist()):
+            if not text:
+                continue
+            for t in set(_TOKEN_RE.findall(text.lower())):
+                toks.append(t)
+                ids.append(did)
+        arr = np.array(toks, dtype=object)
+        uniq, inverse = (np.unique(arr, return_inverse=True)
+                         if len(arr) else (arr, arr.astype(np.int64)))
+        bh = np.array([stable_u64(t) % num_buckets for t in uniq],
+                      dtype=np.int32)
+        return pa.table({
+            "token": pa.array(toks, type=pa.string()),
+            id_column: pa.array(ids,
+                                type=batch.schema.field(id_column).type),
+            "__bucket": pa.array(bh[inverse] if len(arr) else [],
+                                 type=pa.int32()),
+        })
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["token", id_column]).drop(columns="__bucket")
+        grp = df.groupby("token", sort=True)
+        sizes = grp[id_column].size()
+        head = (
+            df[grp.cumcount() < head_k]
+            .groupby("token", sort=True)[id_column]
+            .agg(lambda s: ",".join(str(v) for v in s))
+        )
+        return pd.DataFrame({
+            "token": sizes.index,
+            "df": pd.array(sizes.to_numpy(), dtype="int64"),
+            "postings_head": head.reindex(sizes.index).to_numpy(),
+        })
+
+    return (
+        docs.select_columns([id_column, text_column])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

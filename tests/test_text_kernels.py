@@ -199,3 +199,24 @@ def test_source_distinctive_terms():
     assert all(len(v) == 2 for v in by_src.values())
     # symmetric corpus: zebra's lift in a == yak's lift in b
     assert by_src["a"][0][1] == by_src["b"][0][1] > 0
+
+
+def test_inverted_postings_df_and_head():
+    """df counts DISTINCT docs per token (a doc repeating a token counts
+    once); postings_head is the first k doc ids ascending."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.textstats import inverted_postings
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([3, 1, 2], type=pa.int64()),
+        "text": pa.array(["apple apple pie", "apple tart", "pie pie"]),
+    })).repartition(2)
+    got = {r["token"]: (r["df"], r["postings_head"])
+           for r in inverted_postings(docs, head_k=2).take_all()}
+    assert got == {
+        "apple": (2, "1,3"),
+        "pie": (2, "2,3"),
+        "tart": (1, "1"),
+    }
