@@ -1032,6 +1032,20 @@ def _q_kg_adamic_adar(sf_dir: str):
     return adamic_adar(_strong_demo_edges(sf_dir, frac=0.95))
 
 
+def _q_events_conversion_time(sf_dir: str):
+    # time-to-convert: first view → first purchase per user; two partial
+    # rows per user per batch, one keyed min-reduce, bucketed pivot
+    import pyarrow.dataset as pads
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import conversion_time
+
+    ev = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_type"],
+        filter=pads.field("event_type").isin(["view", "purchase"]))
+    return conversion_time(ev)
+
+
 def _q_inverted_index(sf_dir: str):
     # inverted-index build: distinct (token, doc) pairs shuffled once by
     # token hash-bucket; df + head-8 postings per token
@@ -2241,6 +2255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_adaptive": _q_quality_filter_adaptive,
         "nation_coverage": _q_nation_coverage,
         "inverted_index": _q_inverted_index,
+        "events_conversion_time": _q_events_conversion_time,
         "profile_numeric": _q_profile_numeric,
         "grouped_corr": _q_grouped_corr,
         "token_entropy": _q_token_entropy,
@@ -4851,6 +4866,24 @@ def oracle_sql() -> dict[str, str]:
             FROM lines l JOIN bg ON l.doc_id = bg.doc_id
         """,
         "quality_filter": qf_sql,
+        "events_conversion_time": """
+            WITH f AS (
+                SELECT user_id,
+                       min(ts) FILTER (WHERE event_type = 'view')
+                           AS first_from,
+                       min(ts) FILTER (WHERE event_type = 'purchase')
+                           AS first_to
+                FROM events
+                WHERE event_type IN ('view', 'purchase')
+                GROUP BY 1
+            )
+            SELECT user_id, first_from, first_to,
+                   datediff('microsecond', first_from, first_to)
+                       / 1000000.0 AS seconds
+            FROM f
+            WHERE first_from IS NOT NULL AND first_to IS NOT NULL
+              AND first_to >= first_from
+        """,
         "inverted_index": f"""
             WITH pairs AS (
                 SELECT DISTINCT doc_id, token FROM (

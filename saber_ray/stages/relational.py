@@ -3458,3 +3458,84 @@ def nation_coverage(
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def conversion_time(
+    events: rd.Dataset,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    type_column: str = "event_type",
+) -> rd.Dataset:
+    """Per-user conversion latency: seconds from the user's FIRST
+    ``from_type`` event to their FIRST ``to_type`` event — the
+    time-to-convert metric next to the funnel's conversion count. Users
+    missing either event, or whose first ``to_type`` precedes their
+    first ``from_type`` (converted before exposure), are dropped.
+
+    Returns (user, first_from, first_to, seconds).
+
+    Scale shape: rows are filtered to the two event types AT THE SCAN
+    (predicate pushdown upstream; a vectorized re-filter here keeps the
+    operator self-contained), each batch folds to at most TWO partial
+    rows per user present (min from-ts, min to-ts — vectorized pandas
+    groupby), and one keyed min-reduce + in-bucket subtraction
+    finishes; the wide event stream never shuffles.
+    """
+    import pandas as pd  # noqa: F401
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[type_column],
+                        value_set=pa.array([from_type, to_type]))
+        t = batch.filter(mask)
+        g = (
+            t.group_by([user_column, type_column])
+            .aggregate([(ts_column, "min")])
+        )
+        # positional rename: pyarrow Table.rename_columns takes a list
+        names = [("first_ts" if c == f"{ts_column}_min" else c)
+                 for c in g.column_names]
+        return g.rename_columns(names)
+
+    firsts = (
+        events.select_columns([user_column, ts_column, type_column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([user_column, type_column]).min("first_ts")
+        .rename_columns({"min(first_ts)": "first_ts"})
+    )
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        w = df.pivot_table(index=user_column, columns=type_column,
+                           values="first_ts", aggfunc="min")
+        if from_type not in w.columns or to_type not in w.columns:
+            return pd.DataFrame({
+                user_column: pd.array([], dtype="int64"),
+                "first_from": pd.array([], dtype="datetime64[us]"),
+                "first_to": pd.array([], dtype="datetime64[us]"),
+                "seconds": pd.array([], dtype="float64"),
+            })
+        w = w.dropna(subset=[from_type, to_type])
+        w = w[w[to_type] >= w[from_type]]
+        out = pd.DataFrame({
+            user_column: w.index,
+            "first_from": w[from_type].to_numpy(),
+            "first_to": w[to_type].to_numpy(),
+            "seconds": (w[to_type] - w[from_type]).dt.total_seconds()
+                       .to_numpy(),
+        })
+        return out.reset_index(drop=True)
+
+    from ..functions.partitioning import shuffle_partitions
+
+    n = shuffle_partitions(8, events)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", _key_buckets(batch, user_column, n))
+
+    return (
+        firsts.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

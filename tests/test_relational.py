@@ -1020,3 +1020,22 @@ def test_nation_coverage_empty_side():
     got = {r["nationkey"]: (r["n_cust"], r["n_supp"])
            for r in nation_coverage(cust, supp).take_all()}
     assert got == {4: (1, 0)}
+
+
+def test_conversion_time_semantics():
+    """first view → first purchase; converted-before-exposure users and
+    single-sided users are dropped; seconds carry microsecond precision."""
+    from saber_ray.stages.relational import conversion_time
+
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array([_ts(10), _ts(25), _ts(20), _ts(5), _ts(7), _ts(9)],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["view", "purchase", "view", "purchase",
+                                "view", "purchase"]),
+    })).repartition(3)
+    got = {r["user_id"]: r["seconds"]
+           for r in conversion_time(ev).take_all()}
+    # user 1 converts in 15 min; user 2 purchased BEFORE viewing → out;
+    # users 3/4 are single-sided → out
+    assert got == {1: 900.0}
