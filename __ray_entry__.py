@@ -1032,6 +1032,17 @@ def _q_kg_adamic_adar(sf_dir: str):
     return adamic_adar(_strong_demo_edges(sf_dir, frac=0.95))
 
 
+def _q_events_basket_pairs(sf_dir: str):
+    # market-basket supports: (user, day) baskets, unordered event-type
+    # pairs — distinct member rows, one dedup shuffle, vectorized
+    # in-bucket self-merge
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import type_cooccurrence
+
+    return type_cooccurrence(read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_type"]))
+
+
 def _q_events_conversion_time(sf_dir: str):
     # time-to-convert: first view → first purchase per user; two partial
     # rows per user per batch, one keyed min-reduce, bucketed pivot
@@ -2256,6 +2267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_coverage": _q_nation_coverage,
         "inverted_index": _q_inverted_index,
         "events_conversion_time": _q_events_conversion_time,
+        "events_basket_pairs": _q_events_basket_pairs,
         "profile_numeric": _q_profile_numeric,
         "grouped_corr": _q_grouped_corr,
         "token_entropy": _q_token_entropy,
@@ -4866,6 +4878,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lines l JOIN bg ON l.doc_id = bg.doc_id
         """,
         "quality_filter": qf_sql,
+        "events_basket_pairs": """
+            WITH b AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+                       event_type
+                FROM events
+            )
+            SELECT l.event_type AS type_a, r.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_baskets
+            FROM b l JOIN b r
+              ON l.user_id = r.user_id AND l.day = r.day
+             AND l.event_type < r.event_type
+            GROUP BY 1, 2
+        """,
         "events_conversion_time": """
             WITH f AS (
                 SELECT user_id,

@@ -3539,3 +3539,76 @@ def conversion_time(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def type_cooccurrence(
+    events: rd.Dataset,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    type_column: str = "event_type",
+) -> rd.Dataset:
+    """Frequent-pair mining over (user, day) baskets: for every
+    unordered pair of event types, how many baskets contain BOTH — the
+    support counts the apriori/market-basket family starts from.
+
+    Returns (type_a, type_b, n_baskets) with type_a < type_b.
+
+    Scale shape: batches fold to DISTINCT (user, day, type) rows (the
+    basket encoding — one row per basket member, never per event), one
+    keyed dedup shuffle, then baskets are hash(user)-bucketed and pair
+    expansion inside a bucket is ONE vectorized self-merge (baskets
+    hold at most #event-types members, so the blowup is bounded by
+    types² per basket); a final tiny (a, b) groupby sums supports.
+    """
+    import pandas as pd  # noqa: F401
+
+    from ..functions.partitioning import shuffle_partitions
+
+    def member_rows(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            user_column: batch[user_column],
+            "day": pc.cast(batch[ts_column], pa.date32()),
+            type_column: batch[type_column],
+        })
+        return t.group_by([user_column, "day", type_column]).aggregate([])
+
+    members = (
+        events.select_columns([user_column, ts_column, type_column])
+        .map_batches(member_rows, batch_format="pyarrow")
+        .groupby([user_column, "day", type_column]).count()
+        .drop_columns(["count()"])
+    )
+
+    n = shuffle_partitions(8, events)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", _key_buckets(batch, user_column, n))
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop(columns="__bucket")
+        m = df.merge(df, on=[user_column, "day"])
+        m = m[m[f"{type_column}_x"] < m[f"{type_column}_y"]]
+        out = (
+            m.groupby([f"{type_column}_x", f"{type_column}_y"], sort=True)
+            .size().rename("n_baskets").reset_index()
+        )
+        out.columns = ["type_a", "type_b", "n_baskets"]
+        out["n_baskets"] = out["n_baskets"].astype("int64")
+        return out
+
+    return (
+        members.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["type_a", "type_b"]).sum("n_baskets")
+        # rename via an Arrow map: Dataset.rename_columns projects with
+        # block.rename_columns, which pandas blocks (map_groups output)
+        # don't have
+        .map_batches(
+            lambda b: pa.table({
+                "type_a": b["type_a"], "type_b": b["type_b"],
+                "n_baskets": pc.cast(b["sum(n_baskets)"], pa.int64()),
+            }),
+            batch_format="pyarrow")
+    )

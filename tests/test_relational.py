@@ -1039,3 +1039,23 @@ def test_conversion_time_semantics():
     # user 1 converts in 15 min; user 2 purchased BEFORE viewing → out;
     # users 3/4 are single-sided → out
     assert got == {1: 900.0}
+
+
+def test_type_cooccurrence_baskets():
+    """Pairs count BASKETS (user-day), not event occurrences; order
+    inside the pair is canonical (a < b)."""
+    from saber_ray.stages.relational import type_cooccurrence
+
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+        "ts": pa.array([_ts(1), _ts(2), _ts(3),
+                        dt.datetime(2024, 1, 2, 0, 1), _ts(4), _ts(5)],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["view", "view", "click", "click",
+                                "click", "view"]),
+    })).repartition(3)
+    got = {(r["type_a"], r["type_b"]): r["n_baskets"]
+           for r in type_cooccurrence(ev).take_all()}
+    # user1 day1 basket {view, click} (view repeats → still one basket),
+    # user1 day2 basket {click} (no pair), user2 day1 {click, view}
+    assert got == {("click", "view"): 2}
