@@ -1032,6 +1032,17 @@ def _q_kg_adamic_adar(sf_dir: str):
     return adamic_adar(_strong_demo_edges(sf_dir, frac=0.95))
 
 
+def _q_source_vocab_overlap(sf_dir: str):
+    # pairwise vocabulary Jaccard between sources: one dedup shuffle to
+    # the (source, token) incidence, bucketed self-merge, broadcast
+    # per-source vocab sizes into the finish map
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.textstats import source_vocab_overlap
+
+    return source_vocab_overlap(read_table(
+        sf_dir, "documents", columns=["source", "text"]))
+
+
 def _q_events_basket_pairs(sf_dir: str):
     # market-basket supports: (user, day) baskets, unordered event-type
     # pairs — distinct member rows, one dedup shuffle, vectorized
@@ -2268,6 +2279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "events_conversion_time": _q_events_conversion_time,
         "events_basket_pairs": _q_events_basket_pairs,
+        "source_vocab_overlap": _q_source_vocab_overlap,
         "profile_numeric": _q_profile_numeric,
         "grouped_corr": _q_grouped_corr,
         "token_entropy": _q_token_entropy,
@@ -4878,6 +4890,30 @@ def oracle_sql() -> dict[str, str]:
             FROM lines l JOIN bg ON l.doc_id = bg.doc_id
         """,
         "quality_filter": qf_sql,
+        "source_vocab_overlap": f"""
+            WITH st AS (
+                SELECT DISTINCT source, token FROM (
+                    SELECT source, unnest({TOKENS_SQL}) AS token
+                    FROM documents)
+            ),
+            cnt AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n
+                FROM st GROUP BY 1
+            ),
+            com AS (
+                SELECT l.source AS source_a, r.source AS source_b,
+                       CAST(count(*) AS BIGINT) AS common
+                FROM st l JOIN st r
+                  ON l.token = r.token AND l.source < r.source
+                GROUP BY 1, 2
+            )
+            SELECT c.source_a, c.source_b, c.common,
+                   round(CAST(c.common AS DOUBLE)
+                         / (ca.n + cb.n - c.common), 6) AS jaccard
+            FROM com c
+            JOIN cnt ca ON ca.source = c.source_a
+            JOIN cnt cb ON cb.source = c.source_b
+        """,
         "events_basket_pairs": """
             WITH b AS (
                 SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,

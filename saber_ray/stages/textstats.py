@@ -741,3 +741,110 @@ def inverted_postings(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def source_vocab_overlap(
+    docs: rd.Dataset,
+    group_column: str = "source",
+    text_column: str = "text",
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Pairwise vocabulary Jaccard between sources: for every source
+    pair (a < b), how many distinct tokens they share and the Jaccard
+    of their vocabularies — the corpus-composition diagnostic next to
+    ``source_distinctive_terms`` (that one ranks WHAT differs; this one
+    measures HOW MUCH overlaps).
+
+    Returns (source_a, source_b, common, jaccard), jaccard rounded to 6
+    decimals (half-away-from-zero, matching the SQL oracle).
+
+    Scale shape: batches emit distinct (source, token) pairs, ONE dedup
+    shuffle compresses to the global source-vocab incidence (≤ sources
+    × vocab rows); per-source vocab sizes are a #sources-row aggregate
+    broadcast into the finish map, and the pair expansion self-merges
+    token hash-buckets vectorized (blowup bounded by sources² per
+    token). Output is #source-pairs rows.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    import ray
+
+    from ..functions.hashing import stable_u64
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        srcs: list = []
+        toks: list[str] = []
+        for src, text in zip(batch[group_column].to_pylist(),
+                             batch[text_column].to_pylist()):
+            if not text or src is None:
+                continue
+            for t in set(_TOKEN_RE.findall(text.lower())):
+                srcs.append(src)
+                toks.append(t)
+        return pa.table({
+            group_column: pa.array(
+                srcs, type=batch.schema.field(group_column).type),
+            "token": pa.array(toks, type=pa.string()),
+        })
+
+    incidence = (
+        docs.select_columns([group_column, text_column])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby([group_column, "token"]).count()
+        .drop_columns(["count()"])
+        .materialize()  # consumed twice: sizes + pair expansion
+    )
+
+    sizes = {r[group_column]: r["count()"] for r in
+             incidence.groupby(group_column).count().take_all()}
+    sizes_ref = ray.put(sizes)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        toks = batch["token"].to_pylist()
+        uniq = {t: stable_u64(t) % num_buckets for t in set(toks)}
+        return batch.append_column(
+            "__bucket", pa.array([uniq[t] for t in toks],
+                                 type=pa.int32()))
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop(columns="__bucket")
+        m = df.merge(df, on="token")
+        a, b = f"{group_column}_x", f"{group_column}_y"
+        m = m[m[a] < m[b]]
+        out = m.groupby([a, b], sort=True).size().rename("common")
+        out = out.reset_index()
+        out.columns = ["source_a", "source_b", "common"]
+        out["common"] = out["common"].astype("int64")
+        return out
+
+    def finish(batch: pa.Table, _ref=sizes_ref) -> pa.Table:
+        sz = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        a = batch["source_a"].to_pylist()
+        b = batch["source_b"].to_pylist()
+        c = batch["common"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        denom = np.array([sz[x] + sz[y] for x, y in zip(a, b)],
+                         dtype=np.float64) - c
+        return pa.table({
+            "source_a": batch["source_a"],
+            "source_b": batch["source_b"],
+            "common": batch["common"],
+            "jaccard": pc.round(
+                pa.array(c / denom, type=pa.float64()), 6,
+                round_mode="half_towards_infinity"),
+        })
+
+    return (
+        incidence.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["source_a", "source_b"]).sum("common")
+        .map_batches(
+            lambda b: pa.table({
+                "source_a": b["source_a"], "source_b": b["source_b"],
+                "common": pc.cast(b["sum(common)"], pa.int64()),
+            }),
+            batch_format="pyarrow")
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -220,3 +220,22 @@ def test_inverted_postings_df_and_head():
         "pie": (2, "2,3"),
         "tart": (1, "1"),
     }
+
+
+def test_source_vocab_overlap_jaccard():
+    """Jaccard over DISTINCT vocabularies; token repeats don't inflate
+    overlap; pairs are canonical (a < b)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.textstats import source_vocab_overlap
+
+    docs = rd.from_arrow(pa.table({
+        "source": pa.array(["s1", "s1", "s2", "s3"]),
+        "text": pa.array(["apple pie apple", "tart", "apple cake",
+                          "zebra"]),
+    })).repartition(2)
+    got = {(r["source_a"], r["source_b"]): (r["common"], r["jaccard"])
+           for r in source_vocab_overlap(docs).take_all()}
+    # s1 vocab {apple, pie, tart}, s2 {apple, cake}, s3 {zebra}
+    assert got == {("s1", "s2"): (1, round(1 / 4, 6))}
