@@ -1032,6 +1032,16 @@ def _q_kg_adamic_adar(sf_dir: str):
     return adamic_adar(_strong_demo_edges(sf_dir, frac=0.95))
 
 
+def _q_events_watermark(sf_dir: str):
+    # streaming replay: arrival-ordered watermark (distributed prefix
+    # scan over id segments), late events dropped from finalized windows
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import watermark_window_counts
+
+    return watermark_window_counts(read_table(
+        sf_dir, "events", columns=["event_id", "ts"]))
+
+
 def _q_source_vocab_overlap(sf_dir: str):
     # pairwise vocabulary Jaccard between sources: one dedup shuffle to
     # the (source, token) incidence, bucketed self-merge, broadcast
@@ -2280,6 +2290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_conversion_time": _q_events_conversion_time,
         "events_basket_pairs": _q_events_basket_pairs,
         "source_vocab_overlap": _q_source_vocab_overlap,
+        "events_watermark": _q_events_watermark,
         "profile_numeric": _q_profile_numeric,
         "grouped_corr": _q_grouped_corr,
         "token_entropy": _q_token_entropy,
@@ -4890,6 +4901,24 @@ def oracle_sql() -> dict[str, str]:
             FROM lines l JOIN bg ON l.doc_id = bg.doc_id
         """,
         "quality_filter": qf_sql,
+        "events_watermark": """
+            WITH w AS (
+                SELECT ts,
+                       max(ts) OVER (ORDER BY event_id
+                                     ROWS UNBOUNDED PRECEDING) AS wm
+                FROM events
+            )
+            SELECT make_timestamp(
+                       (epoch_us(ts) // 3600000000) * 3600000000)
+                       AS window_start,
+                   CAST(count(*) FILTER (
+                       WHERE ts >= wm - INTERVAL 30 MINUTE)
+                       AS BIGINT) AS n_on_time,
+                   CAST(count(*) FILTER (
+                       WHERE ts < wm - INTERVAL 30 MINUTE)
+                       AS BIGINT) AS n_late
+            FROM w GROUP BY 1
+        """,
         "source_vocab_overlap": f"""
             WITH st AS (
                 SELECT DISTINCT source, token FROM (

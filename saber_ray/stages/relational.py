@@ -2418,7 +2418,10 @@ def rank_within(
     (PARTITION BY key ORDER BY value DESC)``, tie rows sharing a rank
     and the following rank skipping (1, 1, 3, ...).
 
-    Returns (id, by, value, rnk).
+    Returns (id, by, value, rnk). ``value_column`` must be non-null,
+    non-NaN (the events contract): pandas rank EXCLUDES missing values
+    while SQL RANK still assigns them a rank, so a missing value here
+    fails loudly at the int64 cast instead of silently diverging.
 
     Scale shape: the ``user_lag`` bucket shape — ONE hash shuffle on
     ``hash(by) % P``, then one vectorized ``groupby(by).rank('min')``
@@ -3509,8 +3512,11 @@ def conversion_time(
         w = df.pivot_table(index=user_column, columns=type_column,
                            values="first_ts", aggfunc="min")
         if from_type not in w.columns or to_type not in w.columns:
+            # typed empty (user dtype from the input, not hardcoded):
+            # a null-typed or mistyped empty block poisons the schema
+            # union with non-empty buckets
             return pd.DataFrame({
-                user_column: pd.array([], dtype="int64"),
+                user_column: pd.array([], dtype=df[user_column].dtype),
                 "first_from": pd.array([], dtype="datetime64[us]"),
                 "first_to": pd.array([], dtype="datetime64[us]"),
                 "seconds": pd.array([], dtype="float64"),
@@ -3612,3 +3618,103 @@ def type_cooccurrence(
             }),
             batch_format="pyarrow")
     )
+
+
+def watermark_window_counts(
+    events: rd.Dataset,
+    window_minutes: int = 60,
+    lateness_minutes: int = 30,
+    id_column: str = "event_id",
+    ts_column: str = "ts",
+    num_segments: int = 64,
+) -> rd.Dataset:
+    """Streaming tumbling-window counts with an allowed-lateness
+    watermark, replayed deterministically over the batch table: arrival
+    order is ``id_column`` (the ingest sequence), the watermark after
+    arrival i is max(ts_1..ts_i), and an event is LATE — dropped from
+    its finalized window — when its ts has fallen more than
+    ``lateness_minutes`` behind the watermark INCLUSIVE of itself
+    (a fresh maximum is never late). Returns per tumbling window
+    (window_start, n_on_time, n_late); windows whose every event was
+    late still appear (n_on_time 0).
+
+    Scale shape: a DISTRIBUTED PREFIX SCAN, not a global sort — arrival
+    ids are cut into ``num_segments`` contiguous segments; one groupby
+    reduces each segment to its max ts (tiny), the driver prefix-maxes
+    the #segments boundary values (the only sequential step, O(P)), and
+    the broadcast prefixes let every segment compute its in-segment
+    vectorized cummax independently. One small shuffle + one bucketed
+    pass; the classic two-phase scan from parallel-prefix literature.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    import ray
+
+    wm_lag = np.timedelta64(lateness_minutes * 60 * 1_000_000, "us")
+    win = window_minutes * 60 * 1_000_000  # µs
+
+    # segment width from the id span: one cheap min/max aggregate
+    lo, hi = events.min(id_column), events.max(id_column)
+    if lo is None:
+        return rd.from_arrow(pa.table({
+            "window_start": pa.array([], type=pa.timestamp("us")),
+            "n_on_time": pa.array([], type=pa.int64()),
+            "n_late": pa.array([], type=pa.int64()),
+        }))
+    width = max(1, (int(hi) - int(lo)) // num_segments + 1)
+
+    def seg(batch: pa.Table) -> pa.Table:
+        s = pc.divide(pc.subtract(batch[id_column], pa.scalar(int(lo))),
+                      pa.scalar(width))
+        return pa.table({
+            "__seg": pc.cast(s, pa.int64()),
+            id_column: batch[id_column],
+            ts_column: batch[ts_column],
+        })
+
+    tagged = events.select_columns([id_column, ts_column]).map_batches(
+        seg, batch_format="pyarrow")
+
+    seg_max = {r["__seg"]: r["max(" + ts_column + ")"]
+               for r in tagged.groupby("__seg").max(ts_column).take_all()}
+    prefix: dict[int, "np.datetime64"] = {}
+    running = None
+    for s in sorted(seg_max):
+        prefix[s] = running  # watermark carried INTO the segment
+        m = np.datetime64(seg_max[s], "us")
+        running = m if running is None else max(running, m)
+    prefix_ref = ray.put(prefix)
+
+    def per_segment(df: "pd.DataFrame") -> "pd.DataFrame":
+        pre = ray.get(prefix_ref) if isinstance(
+            prefix_ref, ray.ObjectRef) else prefix_ref
+        df = df.sort_values(id_column)
+        ts = df[ts_column].to_numpy(dtype="datetime64[us]")
+        wm = np.maximum.accumulate(ts)
+        carried = pre.get(int(df["__seg"].iloc[0]))
+        if carried is not None:
+            wm = np.maximum(wm, carried)
+        late = ts < wm - wm_lag
+        epoch = ts.astype("int64")
+        start = (epoch // win) * win
+        out = pd.DataFrame({
+            "window_start": start.astype("datetime64[us]"),
+            "on_time": (~late).astype("int64"),
+            "late": late.astype("int64"),
+        })
+        g = out.groupby("window_start", sort=True).sum().reset_index()
+        return g
+
+    counted = (
+        tagged.groupby("__seg")
+        .map_groups(per_segment, batch_format="pandas")
+        .groupby("window_start").sum(["on_time", "late"])
+    )
+    return counted.map_batches(
+        lambda b: pa.table({
+            "window_start": b["window_start"],
+            "n_on_time": pc.cast(b["sum(on_time)"], pa.int64()),
+            "n_late": pc.cast(b["sum(late)"], pa.int64()),
+        }),
+        batch_format="pyarrow")

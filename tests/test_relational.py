@@ -1059,3 +1059,30 @@ def test_type_cooccurrence_baskets():
     # user1 day1 basket {view, click} (view repeats → still one basket),
     # user1 day2 basket {click} (no pair), user2 day1 {click, view}
     assert got == {("click", "view"): 2}
+
+
+def test_watermark_window_late_drop():
+    """Arrival order = event_id: an event more than `lateness` behind
+    the running-max watermark (inclusive of itself) is late; a fresh
+    maximum is never late; segment boundaries must not change verdicts."""
+    from saber_ray.stages.relational import watermark_window_counts
+
+    # arrivals: ts 0:00, 2:00 (wm jumps), then a 0:10 straggler (late by
+    # 1h50 > 30min), then 1:45 (late by 15min → on time)
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array([dt.datetime(2024, 1, 1, 0, 0),
+                        dt.datetime(2024, 1, 1, 2, 0),
+                        dt.datetime(2024, 1, 1, 0, 10),
+                        dt.datetime(2024, 1, 1, 1, 45)],
+                       type=pa.timestamp("us")),
+    })).repartition(2)
+    for segs in (1, 3):   # prefix carry across segments must not matter
+        got = {str(r["window_start"]): (r["n_on_time"], r["n_late"])
+               for r in watermark_window_counts(
+                   ev, num_segments=segs).take_all()}
+        assert got == {
+            "2024-01-01 00:00:00": (1, 1),   # 0:00 on time, 0:10 late
+            "2024-01-01 01:00:00": (1, 0),   # 1:45 within lateness
+            "2024-01-01 02:00:00": (1, 0),   # fresh max never late
+        }, segs
