@@ -96,3 +96,55 @@ def fetch_pubmed_stub(*_args, **_kwargs):
         "PubMed fetching requires network access; not available in this "
         "environment (reference: saber/utils/app_utils.py:19-80)"
     )
+
+
+def compact_parquet(
+    src_dir: str,
+    dst_dir: str,
+    target_mb: int = 128,
+    delete_src: bool = False,
+) -> dict:
+    """Small-file compaction for a checkpointed parquet directory: a
+    resumable job's per-partition commits leave hundreds of sub-MB
+    files (one per retried task per partition); readers then pay
+    per-file open/footer costs and tiny row groups. Rewrites the tree
+    into ~``target_mb`` files by streaming the directory through Ray
+    Data with a block size matched to the target — rows are preserved
+    exactly, layout is rebuilt.
+
+    Returns {files_before, files_after, rows} for the job manifest.
+    Scale shape: a pure streaming read→write (no shuffle); file count
+    after ≈ bytes/target, independent of how fragmented the input was.
+    ``delete_src`` removes the fragmented tree only AFTER the compacted
+    write completed (crash between the two leaves both trees — rerun-
+    safe, never data-losing).
+    """
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(src_dir, "**", "*.parquet"),
+                             recursive=True))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {src_dir}")
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    rows_before = sum(pq.read_metadata(f).num_rows for f in files)
+
+    n_out = max(1, round(total_bytes / (target_mb * (1 << 20))))
+    ds = rd.read_parquet(files)
+    os.makedirs(dst_dir, exist_ok=True)
+    ds.repartition(n_out).write_parquet(dst_dir)
+
+    out_files = glob.glob(os.path.join(dst_dir, "*.parquet"))
+    rows_after = sum(pq.read_metadata(f).num_rows for f in out_files)
+    if rows_after != rows_before:
+        raise RuntimeError(
+            f"compaction row mismatch: {rows_before} in, {rows_after} out")
+    if delete_src:
+        shutil.rmtree(src_dir)
+    return {"files_before": len(files), "files_after": len(out_files),
+            "rows": rows_after}

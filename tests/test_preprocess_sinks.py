@@ -259,3 +259,26 @@ def test_jsonl_absent_numeric_field_unifies(tmp_path):
     rows = sorted(mat.take_all(), key=lambda r: r["doc_id"])
     assert [r["n_likes"] for r in rows] == [5, None]
     assert ds.sum("n_likes") == 5  # numeric aggregate works end-to-end
+
+
+def test_compact_parquet_roundtrip(tmp_path):
+    """Many tiny files → few target-sized files; rows preserved exactly;
+    source kept unless delete_src."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from saber_ray.sources.sinks import compact_parquet
+
+    src = tmp_path / "frag"
+    src.mkdir()
+    for i in range(12):
+        pq.write_table(pa.table({"x": pa.array([i] * 50, type=pa.int64())}),
+                       src / f"part-{i:03d}.parquet")
+    out = compact_parquet(str(src), str(tmp_path / "compact"), target_mb=1)
+    assert out == {"files_before": 12, "files_after": 1, "rows": 600}
+    assert len(glob.glob(str(src / "*.parquet"))) == 12  # source kept
+    t = pq.read_table(str(tmp_path / "compact"))
+    assert t.num_rows == 600
+    assert sorted(set(t["x"].to_pylist())) == list(range(12))
