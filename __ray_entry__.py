@@ -5005,8 +5005,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_adaptive": f"""
             WITH t AS (
                 SELECT source,
-                       CAST(len({_TOKENS_RAW_SQL}) AS BIGINT) AS v
-                FROM documents
+                       CAST(len(regexp_extract_all(
+                           coalesce(text, ''), '[0-9a-zA-Z]+'))
+                           AS BIGINT) AS v
+                FROM documents WHERE source IS NOT NULL
             ),
             cum AS (
                 SELECT source, v,

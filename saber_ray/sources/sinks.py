@@ -115,9 +115,12 @@ def compact_parquet(
     Returns {files_before, files_after, rows} for the job manifest.
     Scale shape: a pure streaming read→write (no shuffle); file count
     after ≈ bytes/target, independent of how fragmented the input was.
-    ``delete_src`` removes the fragmented tree only AFTER the compacted
-    write completed (crash between the two leaves both trees — rerun-
-    safe, never data-losing).
+    Crash safety: the compacted set is written to a temp sibling and
+    RENAMED into place only after the row-count check, so a crash at
+    any point leaves the source intact plus at most a temp dir to
+    sweep; rerunning after a completed rename fails loudly on the
+    existing dst instead of double-writing. ``delete_src`` removes the
+    fragmented tree only after the rename.
     """
     import glob
     import os
@@ -126,6 +129,18 @@ def compact_parquet(
     import pyarrow.parquet as pq
 
     import ray.data as rd
+
+    src_abs = os.path.abspath(src_dir)
+    dst_abs = os.path.abspath(dst_dir)
+    if os.path.commonpath([src_abs, dst_abs]) == src_abs:
+        raise ValueError(
+            f"dst_dir {dst_dir!r} is inside src_dir {src_dir!r}: "
+            "delete_src would remove the compacted output, and a rerun's "
+            "recursive source glob would re-ingest it")
+    if os.path.exists(dst_abs):
+        raise FileExistsError(
+            f"dst_dir {dst_dir!r} already exists — a prior compaction "
+            "completed (or left a partial tree); remove it to recompact")
 
     files = sorted(glob.glob(os.path.join(src_dir, "**", "*.parquet"),
                              recursive=True))
@@ -136,14 +151,16 @@ def compact_parquet(
 
     n_out = max(1, round(total_bytes / (target_mb * (1 << 20))))
     ds = rd.read_parquet(files)
-    os.makedirs(dst_dir, exist_ok=True)
-    ds.repartition(n_out).write_parquet(dst_dir)
+    tmp_dir = dst_abs + ".inprogress"
+    shutil.rmtree(tmp_dir, ignore_errors=True)  # stale crash leftover
+    ds.repartition(n_out).write_parquet(tmp_dir)
 
-    out_files = glob.glob(os.path.join(dst_dir, "*.parquet"))
+    out_files = glob.glob(os.path.join(tmp_dir, "*.parquet"))
     rows_after = sum(pq.read_metadata(f).num_rows for f in out_files)
     if rows_after != rows_before:
         raise RuntimeError(
             f"compaction row mismatch: {rows_before} in, {rows_after} out")
+    os.rename(tmp_dir, dst_abs)
     if delete_src:
         shutil.rmtree(src_dir)
     return {"files_before": len(files), "files_after": len(out_files),

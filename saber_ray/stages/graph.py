@@ -752,7 +752,8 @@ def hits(
     )
 
 
-def adamic_adar(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+def adamic_adar(edges: rd.Dataset, num_partitions: int = 8,
+                _ud: rd.Dataset | None = None) -> rd.Dataset:
     """Link prediction over the undirected KG: for every NON-adjacent
     node pair (a < b) sharing at least one neighbor, the common-neighbor
     count and the Adamic–Adar score Σ_n 1/ln(deg(n)) over the shared
@@ -775,7 +776,7 @@ def adamic_adar(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
     """
     import pyarrow.compute as pc
 
-    ud = undirected_edges(edges, num_partitions)
+    ud = _ud if _ud is not None else undirected_edges(edges, num_partitions)
     id_type = _node_id_type(ud, edges)
 
     def _empty() -> rd.Dataset:
@@ -1229,14 +1230,18 @@ def jaccard_neighbors(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
     """
     import pyarrow.compute as pc
 
+    # ONE undirect+dedup shuffle shared with the wedge pass (the
+    # triangles _ud passthrough convention) — without it the whole
+    # edge-table groupby runs twice
+    ud = undirected_edges(edges, num_partitions).materialize()
     # repartition rebuilds clean uniform blocks: the anti-join inside
     # adamic_adar emits schema-less empty partition blocks that poison
     # the degree joins below (see ``k_hop_pairs``)
     pairs = (
-        adamic_adar(edges, num_partitions).drop_columns(["aa_score"])
+        adamic_adar(edges, num_partitions, _ud=ud)
+        .drop_columns(["aa_score"])
         .repartition(max(2, num_partitions // 2)).materialize()
     )
-    ud = undirected_edges(edges, num_partitions)
     id_type = _node_id_type(ud, edges)
 
     if pairs.count() == 0:

@@ -496,10 +496,15 @@ def adaptive_quality_filter(
     from .sampling import grouped_quantiles
 
     def counts(batch: pa.Table) -> pa.Table:
+        # null groups are excluded (the grouped_token_frequency rule;
+        # the SQL oracle agrees for free — NULL never joins back to its
+        # own threshold); null text counts as an empty doc, matching
+        # the doc_stats convention and the oracle's coalesce
+        t = batch.filter(pc.is_valid(batch[group_column]))
         toks = pc.count_substring_regex(
-            pc.fill_null(batch[text_column], ""), TOKEN_PATTERN)
+            pc.fill_null(t[text_column], ""), TOKEN_PATTERN)
         return pa.table({
-            group_column: batch[group_column],
+            group_column: t[group_column],
             "v": pc.cast(toks, pa.int64()),
         })
 

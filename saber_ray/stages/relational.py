@@ -3654,8 +3654,13 @@ def watermark_window_counts(
     wm_lag = np.timedelta64(lateness_minutes * 60 * 1_000_000, "us")
     win = window_minutes * 60 * 1_000_000  # µs
 
-    # segment width from the id span: one cheap min/max aggregate
-    lo, hi = events.min(id_column), events.max(id_column)
+    # segment width from the id span: ONE combined min/max scan (two
+    # separate .min()/.max() calls would each execute the full pipeline)
+    from ray.data.aggregate import Max, Min
+
+    agg = events.aggregate(Min(id_column), Max(id_column))
+    lo = None if agg is None else agg.get(f"min({id_column})")
+    hi = None if agg is None else agg.get(f"max({id_column})")
     if lo is None:
         return rd.from_arrow(pa.table({
             "window_start": pa.array([], type=pa.timestamp("us")),

@@ -655,7 +655,13 @@ def corpus_card(
                 uniq.update(lst)
             out[f"n_{f}s"] = pd.array([len(uniq)], dtype="int64")
         out["total_chars"] = pd.array([total_chars], dtype="int64")
-        out["avg_chars"] = [round(total_chars / n_docs, 6) if n_docs else 0.0]
+        # half-away-from-zero like the DuckDB oracle's round(x, 6) —
+        # Python round() is decimal half-even and can differ on the
+        # boundary
+        avg = (pc.round(pa.array([total_chars / n_docs]), 6,
+                        round_mode="half_towards_infinity")[0].as_py()
+               if n_docs else 0.0)
+        out["avg_chars"] = [avg]
         out["total_tokens"] = pd.array(
             [int(df["total_tokens"].sum())], dtype="int64")
         return pd.DataFrame(out)

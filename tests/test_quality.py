@@ -375,3 +375,23 @@ def test_adaptive_quality_filter_per_group_thresholds():
     got2 = {r["source"]: (r["threshold"], r["n_kept"])
             for r in adaptive_quality_filter(docs, q=0.5).take_all()}
     assert got2 == {"t": (2, 3), "v": (10, 3)}
+
+
+def test_adaptive_quality_filter_null_group_and_text():
+    """Null source rows are excluded (the grouped_token_frequency rule —
+    SQL's join-back drops NULL keys anyway); null text counts as an
+    empty doc and can pull a group's threshold to 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.quality import adaptive_quality_filter
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "source": pa.array(["s", "s", None, "s"]),
+        "text": pa.array(["a b c", None, "x y", "d e f g"]),
+    })).repartition(2)
+    got = {r["source"]: (r["threshold"], r["n_docs"], r["n_kept"])
+           for r in adaptive_quality_filter(docs).take_all()}
+    # source s: counts {3, 0, 4} → q25 target ceil(.25*3)=1 → threshold 0
+    assert got == {"s": (0, 3, 3)}
