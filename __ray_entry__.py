@@ -1032,6 +1032,17 @@ def _q_kg_adamic_adar(sf_dir: str):
     return adamic_adar(_strong_demo_edges(sf_dir, frac=0.95))
 
 
+def _q_events_latest_state(sf_dir: str):
+    # SCD-1 current-state snapshot: distributed argmax-per-key with
+    # per-batch pre-reduction (hot keys bounded per batch)
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import latest_state
+
+    return latest_state(read_table(
+        sf_dir, "events",
+        columns=["user_id", "ts", "event_id", "event_type", "value"]))
+
+
 def _q_events_watermark(sf_dir: str):
     # streaming replay: arrival-ordered watermark (distributed prefix
     # scan over id segments), late events dropped from finalized windows
@@ -2291,6 +2302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_basket_pairs": _q_events_basket_pairs,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "events_watermark": _q_events_watermark,
+        "events_latest_state": _q_events_latest_state,
         "profile_numeric": _q_profile_numeric,
         "grouped_corr": _q_grouped_corr,
         "token_entropy": _q_token_entropy,
@@ -4901,6 +4913,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lines l JOIN bg ON l.doc_id = bg.doc_id
         """,
         "quality_filter": qf_sql,
+        "events_latest_state": """
+            SELECT user_id, ts, event_type, value FROM (
+                SELECT user_id, ts, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+            WHERE rn = 1
+        """,
         "events_watermark": """
             WITH w AS (
                 SELECT ts,

@@ -3723,3 +3723,54 @@ def watermark_window_counts(
             "n_late": pc.cast(b["sum(late)"], pa.int64()),
         }),
         batch_format="pyarrow")
+
+
+def latest_state(
+    events: rd.Dataset,
+    key_column: str = "user_id",
+    ts_column: str = "ts",
+    tiebreak: str = "event_id",
+    payload_columns: tuple[str, ...] = ("event_type", "value"),
+) -> rd.Dataset:
+    """SCD-1 snapshot: one row per key carrying the payload of its
+    LATEST event ((ts, tiebreak) order) — the upsert/"current state"
+    table a lakehouse merge maintains incrementally; computed here as
+    one distributed argmax-per-key.
+
+    Returns (key, ts, *payload_columns).
+
+    Scale shape: each batch pre-reduces to its own per-key argmax rows
+    (vectorized sort + drop_duplicates keep='last'), so the ONE keyed
+    bucket shuffle carries at most #keys rows per batch, and the
+    in-bucket reduce repeats the same vectorized argmax — hot keys are
+    bounded per batch exactly like the canonicalization partials.
+    """
+    import pandas as pd  # noqa: F401
+
+    from ..functions.partitioning import shuffle_partitions
+
+    cols = [key_column, ts_column, tiebreak, *payload_columns]
+    n = shuffle_partitions(8, events)
+
+    def argmax_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values([key_column, ts_column, tiebreak])
+        return df.drop_duplicates(subset=[key_column], keep="last")
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        return argmax_rows(df)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", _key_buckets(batch, key_column, n))
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = argmax_rows(df.drop(columns="__bucket"))
+        return out[[key_column, ts_column, *payload_columns]]
+
+    return (
+        events.select_columns(cols)
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -1086,3 +1086,21 @@ def test_watermark_window_late_drop():
             "2024-01-01 01:00:00": (1, 0),   # 1:45 within lateness
             "2024-01-01 02:00:00": (1, 0),   # fresh max never late
         }, segs
+
+
+def test_latest_state_argmax_tiebreak():
+    """One row per key with the latest (ts, event_id) payload; equal
+    timestamps resolve by the id tiebreak."""
+    from saber_ray.stages.relational import latest_state
+
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "ts": pa.array([_ts(10), _ts(20), _ts(20), _ts(5)],
+                       type=pa.timestamp("us")),
+        "event_id": pa.array([7, 8, 9, 1], type=pa.int64()),
+        "event_type": pa.array(["a", "b", "c", "d"]),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+    })).repartition(3)
+    got = {r["user_id"]: (r["event_type"], r["value"])
+           for r in latest_state(ev).take_all()}
+    assert got == {1: ("c", 3.0), 2: ("d", 4.0)}
