@@ -1372,6 +1372,25 @@ def _q_embedding_quantize(sf_dir: str):
         read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
 
 
+def _q_embedding_dim_stats(sf_dir: str):
+    # per-dimension mean/std from ONE streaming pass of (n, Σx, XᵀX)
+    # moment partials (d+d² floats per batch) — no unnest shuffle
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.decompose import dim_stats
+
+    return dim_stats(read_table(sf_dir, "embeddings", columns=["embedding"]))
+
+
+def _q_embedding_covariance(sf_dir: str):
+    # upper-triangle covariance of the leading 8 dims, sliced from the
+    # same d×d single-pass sketch that pca_fit eigendecomposes
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.decompose import covariance_table
+
+    return covariance_table(
+        read_table(sf_dir, "embeddings", columns=["embedding"]), dims=8)
+
+
 def _q_events_cohorts(sf_dir: str):
     from saber_ray.sources.testdata import read_table
     from saber_ray.stages.relational import cohort_retention
@@ -2294,6 +2313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_jaccard": _q_kg_jaccard,
         "kg_random_walks": _q_kg_random_walks,
         "embedding_quantize": _q_embedding_quantize,
+        "embedding_dim_stats": _q_embedding_dim_stats,
+        "embedding_covariance": _q_embedding_covariance,
         "corpus_card": _q_corpus_card,
         "quality_filter_adaptive": _q_quality_filter_adaptive,
         "nation_coverage": _q_nation_coverage,
@@ -4504,6 +4525,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(codes) AS BIGINT) AS qmin,
                    CAST(list_max(codes) AS BIGINT) AS qmax
             FROM q
+        """,
+        "embedding_dim_stats": """
+            SELECT dim, round(avg(v), 6) AS mean,
+                   round(stddev_samp(v), 6) AS std
+            FROM (SELECT unnest(range(len(embedding))) AS dim,
+                         unnest(embedding) AS v
+                  FROM embeddings)
+            GROUP BY dim
+            ORDER BY dim
+        """,
+        "embedding_covariance": """
+            WITH u AS (
+                SELECT vec_id,
+                       unnest(range(len(embedding))) AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings
+            )
+            SELECT a.dim AS i, b.dim AS j,
+                   round(covar_samp(a.v, b.v), 6) AS cov
+            FROM u a JOIN u b USING (vec_id)
+            WHERE a.dim < 8 AND b.dim < 8 AND a.dim <= b.dim
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "events_cohorts": """
             WITH wk AS (

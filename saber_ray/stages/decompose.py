@@ -1,0 +1,198 @@
+"""Distributed PCA over an embedding column: moment partials →
+driver-side eigendecomposition → broadcast projection.
+
+The reference reduces token spaces with dense embedding matrices loaded
+whole into memory (``saber/embeddings.py``, ``saber/preprocessor.py``);
+this module extends that surface to the decomposition a large-scale
+embedding pipeline actually needs — fit a PCA basis over 10^9+ vectors
+WITHOUT ever materializing the matrix.
+
+Scale shape (the classic covariance-sketch factorization):
+
+1. **Partials** — each batch emits exactly one row holding
+   ``(n, Σx, XᵀX)``: for d-dim embeddings that is ``d + d²`` float64s
+   (d=64 → ~33 KB) regardless of batch row count. No shuffle — the
+   partial stream is tiny and folds on the driver.
+2. **Fit** — the driver assembles ``cov = (XᵀX − n·μμᵀ)/(n−1)`` (a
+   d×d matrix, bytes) and runs one LAPACK ``eigh``. Cost is O(d³),
+   independent of corpus size. Eigenvector SIGN is canonicalized
+   (largest-|loading| coordinate made positive) so the basis is a pure
+   function of the data, not of LAPACK internals.
+3. **Project** — the (mean, components) pair is ``ray.put`` once and
+   every map task reads it from the object store; projection is one
+   numpy matmul per batch. At 100 TB the basis broadcast is ~100 KB
+   while the corpus streams.
+
+Float determinism: partials fold in take_all order, so sums can differ
+across partition layouts by ~1e-12 relative; every queryable output is
+rounded to 6 decimals (the repo-wide oracle convention), far above the
+fold noise at any realistic block count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from .similarity import _stack
+
+
+def _moment_partials(ds: rd.Dataset, column: str) -> list[dict]:
+    """One (n, Σx, XᵀX) row per non-empty batch; each is O(d²) bytes."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "n": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.list_(pa.float64())),
+                "xtx": pa.array([], type=pa.list_(pa.float64())),
+            })
+        mat = _stack(batch[column])
+        return pa.table({
+            "n": pa.array([mat.shape[0]], type=pa.int64()),
+            "s": pa.array([mat.sum(axis=0).tolist()],
+                          type=pa.list_(pa.float64())),
+            "xtx": pa.array([(mat.T @ mat).ravel().tolist()],
+                            type=pa.list_(pa.float64())),
+        })
+
+    return ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+
+
+def _fold_moments(rows: list[dict]) -> tuple[int, np.ndarray, np.ndarray]:
+    if not rows:
+        raise ValueError("PCA fit over an empty dataset")
+    n = 0
+    s = None
+    xtx = None
+    for r in rows:
+        n += int(r["n"])
+        rs = np.asarray(r["s"], dtype=np.float64)
+        rx = np.asarray(r["xtx"], dtype=np.float64)
+        s = rs if s is None else s + rs
+        xtx = rx if xtx is None else xtx + rx
+    d = s.shape[0]
+    return n, s, xtx.reshape(d, d)
+
+
+@dataclass
+class PCAModel:
+    mean: np.ndarray          # (d,)
+    components: np.ndarray    # (k, d) rows = principal axes, unit norm
+    eigenvalues: np.ndarray   # (k,) descending
+    explained_variance_ratio: np.ndarray  # (k,)
+    n: int
+
+
+def _canonical_signs(components: np.ndarray) -> np.ndarray:
+    """Flip each eigenvector so its largest-|loading| coordinate is
+    positive — eigh's sign choice is implementation-defined; this makes
+    the basis a function of the data alone. Ties (|+x| == |−x| at the
+    argmax) keep the lower coordinate index via argmax's first-hit."""
+    flipped = components.copy()
+    for i in range(flipped.shape[0]):
+        j = int(np.argmax(np.abs(flipped[i])))
+        if flipped[i, j] < 0:
+            flipped[i] = -flipped[i]
+    return flipped
+
+
+def pca_fit(ds: rd.Dataset, column: str = "embedding", k: int = 8) -> PCAModel:
+    """Fit a k-component PCA basis from one streaming pass of moment
+    partials. Requires n ≥ 2 rows and k ≤ d."""
+    n, s, xtx = _fold_moments(_moment_partials(ds, column))
+    if n < 2:
+        raise ValueError(f"PCA fit needs at least 2 rows, got {n}")
+    d = s.shape[0]
+    if not (1 <= k <= d):
+        raise ValueError(f"k={k} out of range for {d}-dim embeddings")
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    cov = (cov + cov.T) / 2.0  # exact symmetry for eigh
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    eigenvalues = np.maximum(evals[order], 0.0)
+    components = _canonical_signs(evecs[:, order].T)
+    total_var = max(float(np.sum(np.maximum(evals, 0.0))), 1e-300)
+    return PCAModel(
+        mean=mean,
+        components=components,
+        eigenvalues=eigenvalues,
+        explained_variance_ratio=eigenvalues / total_var,
+        n=n,
+    )
+
+
+def pca_project(
+    ds: rd.Dataset,
+    model: PCAModel,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    out_column: str = "pc",
+) -> rd.Dataset:
+    """Project every vector onto the fitted basis: (id, pc list<double>).
+    The basis ships once via ``ray.put``; each batch is one matmul."""
+    basis_ref = ray.put((model.mean, model.components))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mean, comps = ray.get(basis_ref)
+        if batch.num_rows == 0:
+            return pa.table({
+                id_column: pa.array([], type=pa.int64()),
+                out_column: pa.array([], type=pa.list_(pa.float64())),
+            })
+        mat = _stack(batch[column])
+        proj = (mat - mean) @ comps.T
+        return pa.table({
+            id_column: batch[id_column],
+            out_column: pa.array(proj.tolist(), type=pa.list_(pa.float64())),
+        })
+
+    return ds.select_columns([id_column, column]).map_batches(
+        project, batch_format="pyarrow")
+
+
+def dim_stats(ds: rd.Dataset, column: str = "embedding") -> pa.Table:
+    """Per-dimension mean and sample stddev, from the same one-pass
+    moment partials (no unnest shuffle — the d×d sketch carries the
+    diagonal). Returns (dim, mean, std) rounded to 6, dim 0-based."""
+    n, s, xtx = _fold_moments(_moment_partials(ds, column))
+    d = s.shape[0]
+    mean = s / n
+    if n < 2:
+        std = np.full(d, np.nan)
+    else:
+        var = (np.diag(xtx) - n * mean * mean) / (n - 1)
+        std = np.sqrt(np.maximum(var, 0.0))
+    return pa.table({
+        "dim": pa.array(np.arange(d, dtype=np.int64)),
+        "mean": pa.array(np.round(mean, 6), type=pa.float64()),
+        "std": pa.array(np.round(std, 6), type=pa.float64()),
+    })
+
+
+def covariance_table(
+    ds: rd.Dataset, column: str = "embedding", dims: int = 8,
+) -> pa.Table:
+    """Upper-triangle sample covariance of the first ``dims`` dimensions:
+    (i, j, cov) with i ≤ j, rounded to 6. Same single-pass sketch —
+    the full d×d matrix is already in the partials; this just slices."""
+    n, s, xtx = _fold_moments(_moment_partials(ds, column))
+    if n < 2:
+        raise ValueError("covariance needs at least 2 rows")
+    d = s.shape[0]
+    dims = min(dims, d)
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    ii, jj = np.triu_indices(dims)
+    return pa.table({
+        "i": pa.array(ii.astype(np.int64)),
+        "j": pa.array(jj.astype(np.int64)),
+        "cov": pa.array(np.round(cov[ii, jj], 6), type=pa.float64()),
+    })
