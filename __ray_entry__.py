@@ -179,6 +179,18 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_near_pairs(read_documents_flat(sf_dir))
 
 
+def _q_edit_pairs(sf_dir: str):
+    # Levenshtein near-dup on the normalized 24-char prefix: complete
+    # deletion-neighborhood blocking (SymSpell pigeonhole) → one keyed
+    # shuffle of (variant_hash, id) rows → exact banded-DP verify on
+    # the distinct candidate pairs
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.dedup import edit_distance_pairs
+
+    pairs = edit_distance_pairs(read_documents_flat(sf_dir), k=2, prefix=24)
+    return pairs.rename_columns({"id_a": "a", "id_b": "b"})
+
+
 def _q_ngram_jaccard_pairs(sf_dir: str):
     # EXACT n-gram Jaccard dedup: shingle inverted-index candidates
     # (recall 1 under the doc-frequency cap) + exact Jaccard verify —
@@ -2315,6 +2327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": _q_embedding_quantize,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "embedding_covariance": _q_embedding_covariance,
+        "dedup_edit_pairs": _q_edit_pairs,
         "corpus_card": _q_corpus_card,
         "quality_filter_adaptive": _q_quality_filter_adaptive,
         "nation_coverage": _q_nation_coverage,
@@ -2965,6 +2978,19 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS doc_id
             FROM documents
             GROUP BY 1
+        """,
+        "dedup_edit_pairs": """
+            WITH p AS (
+                SELECT doc_id,
+                       substr(trim(regexp_replace(
+                           lower(text), '[ \\t\\n\\r]+', ' ', 'g')),
+                           1, 24) AS key
+                FROM documents
+            ), np AS (SELECT * FROM p WHERE length(key) > 0)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+            FROM np a JOIN np b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.key, b.key) <= 2
         """,
         "pii_redact": f"""
             WITH injected AS (

@@ -1488,3 +1488,210 @@ def exact_drop_stats(
         .sum(["n_docs", "n_dropped"])
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------- edit-distance near-dup -----
+#
+# Levenshtein near-duplicates on a normalized text prefix, blocked by
+# SYMMETRIC DELETION neighborhoods (the SymSpell scheme, public): if
+# lev(a, b) <= k then an optimal alignment's matched subsequence c is
+# reachable from BOTH a and b by <= k single-character deletions — so
+# emitting every <=k-deletion variant of each key and matching variant
+# EQUALITY is a complete blocking (no false negatives); false candidates
+# are removed by an exact banded-DP verify on the pair set.
+#
+# Scale shape: variant generation is fully vectorized (strings of one
+# length become a (n, L) uint32 codepoint matrix; deletion variants are
+# precomputed keep-index gathers; hashing is one polynomial pass per
+# variant width) and emits (variant_hash, id) rows — C(L,2)+L+1 rows
+# per doc (301 at L=24), each 16 bytes, NOT the variant strings. One
+# keyed shuffle groups candidates (the shared `expand_bucketed_pairs`
+# capped-bucket expansion), then `attach_pair_payload` joins the two
+# key strings onto each DISTINCT candidate pair for the exact verify —
+# keys are shipped once per pair, never per variant.
+
+_KEEP_IDX_CACHE: dict = {}
+
+
+def _keep_indices(length: int, deletions: int) -> np.ndarray:
+    """(m, length-deletions) matrix of positions KEPT after deleting
+    ``deletions`` positions from a ``length``-char string."""
+    key = (length, deletions)
+    got = _KEEP_IDX_CACHE.get(key)
+    if got is None:
+        from itertools import combinations
+
+        keep = length - deletions
+        if keep == 0:
+            got = np.zeros((1, 0), dtype=np.int64)  # the empty variant
+        else:
+            got = np.array(
+                [c for c in combinations(range(length), keep)],
+                dtype=np.int64,
+            ).reshape(-1, keep)
+        _KEEP_IDX_CACHE[key] = got
+    return got
+
+
+_POLY_B = np.uint64(1099511628211)  # FNV-1a prime, odd => mixes mod 2^64
+
+
+def _poly_hash_rows(mat: np.ndarray) -> np.ndarray:
+    """(n, w) uint64 codepoints → (n,) uint64 content hashes. Pure
+    function of the row's VALUES AND WIDTH (width is mixed in last), so
+    equal variant texts hash equal regardless of the source string."""
+    h = np.zeros(mat.shape[0], dtype=np.uint64)
+    for col in range(mat.shape[1]):
+        h = h * _POLY_B + mat[:, col].astype(np.uint64)
+    return h * _POLY_B + np.uint64(mat.shape[1] + 1)
+
+
+def normalized_prefix(col, prefix: int):
+    """lower → collapse [ \\t\\n\\r]+ runs to one space → strip spaces →
+    first ``prefix`` codepoints. Mirrors the DuckDB oracle expression
+    substr(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')), 1, P)
+    exactly (both RE2; DuckDB trim strips ASCII spaces, which is all
+    that survives the collapse)."""
+    s = pc.utf8_lower(col)
+    s = pc.replace_substring_regex(s, pattern="[ \\t\\n\\r]+", replacement=" ")
+    s = pc.utf8_trim(s, characters=" ")
+    return pc.utf8_slice_codeunits(s, 0, prefix)
+
+
+def _variant_rows(batch: pa.Table, column: str, id_column: str,
+                  k: int, prefix: int) -> pa.Table:
+    """One (vh, id) row per <=k-deletion variant of each row's
+    normalized prefix key. Empty keys emit nothing."""
+    keys = normalized_prefix(batch[column], prefix).to_pylist()
+    ids_np = np.asarray(batch[id_column].combine_chunks())
+    # group rows by key length; each length-class is one vectorized gather
+    by_len: dict[int, list[int]] = {}
+    for i, s in enumerate(keys):
+        if s:
+            by_len.setdefault(len(s), []).append(i)
+    out_h: list[np.ndarray] = []
+    out_i: list[np.ndarray] = []
+    for length, rows in by_len.items():
+        mat = np.frombuffer(
+            "".join(keys[i] for i in rows).encode("utf-32-le"),
+            dtype=np.uint32,
+        ).reshape(len(rows), length).astype(np.uint64)
+        row_ids = ids_np[rows]
+        for j in range(min(k, length) + 1):
+            keep = _keep_indices(length, j)          # (m, length-j)
+            if keep.shape[1] == 0:                   # the empty variant
+                h = _poly_hash_rows(mat[:, :0])
+                out_h.append(h)
+                out_i.append(row_ids)
+                continue
+            var = mat[:, keep]                       # (n, m, length-j)
+            h = _poly_hash_rows(
+                var.reshape(-1, keep.shape[1]))      # (n*m,)
+            out_h.append(h)
+            out_i.append(np.repeat(row_ids, keep.shape[0]))
+    if not out_h:
+        return pa.table({
+            "vh": pa.array([], type=pa.int64()),
+            id_column: batch[id_column].slice(0, 0),
+        })
+    h = np.concatenate(out_h)
+    ids = np.concatenate(out_i)
+    # deleting either of two EQUAL characters yields the same variant
+    # text — dedupe (id, vh) here (each doc's variants are all in this
+    # batch) or the same doc lands twice in one bucket and the pair
+    # expansion emits a bogus self-pair; also shrinks the shuffle
+    order = np.lexsort((h, ids))
+    h, ids = h[order], ids[order]
+    keep = np.ones(len(h), dtype=bool)
+    keep[1:] = (h[1:] != h[:-1]) | (ids[1:] != ids[:-1])
+    return pa.table({
+        "vh": pa.array(h[keep].view(np.int64)),
+        id_column: pa.array(ids[keep]),
+    })
+
+
+def _lev_banded(a: str, b: str, k: int) -> int:
+    """Levenshtein distance if <= k else k+1 (banded DP, O(len·k))."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        lo, hi = max(1, i - k), min(lb, i + k)
+        cur = [k + 1] * (lb + 1)
+        cur[0] = i
+        ca = a[i - 1]
+        for j in range(lo, hi + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if min(cur[lo:hi + 1]) > k:
+            return k + 1
+        prev = cur
+    return prev[lb] if prev[lb] <= k else k + 1
+
+
+def edit_distance_pairs(
+    ds: rd.Dataset,
+    k: int = 2,
+    prefix: int = 24,
+    column: str = "text",
+    id_column: str = "doc_id",
+    max_bucket: int = 64,
+) -> rd.Dataset:
+    """All pairs whose normalized ``prefix``-char keys are within
+    Levenshtein distance ``k``: (id_a, id_b, dist), id_a < id_b.
+
+    Complete by the deletion-neighborhood pigeonhole above, EXCEPT
+    buckets over ``max_bucket`` (dropped with a warning, like every LSH
+    family member here — at web scale the near-empty-key buckets
+    degenerate and exact-dup clusters should be collapsed by
+    ``dedup_exact`` first). Distance is codepoint-level; the DuckDB
+    ``levenshtein`` oracle is byte-level, identical on ASCII corpora
+    (the test tables are ASCII-only)."""
+    from ..functions.partitioning import shuffle_partitions
+
+    from .pairs import attach_pair_payload
+
+    id_type = arrow_types(ds)[id_column]
+    slim = ds.select_columns([id_column, column])
+    bands = slim.map_batches(
+        lambda b: _variant_rows(b, column, id_column, k, prefix),
+        batch_format="pyarrow",
+    )
+    cands = expand_bucketed_pairs(
+        bands, ["vh"], id_column, id_type,
+        max_bucket, shuffle_partitions(16, ds),
+    )
+
+    def build_keys(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_column: batch[id_column],
+            "key": normalized_prefix(batch[column], prefix),
+        })
+
+    attached = attach_pair_payload(
+        cands, slim, id_column, "key",
+        raw_columns=[column], payload_builder=build_keys,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ka = batch["payload_a"].to_pylist()
+        kb = batch["payload_b"].to_pylist()
+        dist = np.fromiter(
+            (_lev_banded(x or "", y or "", k) for x, y in zip(ka, kb)),
+            dtype=np.int64, count=len(ka),
+        )
+        # id_a != id_b is structural (variants are deduped per doc);
+        # keep the guard so a future generator can't smuggle self-pairs
+        keep = (dist <= k) & (
+            np.asarray(batch["id_a"].combine_chunks())
+            != np.asarray(batch["id_b"].combine_chunks()))
+        return pa.table({
+            "id_a": pc.cast(batch["id_a"].filter(pa.array(keep)), id_type),
+            "id_b": pc.cast(batch["id_b"].filter(pa.array(keep)), id_type),
+            "dist": pa.array(dist[keep]),
+        })
+
+    return attached.map_batches(verify, batch_format="pyarrow")
