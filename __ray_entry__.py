@@ -1384,6 +1384,17 @@ def _q_embedding_quantize(sf_dir: str):
         read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
 
 
+def _q_key_skew(sf_dir: str):
+    # pre-shuffle key diagnostic over events.user_id: one key-compress
+    # shuffle, then moment partials + distinct-count-value quantiles —
+    # the counts table never reaches the driver
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.sketch import key_skew_report
+
+    return key_skew_report(
+        read_table(sf_dir, "events", columns=["user_id"]), "user_id")
+
+
 def _q_embedding_dim_stats(sf_dir: str):
     # per-dimension mean/std from ONE streaming pass of (n, Σx, XᵀX)
     # moment partials (d+d² floats per batch) — no unnest shuffle
@@ -2328,6 +2339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": _q_embedding_dim_stats,
         "embedding_covariance": _q_embedding_covariance,
         "dedup_edit_pairs": _q_edit_pairs,
+        "key_skew": _q_key_skew,
         "corpus_card": _q_corpus_card,
         "quality_filter_adaptive": _q_quality_filter_adaptive,
         "nation_coverage": _q_nation_coverage,
@@ -4551,6 +4563,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(codes) AS BIGINT) AS qmin,
                    CAST(list_max(codes) AS BIGINT) AS qmax
             FROM q
+        """,
+        "key_skew": """
+            WITH c AS (
+                SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+            ),
+            q AS (
+                SELECT CAST(qq AS DOUBLE) AS qq, CAST(min(v) AS BIGINT) AS v
+                FROM (VALUES (0.5), (0.9), (0.99)) qs(qq), (
+                    SELECT cnt AS v, sum(count(*)) OVER (ORDER BY cnt) AS cum,
+                           (SELECT count(*) FROM c) AS nk
+                    FROM c GROUP BY cnt
+                )
+                WHERE cum >= CEIL(qq * nk)
+                GROUP BY qq
+            )
+            SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(cnt) AS BIGINT) AS max_count,
+                   (SELECT min(user_id) FROM c
+                    WHERE cnt = (SELECT max(cnt) FROM c)) AS top_key,
+                   round(max(cnt) / sum(cnt), 6) AS top_share,
+                   round(avg(cnt), 6) AS mean_count,
+                   (SELECT v FROM q WHERE qq = 0.5) AS p50_count,
+                   (SELECT v FROM q WHERE qq = 0.9) AS p90_count,
+                   (SELECT v FROM q WHERE qq = 0.99) AS p99_count,
+                   round(stddev_samp(cnt) / avg(cnt), 6) AS cv_count
+            FROM c
         """,
         "embedding_dim_stats": """
             SELECT dim, round(avg(v), 6) AS mean,

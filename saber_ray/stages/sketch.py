@@ -334,3 +334,96 @@ def grouped_approx_distinct(
     return merged.groupby(group_column).map_groups(
         per_group, batch_format="pyarrow"
     )
+
+
+def key_skew_report(
+    ds: rd.Dataset,
+    key_column: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> pa.Table:
+    """Shuffle-planning diagnostic: the per-key row-count distribution of
+    a prospective groupby/join key, as ONE summary row — run it BEFORE a
+    wide operation to decide whether the key needs salting (the engine's
+    canonicalize stage) or a broadcast side.
+
+    Returns (n_rows, n_keys, max_count, top_key, top_share, mean_count,
+    p50_count, p90_count, p99_count, cv_count): top_key is the
+    smallest key among max-count ties; top_share = max_count/n_rows;
+    cv is the coefficient of variation (stddev_samp/mean) of per-key
+    counts; quantiles use the repo's lower-discrete rule.
+
+    Scale shape: ONE ``groupby(key).count()`` shuffle compresses rows to
+    keys; the counts table is NEVER collected — moment partials (n, Σ,
+    Σ², max, argmin-key-at-max) are one row per batch, and the quantile
+    walk reuses the distinct-VALUE-count compression (per-key counts are
+    Zipf: ~10^3 distinct count values for 10^8 keys).
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    # materialized: both the moment pass and the quantile pass consume
+    # it, and it is already the key-compressed table (n_keys rows, two
+    # columns), not the input
+    counts = ds.groupby(key_column).count().materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["count()"].combine_chunks(), dtype=np.int64)
+        if len(c) == 0:
+            return pa.table({
+                "n_keys": pa.array([], type=pa.int64()),
+                "n_rows": pa.array([], type=pa.int64()),
+                "sumsq": pa.array([], type=pa.float64()),
+                "max_count": pa.array([], type=pa.int64()),
+                "top_key": batch[key_column].slice(0, 0),
+            })
+        mx = int(c.max())
+        at = np.flatnonzero(c == mx)
+        keys = batch[key_column].combine_chunks().take(pa.array(at))
+        top = pc.min(keys).as_py()
+        return pa.table({
+            "n_keys": pa.array([len(c)], type=pa.int64()),
+            "n_rows": pa.array([int(c.sum())], type=pa.int64()),
+            "sumsq": pa.array([float((c.astype(np.float64) ** 2).sum())],
+                              type=pa.float64()),
+            "max_count": pa.array([mx], type=pa.int64()),
+            "top_key": pa.array([top], type=batch[key_column].type),
+        })
+
+    parts = counts.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        raise ValueError("key_skew_report over an empty dataset")
+    n_keys = sum(p["n_keys"] for p in parts)
+    n_rows = sum(p["n_rows"] for p in parts)
+    sumsq = sum(p["sumsq"] for p in parts)
+    max_count = max(p["max_count"] for p in parts)
+    top_key = min(p["top_key"] for p in parts if p["max_count"] == max_count)
+    mean = n_rows / n_keys
+    var = ((sumsq - n_keys * mean * mean) / (n_keys - 1)
+           if n_keys > 1 else float("nan"))
+    cv = math.sqrt(max(var, 0.0)) / mean if n_keys > 1 else float("nan")
+
+    # lower-discrete quantiles over the (distinct count value, #keys)
+    # compression — a second tiny shuffle over the counts table only
+    from .sampling import exact_quantiles
+
+    # renamed: exact_quantiles groups on the value column and its own
+    # frequency column is also "count()" — the collision would make the
+    # cumulative walk read frequencies as values
+    qt = exact_quantiles(
+        counts.rename_columns({"count()": "cnt"}), list(qs), "cnt")
+    qvals = {round(q, 4): v for q, v in
+             zip(qt["q"].to_pylist(), qt["value"].to_pylist())}
+    return pa.table({
+        "n_rows": pa.array([n_rows], type=pa.int64()),
+        "n_keys": pa.array([n_keys], type=pa.int64()),
+        "max_count": pa.array([max_count], type=pa.int64()),
+        "top_key": pa.array([top_key]),
+        "top_share": pa.array([round(max_count / n_rows, 6)],
+                              type=pa.float64()),
+        "mean_count": pa.array([round(mean, 6)], type=pa.float64()),
+        "p50_count": pa.array([qvals[0.5]], type=pa.int64()),
+        "p90_count": pa.array([qvals[0.9]], type=pa.int64()),
+        "p99_count": pa.array([qvals[0.99]], type=pa.int64()),
+        "cv_count": pa.array([round(cv, 6)], type=pa.float64()),
+    })

@@ -170,3 +170,50 @@ def test_grouped_approx_distinct_nulls():
     assert set(out) == {"a", "b"}
     assert abs(out["a"]["estimate"] - 100) / 100 < 0.1
     assert out["b"]["occupied"] == 1
+
+
+def test_key_skew_report_matches_pandas():
+    import math
+
+    import numpy as np
+    import pytest
+
+    from saber_ray.stages.sketch import key_skew_report
+
+    rng = np.random.default_rng(5)
+    # Zipf-ish: key i appears ~ (i+1) times, plus two tied hot keys
+    keys = np.concatenate(
+        [np.full(i + 1, i) for i in range(30)] + [np.full(40, 900),
+                                                  np.full(40, 100)]
+    ).astype(np.int64)
+    rng.shuffle(keys)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(6)
+    out = key_skew_report(ds, "k").to_pandas().iloc[0]
+
+    import pandas as pd
+
+    cnt = pd.Series(keys).value_counts()
+    assert out["n_rows"] == len(keys)
+    assert out["n_keys"] == cnt.size
+    assert out["max_count"] == cnt.max() == 40
+    assert out["top_key"] == 100          # min key among the 40-count tie
+    assert out["top_share"] == pytest.approx(40 / len(keys), abs=1e-6)
+    assert out["mean_count"] == pytest.approx(
+        round(len(keys) / cnt.size, 6), abs=1e-9)
+    assert out["cv_count"] == pytest.approx(
+        round(cnt.std(ddof=1) / cnt.mean(), 6), abs=1e-6)
+    # lower-discrete quantiles: smallest v with cum >= ceil(q*n)
+    sc = np.sort(cnt.to_numpy())
+    for q, col in [(0.5, "p50_count"), (0.9, "p90_count"),
+                   (0.99, "p99_count")]:
+        assert out[col] == sc[math.ceil(q * len(sc)) - 1]
+
+
+def test_key_skew_report_empty_raises():
+    import pytest
+
+    from saber_ray.stages.sketch import key_skew_report
+
+    empty = rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
+    with pytest.raises(ValueError, match="empty"):
+        key_skew_report(empty, "k")
