@@ -1384,6 +1384,19 @@ def _q_embedding_quantize(sf_dir: str):
         read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
 
 
+def _q_events_ewma(sf_dir: str):
+    # per-user recursive EWMA in (ts, event_id) order; bucket shuffle +
+    # one cython grouped-ewm scan per bucket; bit-identical fold order
+    # to the list_reduce oracle
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import ewma_by_key
+
+    return ewma_by_key(
+        read_table(sf_dir, "events",
+                   columns=["user_id", "ts", "event_id", "value"]),
+        alpha=0.25)
+
+
 def _q_key_skew(sf_dir: str):
     # pre-shuffle key diagnostic over events.user_id: one key-compress
     # shuffle, then moment partials + distinct-count-value quantiles —
@@ -2340,6 +2353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": _q_embedding_covariance,
         "dedup_edit_pairs": _q_edit_pairs,
         "key_skew": _q_key_skew,
+        "events_ewma": _q_events_ewma,
         "corpus_card": _q_corpus_card,
         "quality_filter_adaptive": _q_quality_filter_adaptive,
         "nation_coverage": _q_nation_coverage,
@@ -4563,6 +4577,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(codes) AS BIGINT) AS qmin,
                    CAST(list_max(codes) AS BIGINT) AS qmax
             FROM q
+        """,
+        "events_ewma": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(list_reduce(
+                       list(value ORDER BY ts, event_id),
+                       (acc, x) -> acc * 0.75 + x * 0.25), 6) AS ewma
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY user_id
         """,
         "key_skew": """
             WITH c AS (

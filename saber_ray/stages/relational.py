@@ -1116,6 +1116,66 @@ def running_totals(
     ).groupby("__bucket").map_groups(cum, batch_format="pandas")
 
 
+def ewma_by_key(
+    events: rd.Dataset,
+    alpha: float = 0.25,
+    by: str = "user_id",
+    ts_column: str = "ts",
+    value_column: str = "value",
+    tiebreak: str = "event_id",
+) -> rd.Dataset:
+    """Per-key exponentially-weighted moving average (recursive form,
+    ``y_t = (1-α)·y_{t-1} + α·x_t``, seeded with the first value) in
+    (``ts_column``, ``tiebreak``) order; returns the FINAL smoothed
+    state per key — (key, n, ewma) — the classic online feature-store
+    aggregate.
+
+    Scale shape: the ``running_totals`` bucket shape — one hash shuffle
+    on ``hash(key) % P``, one vectorized ``groupby(key).ewm(adjust=
+    False)`` per bucket (pandas' cython scan; keys never become
+    Python-level groups). Float parity: the recursive form is evaluated
+    in identical IEEE float64 order by pandas, a plain left fold, and
+    DuckDB's ``list_reduce(list(v ORDER BY ts, tiebreak), (acc, x) ->
+    acc*(1-α) + x*α)`` — measured bit-identical; the output is rounded
+    to 6 (the repo oracle convention) anyway.
+    """
+    import pandas as pd
+
+    from ..functions.partitioning import shuffle_partitions
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    n = shuffle_partitions(8, events)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        # null/NaN values are dropped BEFORE bucketing (both the scan
+        # and the n count see only real observations — mirrored by the
+        # oracle's `value IS NOT NULL AND NOT isnan(value)`)
+        v = batch[value_column]
+        ok = pc.and_kleene(pc.is_valid(v), pc.invert(pc.is_nan(v)))
+        batch = batch.filter(pc.fill_null(ok, False))
+        return batch.append_column("__bucket", _key_buckets(batch, by, n))
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values([by, ts_column, tiebreak])
+        grp = df.groupby(by, sort=True)
+        # grouped-ewm is pandas' cython scan — one call per BUCKET, not
+        # per key; result is (key, row)-multiindexed in within-group
+        # sorted order, so last-per-key is the final state
+        sm = grp[value_column].ewm(alpha=alpha, adjust=False).mean()
+        last = sm.groupby(level=0).last()
+        return pd.DataFrame({
+            by: last.index.to_numpy(),
+            "n": grp.size().to_numpy().astype("int64"),
+            "ewma": last.round(6).to_numpy(),
+        })
+
+    return events.select_columns(
+        [by, ts_column, tiebreak, value_column]
+    ).map_batches(bucket, batch_format="pyarrow").groupby(
+        "__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def returned_item_revenue(
     customer: rd.Dataset,
     orders: rd.Dataset,

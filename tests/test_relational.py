@@ -1104,3 +1104,47 @@ def test_latest_state_argmax_tiebreak():
     got = {r["user_id"]: (r["event_type"], r["value"])
            for r in latest_state(ev).take_all()}
     assert got == {1: ("c", 3.0), 2: ("d", 4.0)}
+
+
+def test_ewma_by_key_matches_scan():
+    """Grouped-ewm bucket shape == an explicit per-key recursive fold,
+    across partition layouts; NaN/null values are dropped first."""
+    import numpy as np
+
+    from saber_ray.stages.relational import ewma_by_key
+
+    rng = np.random.default_rng(13)
+    n = 600
+    users = rng.integers(0, 37, n)
+    base = dt.datetime(2024, 1, 1)
+    ts = [base + dt.timedelta(seconds=int(t))
+          for t in rng.integers(0, 10**6, n)]
+    vals = rng.normal(size=n) * 50
+    vals[::97] = np.nan  # NaN rows must not perturb the state
+    tbl = pa.table({
+        "user_id": pa.array(users, type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "value": pa.array(vals, type=pa.float64(), from_pandas=True),
+    })
+
+    def brute(alpha):
+        rows = sorted(
+            (u, t, e, v) for u, t, e, v in
+            zip(users, ts, range(n), vals) if not np.isnan(v))
+        acc, cnt = {}, {}
+        for u, _, _, v in rows:
+            acc[u] = v if u not in acc else acc[u] * (1 - alpha) + v * alpha
+            cnt[u] = cnt.get(u, 0) + 1
+        return {u: (cnt[u], round(acc[u], 6)) for u in acc}
+
+    for p in (1, 5):
+        out = ewma_by_key(
+            rd.from_arrow(tbl).repartition(p), alpha=0.25).take_all()
+        got = {r["user_id"]: (r["n"], r["ewma"]) for r in out}
+        assert got == brute(0.25)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_by_key(rd.from_arrow(tbl), alpha=0.0)
