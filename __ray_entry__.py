@@ -4586,11 +4586,13 @@ def oracle_sql() -> dict[str, str]:
                        (acc, x) -> acc * 0.75 + x * 0.25), 6) AS ewma
             FROM events
             WHERE value IS NOT NULL AND NOT isnan(value)
+                  AND user_id IS NOT NULL
             GROUP BY user_id
         """,
         "key_skew": """
             WITH c AS (
-                SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+                SELECT user_id, count(*) AS cnt FROM events
+                WHERE user_id IS NOT NULL GROUP BY 1
             ),
             q AS (
                 SELECT CAST(qq AS DOUBLE) AS qq, CAST(min(v) AS BIGINT) AS v
@@ -4603,6 +4605,8 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY qq
             )
             SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   (SELECT CAST(count(*) AS BIGINT) FROM events
+                    WHERE user_id IS NULL) AS n_null_rows,
                    CAST(count(*) AS BIGINT) AS n_keys,
                    CAST(max(cnt) AS BIGINT) AS max_count,
                    (SELECT min(user_id) FROM c

@@ -143,8 +143,11 @@ def pca_project(
     def project(batch: pa.Table) -> pa.Table:
         mean, comps = ray.get(basis_ref)
         if batch.num_rows == 0:
+            # typed from the input schema: a hard-coded int64 here would
+            # give empty blocks a different schema than full ones
             return pa.table({
-                id_column: pa.array([], type=pa.int64()),
+                id_column: pa.array(
+                    [], type=batch.schema.field(id_column).type),
                 out_column: pa.array([], type=pa.list_(pa.float64())),
             })
         mat = _stack(batch[column])
@@ -162,18 +165,23 @@ def dim_stats(ds: rd.Dataset, column: str = "embedding") -> pa.Table:
     """Per-dimension mean and sample stddev, from the same one-pass
     moment partials (no unnest shuffle — the d×d sketch carries the
     diagonal). Returns (dim, mean, std) rounded to 6, dim 0-based."""
+    import pyarrow.compute as pc
+
     n, s, xtx = _fold_moments(_moment_partials(ds, column))
     d = s.shape[0]
     mean = s / n
     if n < 2:
-        std = np.full(d, np.nan)
+        # SQL stddev_samp of a single row is NULL, not NaN
+        std = pa.array([None] * d, type=pa.float64())
     else:
         var = (np.diag(xtx) - n * mean * mean) / (n - 1)
-        std = np.sqrt(np.maximum(var, 0.0))
+        std = pa.array(np.sqrt(np.maximum(var, 0.0)), type=pa.float64())
+    # half-away rounding for DuckDB round() parity (numpy is half-even)
     return pa.table({
         "dim": pa.array(np.arange(d, dtype=np.int64)),
-        "mean": pa.array(np.round(mean, 6), type=pa.float64()),
-        "std": pa.array(np.round(std, 6), type=pa.float64()),
+        "mean": pc.round(pa.array(mean, type=pa.float64()), 6,
+                         round_mode="half_towards_infinity"),
+        "std": pc.round(std, 6, round_mode="half_towards_infinity"),
     })
 
 
@@ -190,9 +198,12 @@ def covariance_table(
     dims = min(dims, d)
     mean = s / n
     cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    import pyarrow.compute as pc
+
     ii, jj = np.triu_indices(dims)
     return pa.table({
         "i": pa.array(ii.astype(np.int64)),
         "j": pa.array(jj.astype(np.int64)),
-        "cov": pa.array(np.round(cov[ii, jj], 6), type=pa.float64()),
+        "cov": pc.round(pa.array(cov[ii, jj], type=pa.float64()), 6,
+                        round_mode="half_towards_infinity"),
     })

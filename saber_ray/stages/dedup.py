@@ -1571,6 +1571,11 @@ def _variant_rows(batch: pa.Table, column: str, id_column: str,
             by_len.setdefault(len(s), []).append(i)
     out_h: list[np.ndarray] = []
     out_i: list[np.ndarray] = []
+    # bound the materialized (rows, variants, width) gather tensor to
+    # ~8M uint64 elements (64 MB): map_batches hands whole BLOCKS here,
+    # and an unchunked 100k-row block at prefix 24 / k=2 would build a
+    # ~5 GB tensor
+    _CHUNK_ELEMS = 8_000_000
     for length, rows in by_len.items():
         mat = np.frombuffer(
             "".join(keys[i] for i in rows).encode("utf-32-le"),
@@ -1584,11 +1589,14 @@ def _variant_rows(batch: pa.Table, column: str, id_column: str,
                 out_h.append(h)
                 out_i.append(row_ids)
                 continue
-            var = mat[:, keep]                       # (n, m, length-j)
-            h = _poly_hash_rows(
-                var.reshape(-1, keep.shape[1]))      # (n*m,)
-            out_h.append(h)
-            out_i.append(np.repeat(row_ids, keep.shape[0]))
+            per_row = keep.shape[0] * keep.shape[1]
+            step = max(1, _CHUNK_ELEMS // per_row)
+            for s in range(0, mat.shape[0], step):
+                var = mat[s:s + step, keep]          # (chunk, m, len-j)
+                h = _poly_hash_rows(
+                    var.reshape(-1, keep.shape[1]))  # (chunk*m,)
+                out_h.append(h)
+                out_i.append(np.repeat(row_ids[s:s + step], keep.shape[0]))
     if not out_h:
         return pa.table({
             "vh": pa.array([], type=pa.int64()),

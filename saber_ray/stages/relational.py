@@ -1148,11 +1148,14 @@ def ewma_by_key(
     n = shuffle_partitions(8, events)
 
     def bucket(batch: pa.Table) -> pa.Table:
-        # null/NaN values are dropped BEFORE bucketing (both the scan
-        # and the n count see only real observations — mirrored by the
-        # oracle's `value IS NOT NULL AND NOT isnan(value)`)
+        # null/NaN values AND null keys are dropped BEFORE bucketing —
+        # the oracle mirrors both (`value IS NOT NULL AND NOT
+        # isnan(value)` + the repo-wide null-group convention); a null
+        # key surviving to pandas would make groupby drop it AND widen
+        # the whole bucket's int key column to float64
         v = batch[value_column]
         ok = pc.and_kleene(pc.is_valid(v), pc.invert(pc.is_nan(v)))
+        ok = pc.and_kleene(ok, pc.is_valid(batch[by]))
         batch = batch.filter(pc.fill_null(ok, False))
         return batch.append_column("__bucket", _key_buckets(batch, by, n))
 
@@ -1161,19 +1164,29 @@ def ewma_by_key(
         grp = df.groupby(by, sort=True)
         # grouped-ewm is pandas' cython scan — one call per BUCKET, not
         # per key; result is (key, row)-multiindexed in within-group
-        # sorted order, so last-per-key is the final state
+        # sorted order, so last-per-key is the final state. Unrounded:
+        # DuckDB-parity rounding happens Arrow-side below (pandas
+        # .round is half-even)
         sm = grp[value_column].ewm(alpha=alpha, adjust=False).mean()
         last = sm.groupby(level=0).last()
         return pd.DataFrame({
             by: last.index.to_numpy(),
             "n": grp.size().to_numpy().astype("int64"),
-            "ewma": last.round(6).to_numpy(),
+            "ewma": last.to_numpy(),
         })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("ewma"), "ewma",
+            pc.round(pc.cast(batch["ewma"], pa.float64()), 6,
+                     round_mode="half_towards_infinity"))
 
     return events.select_columns(
         [by, ts_column, tiebreak, value_column]
     ).map_batches(bucket, batch_format="pyarrow").groupby(
-        "__bucket").map_groups(per_bucket, batch_format="pandas")
+        "__bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    ).map_batches(finish, batch_format="pyarrow")
 
 
 def returned_item_revenue(

@@ -346,11 +346,15 @@ def key_skew_report(
     wide operation to decide whether the key needs salting (the engine's
     canonicalize stage) or a broadcast side.
 
-    Returns (n_rows, n_keys, max_count, top_key, top_share, mean_count,
-    p50_count, p90_count, p99_count, cv_count): top_key is the
-    smallest key among max-count ties; top_share = max_count/n_rows;
-    cv is the coefficient of variation (stddev_samp/mean) of per-key
-    counts; quantiles use the repo's lower-discrete rule.
+    Returns (n_rows, n_null_rows, n_keys, max_count, top_key, top_share,
+    mean_count, p<q>_count per requested quantile, cv_count): top_key is
+    the smallest key among max-count ties; top_share = max_count/n_rows;
+    cv is the coefficient of variation (stddev_samp/mean, NULL for a
+    single key, matching SQL) of per-key counts; quantiles use the
+    repo's lower-discrete rule. NULL keys — the classic skew culprit —
+    are counted in ``n_null_rows`` and excluded from the key
+    distribution (the repo-wide null-group convention; a null key can't
+    ride Ray's sort-based shuffle).
 
     Scale shape: ONE ``groupby(key).count()`` shuffle compresses rows to
     keys; the counts table is NEVER collected — moment partials (n, Σ,
@@ -362,10 +366,17 @@ def key_skew_report(
 
     import pyarrow.compute as pc
 
+    # total row count is metadata-cheap on file-backed datasets; the
+    # null-key tally falls out as total − Σ per-key counts, so nulls
+    # cost no extra pass
+    n_total = ds.count()
+    valid = ds.select_columns([key_column]).map_batches(
+        lambda t: t.filter(pc.is_valid(t[key_column])),
+        batch_format="pyarrow")
     # materialized: both the moment pass and the quantile pass consume
     # it, and it is already the key-compressed table (n_keys rows, two
     # columns), not the input
-    counts = ds.groupby(key_column).count().materialize()
+    counts = valid.groupby(key_column).count().materialize()
 
     def partial(batch: pa.Table) -> pa.Table:
         c = np.asarray(batch["count()"].combine_chunks(), dtype=np.int64)
@@ -392,16 +403,19 @@ def key_skew_report(
 
     parts = counts.map_batches(partial, batch_format="pyarrow").take_all()
     if not parts:
-        raise ValueError("key_skew_report over an empty dataset")
+        raise ValueError(
+            "key_skew_report over an empty (or all-null-key) dataset")
     n_keys = sum(p["n_keys"] for p in parts)
     n_rows = sum(p["n_rows"] for p in parts)
     sumsq = sum(p["sumsq"] for p in parts)
     max_count = max(p["max_count"] for p in parts)
     top_key = min(p["top_key"] for p in parts if p["max_count"] == max_count)
     mean = n_rows / n_keys
-    var = ((sumsq - n_keys * mean * mean) / (n_keys - 1)
-           if n_keys > 1 else float("nan"))
-    cv = math.sqrt(max(var, 0.0)) / mean if n_keys > 1 else float("nan")
+    if n_keys > 1:
+        var = (sumsq - n_keys * mean * mean) / (n_keys - 1)
+        cv = math.sqrt(max(var, 0.0)) / mean
+    else:
+        cv = None  # SQL stddev_samp of one key is NULL, not NaN
 
     # lower-discrete quantiles over the (distinct count value, #keys)
     # compression — a second tiny shuffle over the counts table only
@@ -412,18 +426,26 @@ def key_skew_report(
     # cumulative walk read frequencies as values
     qt = exact_quantiles(
         counts.rename_columns({"count()": "cnt"}), list(qs), "cnt")
-    qvals = {round(q, 4): v for q, v in
-             zip(qt["q"].to_pylist(), qt["value"].to_pylist())}
-    return pa.table({
+
+    def r6(vals):
+        # half-away rounding for DuckDB round() parity (Python round is
+        # half-even — the established oracle convention in this repo)
+        return pc.round(pa.array(vals, type=pa.float64()), 6,
+                        round_mode="half_towards_infinity")
+
+    cols: dict = {
         "n_rows": pa.array([n_rows], type=pa.int64()),
+        "n_null_rows": pa.array([n_total - n_rows], type=pa.int64()),
         "n_keys": pa.array([n_keys], type=pa.int64()),
         "max_count": pa.array([max_count], type=pa.int64()),
         "top_key": pa.array([top_key]),
-        "top_share": pa.array([round(max_count / n_rows, 6)],
-                              type=pa.float64()),
-        "mean_count": pa.array([round(mean, 6)], type=pa.float64()),
-        "p50_count": pa.array([qvals[0.5]], type=pa.int64()),
-        "p90_count": pa.array([qvals[0.9]], type=pa.int64()),
-        "p99_count": pa.array([qvals[0.99]], type=pa.int64()),
-        "cv_count": pa.array([round(cv, 6)], type=pa.float64()),
-    })
+        "top_share": r6([max_count / n_rows]),
+        "mean_count": r6([mean]),
+    }
+    for q, v in zip(qt["q"].to_pylist(), qt["value"].to_pylist()):
+        # one column per REQUESTED quantile — p50_count / p975_count /
+        # p999_count style names (trailing zeros trimmed)
+        name = f"p{q * 100:g}".replace(".", "") + "_count"
+        cols[name] = pa.array([v], type=pa.int64())
+    cols["cv_count"] = r6([cv])
+    return pa.table(cols)

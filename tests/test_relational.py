@@ -1148,3 +1148,23 @@ def test_ewma_by_key_matches_scan():
 
     with pytest.raises(ValueError, match="alpha"):
         ewma_by_key(rd.from_arrow(tbl), alpha=0.0)
+
+
+def test_ewma_by_key_null_keys_dropped():
+    """Null keys must not reach pandas (dropna would eat them AND widen
+    the bucket's int key column to float64)."""
+    from saber_ray.stages.relational import ewma_by_key
+
+    base = dt.datetime(2024, 1, 1)
+    tbl = pa.table({
+        "user_id": pa.array([1, None, 1, None, 2], type=pa.int64()),
+        "ts": pa.array([base + dt.timedelta(seconds=i) for i in range(5)],
+                       type=pa.timestamp("us")),
+        "event_id": pa.array(range(5), type=pa.int64()),
+        "value": pa.array([4.0, 100.0, 8.0, 100.0, 6.0]),
+    })
+    out = ewma_by_key(rd.from_arrow(tbl).repartition(2),
+                      alpha=0.5).take_all()
+    got = {r["user_id"]: (r["n"], r["ewma"]) for r in out}
+    assert got == {1: (2, 6.0), 2: (1, 6.0)}
+    assert all(isinstance(k, int) for k in got)

@@ -217,3 +217,24 @@ def test_key_skew_report_empty_raises():
     empty = rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
     with pytest.raises(ValueError, match="empty"):
         key_skew_report(empty, "k")
+
+
+def test_key_skew_null_keys_and_custom_qs():
+    import numpy as np
+
+    from saber_ray.stages.sketch import key_skew_report
+
+    keys = [1] * 5 + [2] * 3 + [None] * 7
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, type=pa.int64())})).repartition(3)
+    out = key_skew_report(ds, "k", qs=(0.25, 0.75)).to_pandas().iloc[0]
+    assert out["n_rows"] == 8 and out["n_null_rows"] == 7
+    assert out["n_keys"] == 2 and out["max_count"] == 5
+    assert out["top_key"] == 1
+    assert "p25_count" in out.index and "p75_count" in out.index
+    assert out["p25_count"] == 3 and out["p75_count"] == 5
+    # single-key corpus: cv is an Arrow NULL (SQL stddev_samp), not NaN
+    one = rd.from_arrow(pa.table({"k": pa.array([9, 9, 9],
+                                                type=pa.int64())}))
+    tbl = key_skew_report(one, "k")
+    assert not tbl["cv_count"][0].is_valid
