@@ -1384,6 +1384,18 @@ def _q_embedding_quantize(sf_dir: str):
         read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
 
 
+def _q_join_cardinality(sf_dir: str):
+    # exact inner-join output size + heaviest key, from the two
+    # key-compressed count tables (never running the join itself)
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.sketch import join_cardinality_report
+
+    return join_cardinality_report(
+        read_table(sf_dir, "orders", columns=["o_orderkey"]),
+        read_table(sf_dir, "lineitem", columns=["l_orderkey"]),
+        "o_orderkey", "l_orderkey")
+
+
 def _q_events_ewma(sf_dir: str):
     # per-user recursive EWMA in (ts, event_id) order; bucket shuffle +
     # one cython grouped-ewm scan per bucket; bit-identical fold order
@@ -2354,6 +2366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_edit_pairs": _q_edit_pairs,
         "key_skew": _q_key_skew,
         "events_ewma": _q_events_ewma,
+        "join_cardinality": _q_join_cardinality,
         "corpus_card": _q_corpus_card,
         "quality_filter_adaptive": _q_quality_filter_adaptive,
         "nation_coverage": _q_nation_coverage,
@@ -4577,6 +4590,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(codes) AS BIGINT) AS qmin,
                    CAST(list_max(codes) AS BIGINT) AS qmax
             FROM q
+        """,
+        "join_cardinality": """
+            WITH lc AS (
+                SELECT o_orderkey AS k, count(*) AS cl FROM orders
+                WHERE o_orderkey IS NOT NULL GROUP BY 1
+            ),
+            rc AS (
+                SELECT l_orderkey AS k, count(*) AS cr FROM lineitem
+                WHERE l_orderkey IS NOT NULL GROUP BY 1
+            ),
+            j AS (
+                SELECT lc.k AS k, cl * cr AS p FROM lc JOIN rc USING (k)
+            )
+            SELECT (SELECT CAST(sum(cl) AS BIGINT) FROM lc) AS n_left,
+                   (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS n_right,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lc)
+                       AS n_keys_left,
+                   (SELECT CAST(count(*) AS BIGINT) FROM rc)
+                       AS n_keys_right,
+                   CAST(count(*) AS BIGINT) AS n_common_keys,
+                   CAST(sum(p) AS BIGINT) AS join_rows,
+                   CAST(max(p) AS BIGINT) AS max_key_rows,
+                   (SELECT min(k) FROM j
+                    WHERE p = (SELECT max(p) FROM j)) AS max_key
+            FROM j
         """,
         "events_ewma": """
             SELECT user_id,

@@ -449,3 +449,96 @@ def key_skew_report(
         cols[name] = pa.array([v], type=pa.int64())
     cols["cv_count"] = r6([cv])
     return pa.table(cols)
+
+
+def join_cardinality_report(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str | None = None,
+) -> pa.Table:
+    """Pre-join planning diagnostic: the EXACT output cardinality of an
+    inner equi-join and where it comes from, WITHOUT running the join —
+    one row: (n_left, n_right, n_keys_left, n_keys_right, n_common_keys,
+    join_rows, max_key_rows, max_key): ``join_rows = Σ_k cl(k)·cr(k)``
+    over common keys, ``max_key`` the smallest key among argmax ties of
+    the per-key product. Run it before a big join to spot the 10^12-row
+    blowup (or the skewed key that needs salting) while it still costs
+    two key-compress aggregates.
+
+    Scale shape: each side compresses to its per-key count table (ONE
+    groupby shuffle each — the same shuffle the real join would pay, on
+    2-column rows); the two count tables hash-join on the key (rows =
+    distinct keys, not input rows) and per-batch product partials fold
+    driver-side. Null keys never match in SQL and are excluded.
+    """
+    import pyarrow.compute as pc
+
+    right_on = right_on or left_on
+
+    def compress(ds: rd.Dataset, key: str, out_count: str) -> rd.Dataset:
+        slim = ds.select_columns([key]).map_batches(
+            lambda t, _k=key: t.filter(pc.is_valid(t[_k])),
+            batch_format="pyarrow")
+        return slim.groupby(key).count().map_batches(
+            lambda t, _k=key, _c=out_count: pa.table(
+                {"k": t[_k], _c: pc.cast(t["count()"], pa.int64())}),
+            batch_format="pyarrow")
+
+    lc = compress(left, left_on, "cl").materialize()
+    rc = compress(right, right_on, "cr").materialize()
+
+    def side_totals(ds: rd.Dataset, c: str) -> tuple[int, int]:
+        rows = ds.map_batches(
+            lambda t, _c=c: pa.table({
+                "keys": pa.array([t.num_rows], type=pa.int64()),
+                "rows": pa.array(
+                    [pc.sum(t[_c]).as_py() or 0], type=pa.int64()),
+            }), batch_format="pyarrow").take_all()
+        return (sum(r["rows"] for r in rows), sum(r["keys"] for r in rows))
+
+    n_left, n_keys_left = side_totals(lc, "cl")
+    n_right, n_keys_right = side_totals(rc, "cr")
+
+    joined = lc.join(rc, join_type="inner", num_partitions=max(
+        2, min(16, (n_keys_left + n_keys_right) // 500_000 + 2)),
+        on=("k",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "keys": pa.array([], type=pa.int64()),
+                "rows": pa.array([], type=pa.int64()),
+                "mx": pa.array([], type=pa.int64()),
+                "mk": batch["k"].slice(0, 0),
+            })
+        prod = pc.multiply(pc.cast(batch["cl"], pa.int64()),
+                           pc.cast(batch["cr"], pa.int64()))
+        mx = pc.max(prod).as_py()
+        ties = batch["k"].filter(pc.equal(prod, mx))
+        return pa.table({
+            "keys": pa.array([batch.num_rows], type=pa.int64()),
+            "rows": pa.array([pc.sum(prod).as_py()], type=pa.int64()),
+            "mx": pa.array([mx], type=pa.int64()),
+            "mk": pa.array([pc.min(ties).as_py()], type=batch["k"].type),
+        })
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").take_all()
+    n_common = sum(p["keys"] for p in parts)
+    join_rows = sum(p["rows"] for p in parts)
+    if parts and n_common:
+        max_rows = max(p["mx"] for p in parts if p["keys"])
+        max_key = min(p["mk"] for p in parts
+                      if p["keys"] and p["mx"] == max_rows)
+    else:
+        max_rows, max_key = 0, None
+    return pa.table({
+        "n_left": pa.array([n_left], type=pa.int64()),
+        "n_right": pa.array([n_right], type=pa.int64()),
+        "n_keys_left": pa.array([n_keys_left], type=pa.int64()),
+        "n_keys_right": pa.array([n_keys_right], type=pa.int64()),
+        "n_common_keys": pa.array([n_common], type=pa.int64()),
+        "join_rows": pa.array([join_rows], type=pa.int64()),
+        "max_key_rows": pa.array([max_rows], type=pa.int64()),
+        "max_key": pa.array([max_key]),
+    })

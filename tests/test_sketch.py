@@ -238,3 +238,45 @@ def test_key_skew_null_keys_and_custom_qs():
                                                 type=pa.int64())}))
     tbl = key_skew_report(one, "k")
     assert not tbl["cv_count"][0].is_valid
+
+
+def test_join_cardinality_matches_real_join():
+    import numpy as np
+
+    from saber_ray.stages.sketch import join_cardinality_report
+
+    rng = np.random.default_rng(21)
+    lk = rng.integers(0, 25, 200)
+    rk = rng.integers(10, 40, 300)
+    left = rd.from_arrow(pa.table({
+        "a": pa.array(lk, type=pa.int64())})).repartition(4)
+    right = rd.from_arrow(pa.table({
+        "b": pa.array(rk, type=pa.int64())})).repartition(3)
+    out = join_cardinality_report(left, right, "a", "b").to_pandas().iloc[0]
+
+    import collections
+
+    cl = collections.Counter(lk.tolist())
+    cr = collections.Counter(rk.tolist())
+    common = set(cl) & set(cr)
+    prods = {k: cl[k] * cr[k] for k in common}
+    assert out["n_left"] == 200 and out["n_right"] == 300
+    assert out["n_keys_left"] == len(cl) and out["n_keys_right"] == len(cr)
+    assert out["n_common_keys"] == len(common)
+    assert out["join_rows"] == sum(prods.values())
+    mx = max(prods.values())
+    assert out["max_key_rows"] == mx
+    assert out["max_key"] == min(k for k, p in prods.items() if p == mx)
+
+
+def test_join_cardinality_disjoint_and_nulls():
+    from saber_ray.stages.sketch import join_cardinality_report
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, None], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([3, 4, None, None], type=pa.int64())}))
+    out = join_cardinality_report(left, right, "k").to_pandas().iloc[0]
+    assert out["n_left"] == 2 and out["n_right"] == 2  # nulls excluded
+    assert out["n_common_keys"] == 0 and out["join_rows"] == 0
+    assert out["max_key_rows"] == 0
