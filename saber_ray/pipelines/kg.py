@@ -39,8 +39,9 @@ class KGConfig:
     tagger_concurrency: Any = None  # None → autoscale pool sized to cluster CPUs
     linker_concurrency: Any = None
     batch_size: int | None = 256   # mirrors the reference's PRED_BATCH_SIZE
-    dedup: str = ""                # run_kg_job dedup stage: "", "exact", "minhash"
+    dedup: str = ""                # run_kg_job dedup stage: "", "exact", "minhash", "edit"
     dedup_min_jaccard: float = 0.8  # near-dup verification threshold (minhash)
+    dedup_edit_k: int = 2          # Levenshtein radius for dedup="edit"
     # run_kg_job curation stage: "", "weighted" (length-weighted
     # Efraimidis-Spirakis sample of curation_k docs) or "mixture"
     # (per-length-stratum quotas; curation_k an int or a per-stratum

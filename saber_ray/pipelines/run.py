@@ -612,7 +612,11 @@ def _doc_text(batch):
 
 def _dropped_ids(ann: rd.Dataset, config: KGConfig) -> rd.Dataset:
     """The configured dedup flavor's drop-list over staged annotated docs."""
-    from ..stages.dedup import exact_dropped_ids, near_dup_dropped_ids
+    from ..stages.dedup import (
+        edit_dup_dropped_ids,
+        exact_dropped_ids,
+        near_dup_dropped_ids,
+    )
 
     # quarantined (invalid) docs all share an empty span sequence — they
     # must not collapse into one giant "dup group" (they contribute no
@@ -625,8 +629,12 @@ def _dropped_ids(ann: rd.Dataset, config: KGConfig) -> rd.Dataset:
         return near_dup_dropped_ids(
             texts, min_jaccard=config.dedup_min_jaccard
         )
+    if config.dedup == "edit":
+        texts = ann.map_batches(_doc_text, batch_format="pyarrow")
+        return edit_dup_dropped_ids(texts, k=config.dedup_edit_k)
     raise ValueError(
-        f"unknown dedup method {config.dedup!r} (expected '', 'exact', 'minhash')"
+        f"unknown dedup method {config.dedup!r} "
+        "(expected '', 'exact', 'minhash', 'edit')"
     )
 
 

@@ -1703,3 +1703,27 @@ def edit_distance_pairs(
         })
 
     return attached.map_batches(verify, batch_format="pyarrow")
+
+
+def edit_dup_dropped_ids(
+    docs: rd.Dataset,
+    id_column: str = "doc_id",
+    column: str = "text",
+    k: int = 2,
+    prefix: int = 24,
+    max_bucket: int = 64,
+) -> rd.Dataset:
+    """Edit-distance near-dup DROP-list: ``edit_distance_pairs``
+    candidates (already exact-verified by the banded DP) under the same
+    keep-min survivor policy as ``near_dup_dropped_ids`` — pairs come
+    sorted ``id_a < id_b``, so the distinct ``id_b`` set keeps the
+    smallest id of each chain. Output column is always ``doc_id``."""
+    pairs = edit_distance_pairs(
+        docs, k=k, prefix=prefix, column=column, id_column=id_column,
+        max_bucket=max_bucket,
+    )
+    return (
+        pairs.groupby("id_b").count()
+        .drop_columns(["count()"])
+        .rename_columns({"id_b": "doc_id"})
+    )

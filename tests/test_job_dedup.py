@@ -197,3 +197,52 @@ def test_no_dedup_runs_without_stage(base_corpus, tmp_path_factory):
                    KGConfig(batch_size=64, num_salts=4), partitions=2)
     assert s["complete"] and "dedup" not in s
     assert not os.path.exists(os.path.join(out, "dedup"))
+
+
+def _true_edit_drops(corpus: str, k: int = 2, prefix: int = 24) -> set:
+    """Driver-side golden: keep-min drop set from TRUE Levenshtein over
+    normalized prefix keys of every VALID doc pair (non-transitive
+    id_b-of-any-pair semantics, exactly edit_dup_dropped_ids')."""
+    keys = {}
+    for f in sorted(glob.glob(f"{corpus}/*.parquet")):
+        t = pq.read_table(f)
+        for did, spans in zip(t["doc_id"].to_pylist(),
+                              t["spans"].to_pylist()):
+            text = " ".join(
+                s["text"] for s in (spans or [])
+                if s["kind"] == "text" and s["text"]
+            )
+            key = " ".join(text.lower().split())[:prefix]
+            if key:
+                keys[did] = key
+
+    def lev(a, b):
+        p = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            c = [i]
+            for j, cb in enumerate(b, 1):
+                c.append(min(p[j] + 1, c[-1] + 1, p[j - 1] + (ca != cb)))
+            p = c
+        return p[-1]
+
+    ids = sorted(keys)
+    drops = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if lev(keys[ids[i]], keys[ids[j]]) <= k:
+                drops.add(ids[j])
+    return drops
+
+
+def test_edit_dedup_drops_prefix_dups(near_dup_corpus, tmp_path_factory):
+    # the near-dup copies only differ in a SUFFIX token, so their
+    # normalized 24-char prefixes are identical to the originals'
+    # (edit distance 0) — the edit flavor must drop them, plus any
+    # base docs whose prefixes are genuinely within distance 2
+    out = str(tmp_path_factory.mktemp("out_edit"))
+    cfg = KGConfig(batch_size=64, num_salts=4, dedup="edit")
+    s = run_kg_job(f"{near_dup_corpus}/*.parquet", out, cfg, partitions=2)
+    assert s["complete"] and s["dedup"] == "ran"
+    golden = _true_edit_drops(near_dup_corpus)
+    assert {f"zz-dup-{i:04d}" for i in DUP_OF} <= golden
+    assert _drop_ids(out) == golden
