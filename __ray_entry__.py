@@ -1384,6 +1384,30 @@ def _q_embedding_quantize(sf_dir: str):
         read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
 
 
+def _q_events_regression(sf_dir: str):
+    # per-event-type OLS of value on hour-of-day: shared grouped moment
+    # partials (one Arrow groupby per batch) → one tiny merge →
+    # closed-form slope/intercept/r2 (SQL regr_* parity)
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.relational import grouped_regression
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def hourly(b):
+        return _pa.table({
+            "event_type": b["event_type"],
+            "hour": _pc.cast(_pc.hour(b["ts"]), _pa.float64()),
+            "value": b["value"],
+        })
+
+    return grouped_regression(
+        ev.map_batches(hourly, batch_format="pyarrow"),
+        "event_type", "hour", "value")
+
+
 def _q_join_cardinality(sf_dir: str):
     # exact inner-join output size + heaviest key, from the two
     # key-compressed count tables (never running the join itself)
@@ -2367,6 +2391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew": _q_key_skew,
         "events_ewma": _q_events_ewma,
         "join_cardinality": _q_join_cardinality,
+        "events_regression": _q_events_regression,
         "corpus_card": _q_corpus_card,
         "quality_filter_adaptive": _q_quality_filter_adaptive,
         "nation_coverage": _q_nation_coverage,
@@ -4590,6 +4615,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(codes) AS BIGINT) AS qmin,
                    CAST(list_max(codes) AS BIGINT) AS qmax
             FROM q
+        """,
+        "events_regression": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(regr_slope(value, hour(ts)), 6) AS slope,
+                   round(regr_intercept(value, hour(ts)), 6) AS intercept,
+                   round(regr_r2(value, hour(ts)), 6) AS r2
+            FROM events
+            WHERE value IS NOT NULL AND ts IS NOT NULL
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "join_cardinality": """
             WITH lc AS (

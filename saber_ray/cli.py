@@ -255,7 +255,7 @@ def main(argv=None) -> None:
     p_run.add_argument("--num-salts", type=_positive, default=None)
     p_run.add_argument("--batch-size", type=int, default=None)
     p_run.add_argument("--bundle", default="", help="model bundle dir → neural tagger path")
-    p_run.add_argument("--dedup", choices=["", "exact", "minhash"], default=None,
+    p_run.add_argument("--dedup", choices=["", "exact", "minhash", "edit"], default=None,
                        help="checkpointed dedup stage between annotate and graph")
     p_run.add_argument("--dedup-min-jaccard", type=float, default=None,
                        help="near-dup verification threshold (minhash)")

@@ -2704,6 +2704,36 @@ def waiting_suppliers(
     )
 
 
+def _xy_moment_partial(group_column: str, x_column: str, y_column: str):
+    """Per-batch grouped (n, Σx, Σy, Σx², Σy², Σxy) moment partial —
+    the shared map stage of every grouped second-moment statistic
+    (Pearson, regression): six partial columns per (batch, group), one
+    vectorized Arrow groupby, rows with a null in either column dropped
+    first (SQL pairwise semantics)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x_column]
+        y = batch[y_column]
+        ok = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        f = batch.filter(ok)
+        x = pc.cast(f[x_column], pa.float64())
+        y = pc.cast(f[y_column], pa.float64())
+        t = pa.table({
+            "g": f[group_column],
+            "n": pa.array([1] * f.num_rows, type=pa.int64()),
+            "sx": x,
+            "sy": y,
+            "sxx": pc.multiply(x, x),
+            "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y),
+        })
+        return t.group_by("g").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+
+    return partial
+
+
 def grouped_pearson(
     ds: rd.Dataset,
     group_column: str,
@@ -2725,25 +2755,7 @@ def grouped_pearson(
     are dropped first (SQL pairwise semantics).
     """
 
-    def partial(batch: pa.Table) -> pa.Table:
-        x = batch[x_column]
-        y = batch[y_column]
-        ok = pc.and_(pc.is_valid(x), pc.is_valid(y))
-        f = batch.filter(ok)
-        x = pc.cast(f[x_column], pa.float64())
-        y = pc.cast(f[y_column], pa.float64())
-        t = pa.table({
-            "g": f[group_column],
-            "n": pa.array([1] * f.num_rows, type=pa.int64()),
-            "sx": x,
-            "sy": y,
-            "sxx": pc.multiply(x, x),
-            "syy": pc.multiply(y, y),
-            "sxy": pc.multiply(x, y),
-        })
-        return t.group_by("g").aggregate(
-            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
-             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+    partial = _xy_moment_partial(group_column, x_column, y_column)
 
     def finish(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -2771,6 +2783,68 @@ def grouped_pearson(
             "corr": pc.round(
                 pa.array(corr, type=pa.float64(), from_pandas=True), 6,
                 round_mode="half_towards_infinity"),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .sum(["n_sum", "sx_sum", "sy_sum", "sxx_sum", "syy_sum", "sxy_sum"])
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(group_column)
+    )
+
+
+def grouped_regression(
+    ds: rd.Dataset,
+    group_column: str,
+    x_column: str,
+    y_column: str,
+) -> rd.Dataset:
+    """Per-group simple linear regression y = slope·x + intercept:
+    (group, n, slope, intercept, r2), population semantics matching SQL
+    ``regr_slope`` / ``regr_intercept`` / ``regr_r2``. Groups with zero
+    x-variance get null slope/intercept/r2 (SQL's 0/0); r2 is also null
+    when y has zero variance.
+
+    Scale shape: the same shared (n, Σx, Σy, Σx², Σy², Σxy) moment
+    partial as ``grouped_pearson`` — one vectorized Arrow groupby per
+    batch, ONE tiny merge shuffle, closed-form finalize; the corpus
+    never moves.
+    """
+    partial = _xy_moment_partial(group_column, x_column, y_column)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch["sum(n_sum)"].to_numpy().astype(np.float64)
+        sx = batch["sum(sx_sum)"].to_numpy()
+        sy = batch["sum(sy_sum)"].to_numpy()
+        sxx = batch["sum(sxx_sum)"].to_numpy()
+        syy = batch["sum(syy_sum)"].to_numpy()
+        sxy = batch["sum(sxy_sum)"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ssx = n * sxx - sx * sx      # n² · var_pop(x)
+            ssy = n * syy - sy * sy
+            spxy = n * sxy - sx * sy
+            slope = spxy / ssx
+            intercept = (sy - slope * sx) / n
+            r2 = (spxy * spxy) / (ssx * ssy)
+        ok_x = ssx > 0
+        slope = np.where(ok_x, slope, np.nan)
+        intercept = np.where(ok_x, intercept, np.nan)
+        r2 = np.where(ok_x & (ssy > 0), r2, np.nan)
+
+        def r6(v):
+            return pc.round(
+                pa.array(v, type=pa.float64(), from_pandas=True), 6,
+                round_mode="half_towards_infinity")
+
+        return pa.table({
+            group_column: batch["g"],
+            "n": pc.cast(batch["sum(n_sum)"], pa.int64()),
+            "slope": r6(slope),
+            "intercept": r6(intercept),
+            "r2": r6(r2),
         })
 
     return (

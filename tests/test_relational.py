@@ -1168,3 +1168,41 @@ def test_ewma_by_key_null_keys_dropped():
     got = {r["user_id"]: (r["n"], r["ewma"]) for r in out}
     assert got == {1: (2, 6.0), 2: (1, 6.0)}
     assert all(isinstance(k, int) for k in got)
+
+
+def test_grouped_regression_matches_numpy():
+    import numpy as np
+    import pytest
+
+    from saber_ray.stages.relational import grouped_regression
+
+    rng = np.random.default_rng(3)
+    rows = []
+    truth = {}
+    for g, (m, b) in {"a": (2.0, 1.0), "b": (-0.5, 3.0)}.items():
+        x = rng.uniform(0, 10, 80)
+        y = m * x + b + rng.normal(0, 0.3, 80)
+        rows += [{"g": g, "x": float(xi), "y": float(yi)}
+                 for xi, yi in zip(x, y)]
+        A = np.vstack([x, np.ones_like(x)]).T
+        slope, inter = np.linalg.lstsq(A, y, rcond=None)[0]
+        ss_res = float(((y - (slope * x + inter)) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        truth[g] = (80, round(slope, 6), round(inter, 6),
+                    round(1 - ss_res / ss_tot, 6))
+    # zero-x-variance group: slope/intercept/r2 are SQL NULL
+    rows += [{"g": "flat", "x": 5.0, "y": float(v)} for v in (1, 2, 3)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+    out = grouped_regression(ds, "g", "x", "y")
+    tbl = {r["g"]: r for r in out.take_all()}
+    for g in ("a", "b"):
+        got = tbl[g]
+        n, slope, inter, r2 = truth[g]
+        assert got["n"] == n
+        assert got["slope"] == pytest.approx(slope, abs=2e-6)
+        assert got["intercept"] == pytest.approx(inter, abs=2e-6)
+        assert got["r2"] == pytest.approx(r2, abs=2e-6)
+    flat = tbl["flat"]
+    assert flat["n"] == 3
+    assert flat["slope"] is None and flat["intercept"] is None
+    assert flat["r2"] is None
