@@ -4639,15 +4639,17 @@ def oracle_sql() -> dict[str, str]:
             j AS (
                 SELECT lc.k AS k, cl * cr AS p FROM lc JOIN rc USING (k)
             )
-            SELECT (SELECT CAST(sum(cl) AS BIGINT) FROM lc) AS n_left,
-                   (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS n_right,
+            SELECT (SELECT CAST(COALESCE(sum(cl), 0) AS BIGINT) FROM lc)
+                       AS n_left,
+                   (SELECT CAST(COALESCE(sum(cr), 0) AS BIGINT) FROM rc)
+                       AS n_right,
                    (SELECT CAST(count(*) AS BIGINT) FROM lc)
                        AS n_keys_left,
                    (SELECT CAST(count(*) AS BIGINT) FROM rc)
                        AS n_keys_right,
                    CAST(count(*) AS BIGINT) AS n_common_keys,
-                   CAST(sum(p) AS BIGINT) AS join_rows,
-                   CAST(max(p) AS BIGINT) AS max_key_rows,
+                   CAST(COALESCE(sum(p), 0) AS BIGINT) AS join_rows,
+                   CAST(COALESCE(max(p), 0) AS BIGINT) AS max_key_rows,
                    (SELECT min(k) FROM j
                     WHERE p = (SELECT max(p) FROM j)) AS max_key
             FROM j

@@ -59,6 +59,8 @@ def cmd_run(args: argparse.Namespace) -> None:
             overrides["dedup"] = args.dedup
         if args.dedup_min_jaccard is not None:
             overrides["dedup_min_jaccard"] = args.dedup_min_jaccard
+        if args.dedup_edit_k is not None:
+            overrides["dedup_edit_k"] = args.dedup_edit_k
         config = load_config(args.config, **overrides)
     else:
         config = KGConfig(
@@ -68,6 +70,9 @@ def cmd_run(args: argparse.Namespace) -> None:
             dedup=args.dedup or "",
             dedup_min_jaccard=(
                 args.dedup_min_jaccard if args.dedup_min_jaccard is not None else 0.8
+            ),
+            dedup_edit_k=(
+                args.dedup_edit_k if args.dedup_edit_k is not None else 2
             ),
         )
     summary = run_kg_job(
@@ -259,6 +264,8 @@ def main(argv=None) -> None:
                        help="checkpointed dedup stage between annotate and graph")
     p_run.add_argument("--dedup-min-jaccard", type=float, default=None,
                        help="near-dup verification threshold (minhash)")
+    p_run.add_argument("--dedup-edit-k", type=int, default=None,
+                       help="Levenshtein radius (edit dedup)")
     p_run.set_defaults(fn=cmd_run)
 
     p_train = sub.add_parser("train", help="train the tagger on a CoNLL folder")

@@ -45,6 +45,8 @@ def load_config(path: str, **overrides) -> KGConfig:
             kwargs["dedup"] = sec.get("dedup")
         if "dedup_min_jaccard" in sec:
             kwargs["dedup_min_jaccard"] = sec.getfloat("dedup_min_jaccard")
+        if "dedup_edit_k" in sec:
+            kwargs["dedup_edit_k"] = sec.getint("dedup_edit_k")
     if parser.has_section("gazetteer") and parser["gazetteer"]:
         kwargs["surfaces"] = {
             surface: label.strip().upper()
@@ -65,6 +67,7 @@ def save_config(config: KGConfig, path: str) -> str:
         "batch_size": "" if config.batch_size is None else str(config.batch_size),
         "dedup": config.dedup,
         "dedup_min_jaccard": str(config.dedup_min_jaccard),
+        "dedup_edit_k": str(config.dedup_edit_k),
     }
     parser["gazetteer"] = {s: l for s, l in sorted(config.surfaces.items())}
     with open(path, "w") as f:

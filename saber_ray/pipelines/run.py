@@ -733,6 +733,7 @@ def asdict_like(config: KGConfig) -> dict:
         "batch_size": config.batch_size,
         "dedup": config.dedup,
         "dedup_min_jaccard": config.dedup_min_jaccard,
+        "dedup_edit_k": config.dedup_edit_k,
         # hash bundle CONTENTS, not the path: retrained weights at the
         # same path must invalidate completed partitions
         "bundle_digest": _bundle_digest(config.bundle_path),

@@ -1718,6 +1718,11 @@ def edit_dup_dropped_ids(
     keep-min survivor policy as ``near_dup_dropped_ids`` — pairs come
     sorted ``id_a < id_b``, so the distinct ``id_b`` set keeps the
     smallest id of each chain. Output column is always ``doc_id``."""
+    # materialize once: the variant-band scan and the payload join are
+    # two independent consumers of the doc stream, and Ray re-executes
+    # derived lineage per consumer (the hazard near_dup_dropped_ids
+    # documents) — without this the staged read + text join runs twice
+    docs = docs.materialize()
     pairs = edit_distance_pairs(
         docs, k=k, prefix=prefix, column=column, id_column=id_column,
         max_bucket=max_bucket,

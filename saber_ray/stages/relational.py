@@ -2832,7 +2832,10 @@ def grouped_regression(
         ok_x = ssx > 0
         slope = np.where(ok_x, slope, np.nan)
         intercept = np.where(ok_x, intercept, np.nan)
-        r2 = np.where(ok_x & (ssy > 0), r2, np.nan)
+        # DuckDB regr_r2 for var(y)=0 with var(x)>0 is 1.0 (the fit is
+        # exact), not NULL — verified against duckdb directly
+        r2 = np.where(ok_x & (ssy > 0), r2,
+                      np.where(ok_x & (ssy == 0), 1.0, np.nan))
 
         def r6(v):
             return pc.round(

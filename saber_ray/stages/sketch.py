@@ -512,13 +512,24 @@ def join_cardinality_report(
                 "mx": pa.array([], type=pa.int64()),
                 "mk": batch["k"].slice(0, 0),
             })
-        prod = pc.multiply(pc.cast(batch["cl"], pa.int64()),
-                           pc.cast(batch["cr"], pa.int64()))
+        # checked multiply: a hot key with ~4e9 rows on each side puts
+        # cl*cr past int64 — wrapping silently would corrupt exactly
+        # the blowup this diagnostic exists to catch; raising is right
+        prod = pc.multiply_checked(pc.cast(batch["cl"], pa.int64()),
+                                   pc.cast(batch["cr"], pa.int64()))
         mx = pc.max(prod).as_py()
         ties = batch["k"].filter(pc.equal(prod, mx))
+        # Python-int sum: the per-batch total of int64 products can
+        # itself exceed int64; arbitrary precision here, overflow is
+        # then impossible until the (float64-exact-enough) driver fold
+        total = sum(prod.to_pylist())
+        if total > 2**63 - 1:
+            raise OverflowError(
+                f"join cardinality exceeds int64 ({total}) — the join "
+                "this diagnoses is infeasible as written")
         return pa.table({
             "keys": pa.array([batch.num_rows], type=pa.int64()),
-            "rows": pa.array([pc.sum(prod).as_py()], type=pa.int64()),
+            "rows": pa.array([total], type=pa.int64()),
             "mx": pa.array([mx], type=pa.int64()),
             "mk": pa.array([pc.min(ties).as_py()], type=batch["k"].type),
         })

@@ -193,6 +193,7 @@ def test_ini_config_roundtrip(tmp_path):
     from saber_ray.pipelines.kg import KGConfig
 
     cfg = KGConfig(same_sentence=False, num_salts=8, batch_size=128,
+                   dedup="edit", dedup_edit_k=1,
                    surfaces={"p53": "PRGE", "glucose": "CHED"})
     path = save_config(cfg, str(tmp_path / "c.ini"))
     loaded = load_config(path)
@@ -200,6 +201,7 @@ def test_ini_config_roundtrip(tmp_path):
     assert loaded.num_salts == 8
     assert loaded.batch_size == 128
     assert loaded.surfaces == {"p53": "PRGE", "glucose": "CHED"}
+    assert loaded.dedup == "edit" and loaded.dedup_edit_k == 1
     # CLI-style override wins
     assert load_config(path, num_salts=4).num_salts == 4
 

@@ -1206,3 +1206,9 @@ def test_grouped_regression_matches_numpy():
     assert flat["n"] == 3
     assert flat["slope"] is None and flat["intercept"] is None
     assert flat["r2"] is None
+    # constant-y group: DuckDB regr_r2 is 1.0 (exact fit), not NULL
+    consty = rd.from_arrow(pa.Table.from_pylist(
+        [{"g": "c", "x": float(i), "y": 5.0} for i in range(4)]))
+    row = grouped_regression(consty, "g", "x", "y").take_all()[0]
+    assert row["slope"] == 0.0 and row["intercept"] == 5.0
+    assert row["r2"] == 1.0
