@@ -106,3 +106,70 @@ def test_span_hash_order_and_content_sensitivity(spans):
 def test_stable_u64_deterministic(s):
     assert stable_u64(s) == stable_u64(s)
     assert 0 <= stable_u64(s) < 2**64
+
+
+# ---- edit-distance near-dup pure kernels (stages/dedup.py) ----
+
+_word_st = st.text(alphabet="abcx ", min_size=0, max_size=12)
+
+
+@given(_word_st, _word_st, st.integers(min_value=1, max_value=3))
+@settings(max_examples=300, deadline=None)
+def test_lev_banded_triangle_and_symmetry(a, b, k):
+    from saber_ray.stages.dedup import _lev_banded
+
+    d_ab = _lev_banded(a, b, k)
+    d_ba = _lev_banded(b, a, k)
+    assert d_ab == d_ba                       # symmetry
+    assert 0 <= d_ab <= k + 1
+    if a == b:
+        assert d_ab == 0
+    if d_ab == 0:
+        assert a == b                          # identity of indiscernibles
+
+
+@given(_word_st, _word_st)
+@settings(max_examples=200, deadline=None)
+def test_deletion_neighborhood_complete(a, b):
+    """The SymSpell pigeonhole: lev(a,b) <= 2 implies a shared
+    <=2-deletion variant hash (the blocking can never miss a pair)."""
+    import pyarrow as pa
+
+    from saber_ray.stages.dedup import _lev_banded, _variant_rows
+
+    if not a or not b:
+        return
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array([a, b], type=pa.string()),
+    })
+    rows = _variant_rows(tbl, "text", "doc_id", 2, 24)
+    ids = rows["doc_id"].to_pylist()
+    vhs = rows["vh"].to_pylist()
+    va = {h for h, i in zip(vhs, ids) if i == 0}
+    vb = {h for h, i in zip(vhs, ids) if i == 1}
+    # keys are normalized first — compare on the normalized forms
+    from saber_ray.stages.dedup import normalized_prefix
+
+    na = normalized_prefix(pa.array([a]), 24)[0].as_py()
+    nb = normalized_prefix(pa.array([b]), 24)[0].as_py()
+    if na and nb and _lev_banded(na, nb, 2) <= 2:
+        assert va & vb, (a, b, na, nb)
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False), min_size=1, max_size=40),
+       st.sampled_from([0.125, 0.25, 0.5, 0.75]))
+@settings(max_examples=150, deadline=None)
+def test_ewma_fold_bounds(values, alpha):
+    """EWMA state always lies within [min(values), max(values)] and a
+    constant series is a fixed point."""
+    acc = None
+    for v in values:
+        acc = v if acc is None else acc * (1 - alpha) + v * alpha
+    assert min(values) - 1e-6 <= acc <= max(values) + 1e-6
+    const = values[0]
+    acc2 = None
+    for _ in values:
+        acc2 = const if acc2 is None else acc2 * (1 - alpha) + const * alpha
+    assert acc2 == const
