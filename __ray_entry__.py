@@ -1161,7 +1161,19 @@ def _strong_demo_edges(sf_dir: str, frac: float = 0.92):
 def _q_kg_k_core(sf_dir: str):
     from saber_ray.stages.graph import k_core
 
-    return k_core(_strong_demo_edges(sf_dir), k=3)
+    out = k_core(_strong_demo_edges(sf_dir), k=3)
+    # Ray's Dataset.to_pandas() on a ZERO-block dataset returns a
+    # column-less frame (schema() is fine, the conversion isn't) — an
+    # empty k-core (tiny corpora) would fail any schema comparison, so
+    # hand back a typed empty Arrow table instead
+    if out.count() == 0:
+        import pyarrow as _pa
+
+        names = out.schema().names
+        types = out.schema().types
+        return _pa.table({n: _pa.array([], type=t)
+                          for n, t in zip(names, types)})
+    return out
 
 
 def _q_kg_bfs_depths(sf_dir: str):

@@ -1971,7 +1971,11 @@ def nation_pair_volume(
         lambda b: b.filter(pc.is_in(b["c_nationkey"], value_set=pair_keys))
         .select(["c_custkey", "c_nationkey"]),
         batch_format="pyarrow",
-    )
+    # rebuilt uniform blocks before the join: the pair filter leaves
+    # some blocks empty, and Ray 2.49's hash join loses FieldRef
+    # resolution on schema-less empty partitions (the k_hop_pairs
+    # quirk) — visible at tiny scale where whole blocks filter away
+    ).repartition(2).materialize()
     n_parts = shuffle_partitions(8, orders)
     cust_nat = orders.join(
         cust_pair, join_type="inner", num_partitions=n_parts,
