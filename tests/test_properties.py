@@ -158,7 +158,8 @@ def test_deletion_neighborhood_complete(a, b):
 
 
 @given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
-                          allow_nan=False), min_size=1, max_size=40),
+                          allow_nan=False, allow_subnormal=False),
+                min_size=1, max_size=40),
        st.sampled_from([0.125, 0.25, 0.5, 0.75]))
 @settings(max_examples=150, deadline=None)
 def test_ewma_fold_bounds(values, alpha):
