@@ -1572,6 +1572,15 @@ def _q_kg_edges(sf_dir: str):
     return demo_edges(sf_dir)
 
 
+def _q_kg_edge_pmi(sf_dir: str):
+    # PMI re-weighting of the co-occurrence edges: endpoint-explode
+    # marginals + one scalar total, two barrier-separated hash joins
+    from saber_ray.pipelines.demo import demo_edges
+    from saber_ray.stages.graph import edge_pmi
+
+    return edge_pmi(demo_edges(sf_dir))
+
+
 def _q_sample_hash(sf_dir: str):
     from saber_ray.sources.testdata import read_documents_flat
     from saber_ray.stages.sampling import sample_hash
@@ -2444,6 +2453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
+        "kg_edge_pmi": _q_kg_edge_pmi,
         "kg_degrees": _q_kg_degrees,
         "kg_top_edges": _q_kg_top_edges,
         "kg_two_hop": _q_kg_two_hop,
@@ -4240,6 +4250,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj AS src, pred, obj AS dst, CAST(sum(n) AS BIGINT) AS support
             FROM trip
             GROUP BY 1, 2, 3
+        """,
+        "kg_edge_pmi": f"""
+            {triples_cte},
+            e AS (
+                SELECT subj AS src, obj AS dst,
+                       CAST(sum(n) AS BIGINT) AS support
+                FROM trip GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT node_id, CAST(sum(w) AS BIGINT) AS m FROM (
+                    SELECT src AS node_id, support AS w FROM e
+                    UNION ALL
+                    SELECT dst AS node_id, support AS w FROM e
+                ) GROUP BY 1
+            ),
+            t AS (SELECT CAST(sum(support) AS BIGINT) AS total FROM e)
+            SELECT e.src, e.dst, e.support,
+                   round(ln(e.support * t.total / (ms.m * md.m)), 6)
+                       AS pmi
+            FROM e
+            JOIN m ms ON ms.node_id = e.src
+            JOIN m md ON md.node_id = e.dst
+            CROSS JOIN t
+            ORDER BY e.src, e.dst
         """,
         "kg_degrees": f"""
             {triples_cte},

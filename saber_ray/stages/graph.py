@@ -1402,3 +1402,79 @@ def random_walks(
         )
         out = out.union(stamp(cur, step))
     return out
+
+
+def edge_pmi(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+    """Pointwise-mutual-information weighting of the co-occurrence
+    edges: ``pmi = ln(support·T / (m_src·m_dst))`` with T the total
+    support mass and m_x a node's incident support sum — the standard
+    re-weighting that damps hub nodes so edge strength reflects
+    ASSOCIATION, not popularity (Church & Hanks 1990).
+
+    Returns (src, dst, support, pmi), pmi rounded to 6.
+
+    Scale shape: marginals are ONE endpoint-explode + groupby(node)
+    (rows = 2·edges of (node, support)); T is a per-batch scalar
+    partial; the two marginal joins run against the node-count-sized
+    marginal table with the repo's empty-block barrier between them.
+    Arithmetic is float64 in SQL evaluation order (support·T first,
+    then the marginal product divide) for oracle parity.
+    """
+    import pyarrow.compute as pc
+
+    edges = edges.select_columns(["src", "dst", "support"]).materialize()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        def arr(c):
+            col = batch[c]
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        s = pc.cast(batch["support"], pa.int64())
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        return pa.table({
+            "node_id": pa.concat_arrays([arr("src"), arr("dst")]),
+            "w": pa.concat_arrays([s, s]),
+        })
+
+    marg = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node_id").sum("w")
+        .rename_columns({"sum(w)": "m"})
+        .repartition(max(2, num_partitions // 2)).materialize()
+    )
+    total = sum(
+        r["t"] for r in edges.map_batches(
+            lambda b: pa.table({"t": pa.array(
+                [pc.sum(pc.cast(b["support"], pa.int64())).as_py() or 0],
+                type=pa.int64())}),
+            batch_format="pyarrow").take_all()
+    )
+
+    m_src = marg.rename_columns({"node_id": "src", "m": "m_src"})
+    m_dst = marg.rename_columns({"node_id": "dst", "m": "m_dst"})
+    joined = (
+        edges.join(m_src, join_type="inner",
+                   num_partitions=num_partitions, on=("src",))
+        .repartition(max(2, num_partitions // 2)).materialize()
+        .join(m_dst, join_type="inner",
+              num_partitions=num_partitions, on=("dst",))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        sup = np.asarray(batch["support"].combine_chunks(),
+                         dtype=np.float64)
+        ms = np.asarray(batch["m_src"].combine_chunks(), dtype=np.float64)
+        md = np.asarray(batch["m_dst"].combine_chunks(), dtype=np.float64)
+        pmi = np.log((sup * float(total)) / (ms * md))
+        return pa.table({
+            "src": batch["src"],
+            "dst": batch["dst"],
+            "support": pc.cast(batch["support"], pa.int64()),
+            "pmi": pc.round(pa.array(pmi, type=pa.float64()), 6,
+                            round_mode="half_towards_infinity"),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort(
+        ["src", "dst"])

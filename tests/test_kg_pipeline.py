@@ -589,3 +589,31 @@ def test_pagerank_integer_node_ids_local_path():
     dist = {r["node"]: r["rank"]
             for r in pagerank(edges, iterations=3, local_threshold=0).take_all()}
     assert local == dist and set(local) == {1, 2, 3}
+
+
+def test_edge_pmi_hand_computed():
+    """Triangle with one hub: PMI must damp the hub's edges. Hand
+    formula: pmi = ln(support·T / (m_src·m_dst)) with m = incident
+    support sum and T the total support mass."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.graph import edge_pmi
+
+    edges = rd.from_arrow(pa.table({
+        "src": ["hub", "hub", "a"],
+        "dst": ["a", "b", "b"],
+        "support": pa.array([6, 3, 1], type=pa.int64()),
+    }))
+    out = {(r["src"], r["dst"]): (r["support"], r["pmi"])
+           for r in edge_pmi(edges).take_all()}
+    T = 10.0
+    m = {"hub": 9.0, "a": 7.0, "b": 4.0}
+    expect = {
+        ("hub", "a"): (6, round(math.log(6 * T / (m["hub"] * m["a"])), 6)),
+        ("hub", "b"): (3, round(math.log(3 * T / (m["hub"] * m["b"])), 6)),
+        ("a", "b"): (1, round(math.log(1 * T / (m["a"] * m["b"])), 6)),
+    }
+    assert out == expect
