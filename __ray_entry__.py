@@ -1465,6 +1465,17 @@ def _q_embedding_dim_stats(sf_dir: str):
     return dim_stats(read_table(sf_dir, "embeddings", columns=["embedding"]))
 
 
+def _q_embedding_dim_stats_by_label(sf_dir: str):
+    # drift report: per-label per-dimension mean/std from grouped
+    # (n, Σx, Σx²) partials — a handful of 2d+1-float rows per batch
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.decompose import grouped_dim_stats
+
+    return grouped_dim_stats(
+        read_table(sf_dir, "embeddings", columns=["label", "embedding"]),
+        group_column="label")
+
+
 def _q_embedding_covariance(sf_dir: str):
     # upper-triangle covariance of the leading 8 dims, sliced from the
     # same d×d single-pass sketch that pca_fit eigendecomposes
@@ -2407,6 +2418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_random_walks": _q_kg_random_walks,
         "embedding_quantize": _q_embedding_quantize,
         "embedding_dim_stats": _q_embedding_dim_stats,
+        "embedding_dim_stats_by_label": _q_embedding_dim_stats_by_label,
         "embedding_covariance": _q_embedding_covariance,
         "dedup_edit_pairs": _q_edit_pairs,
         "key_skew": _q_key_skew,
@@ -4749,6 +4761,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings)
             GROUP BY dim
             ORDER BY dim
+        """,
+        "embedding_dim_stats_by_label": """
+            SELECT label, dim, round(avg(v), 6) AS mean,
+                   round(stddev_samp(v), 6) AS std
+            FROM (SELECT label,
+                         unnest(range(len(embedding))) AS dim,
+                         unnest(embedding) AS v
+                  FROM embeddings
+                  WHERE label IS NOT NULL)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "embedding_covariance": """
             WITH u AS (

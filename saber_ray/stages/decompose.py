@@ -207,3 +207,89 @@ def covariance_table(
         "cov": pc.round(pa.array(cov[ii, jj], type=pa.float64()), 6,
                         round_mode="half_towards_infinity"),
     })
+
+
+def grouped_dim_stats(
+    ds: rd.Dataset,
+    group_column: str = "label",
+    column: str = "embedding",
+) -> pa.Table:
+    """Per-group per-dimension mean/std — the embedding drift report
+    (compare a source's or time-slice's distribution against the
+    corpus). Returns (group, dim, mean, std) rounded to 6, dim 0-based;
+    single-row groups get SQL-NULL std.
+
+    Scale shape: each batch emits one (n, Σx, Σx²) row PER GROUP
+    PRESENT (2d+1 floats each — groups are categorical, so this is a
+    handful of rows per batch); the tiny partial stream folds
+    driver-side. Null groups are excluded (the repo-wide convention).
+    """
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[group_column]
+        batch = batch.filter(pc.is_valid(col))
+        groups, ns, ss, sqs = [], [], [], []
+        if batch.num_rows:
+            mat = _stack(batch[column])
+            keys = batch[group_column].to_pylist()
+            import numpy as np
+
+            uniq, inv = np.unique(np.asarray(keys), return_inverse=True)
+            for gi, g in enumerate(uniq):
+                sub = mat[inv == gi]
+                groups.append(g.item() if hasattr(g, "item") else g)
+                ns.append(sub.shape[0])
+                ss.append(sub.sum(axis=0).tolist())
+                sqs.append((sub * sub).sum(axis=0).tolist())
+        gtype = batch.schema.field(group_column).type
+        return pa.table({
+            # typed from the source column: inference would widen int32
+            # labels to int64 and mismatch the empty-batch schema
+            group_column: pa.array(groups, type=gtype),
+            "n": pa.array(ns, type=pa.int64()),
+            "s": pa.array(ss, type=pa.list_(pa.float64())),
+            "ss": pa.array(sqs, type=pa.list_(pa.float64())),
+        }) if groups else pa.table({
+            group_column: batch[group_column].slice(0, 0),
+            "n": pa.array([], type=pa.int64()),
+            "s": pa.array([], type=pa.list_(pa.float64())),
+            "ss": pa.array([], type=pa.list_(pa.float64())),
+        })
+
+    rows = ds.select_columns([group_column, column]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for r in rows:
+        g = r[group_column]
+        n, s, ss = acc.get(g, (0, None, None))
+        rs = np.asarray(r["s"], dtype=np.float64)
+        rss = np.asarray(r["ss"], dtype=np.float64)
+        acc[g] = (n + int(r["n"]),
+                  rs if s is None else s + rs,
+                  rss if ss is None else ss + rss)
+    if not acc:
+        raise ValueError("grouped_dim_stats over an empty dataset")
+    out_g, out_d, out_m, out_s = [], [], [], []
+    for g in sorted(acc):
+        n, s, ss = acc[g]
+        d = s.shape[0]
+        mean = s / n
+        if n < 2:
+            std = [None] * d
+        else:
+            var = (ss - n * mean * mean) / (n - 1)
+            std = np.sqrt(np.maximum(var, 0.0)).tolist()
+        out_g.extend([g] * d)
+        out_d.extend(range(d))
+        out_m.extend(mean.tolist())
+        out_s.extend(std)
+    return pa.table({
+        group_column: pa.array(out_g),
+        "dim": pa.array(out_d, type=pa.int64()),
+        "mean": pc.round(pa.array(out_m, type=pa.float64()), 6,
+                         round_mode="half_towards_infinity"),
+        "std": pc.round(pa.array(out_s, type=pa.float64(),
+                                 from_pandas=True), 6,
+                        round_mode="half_towards_infinity"),
+    })

@@ -109,3 +109,39 @@ def test_pca_errors():
     ds, _ = _make_ds(n=10, d=4)
     with pytest.raises(ValueError, match="out of range"):
         pca_fit(ds, k=9)
+
+
+def test_grouped_dim_stats_matches_numpy():
+    import numpy as np
+
+    from saber_ray.stages.decompose import grouped_dim_stats
+
+    rng = np.random.default_rng(9)
+    n, d = 150, 6
+    labels = rng.integers(0, 3, n).astype(np.int32)
+    mat = rng.normal(size=(n, d)) + labels[:, None]  # shifted per group
+    tbl = pa.table({
+        "label": pa.array(labels),
+        "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+    })
+    out = grouped_dim_stats(
+        rd.from_arrow(tbl).repartition(5), group_column="label"
+    ).to_pandas()
+    mat64 = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    assert len(out) == 3 * d
+    for g in range(3):
+        sub = mat64[labels == g]
+        rows = out[out["label"] == g].sort_values("dim")
+        np.testing.assert_allclose(
+            rows["mean"], np.round(sub.mean(axis=0), 6), atol=2e-6)
+        np.testing.assert_allclose(
+            rows["std"], np.round(sub.std(axis=0, ddof=1), 6), atol=2e-6)
+    # single-row group: std is NULL; null labels are excluded
+    tbl2 = pa.table({
+        "label": pa.array([1, None], type=pa.int32()),
+        "embedding": pa.array([[1.0, 2.0], [9.0, 9.0]],
+                              type=pa.list_(pa.float32())),
+    })
+    out2 = grouped_dim_stats(rd.from_arrow(tbl2), group_column="label")
+    assert out2.num_rows == 2
+    assert not out2["std"][0].is_valid and not out2["std"][1].is_valid
