@@ -145,3 +145,28 @@ def test_grouped_dim_stats_matches_numpy():
     out2 = grouped_dim_stats(rd.from_arrow(tbl2), group_column="label")
     assert out2.num_rows == 2
     assert not out2["std"][0].is_valid and not out2["std"][1].is_valid
+
+
+def test_pca_on_testdata_embeddings():
+    """End-to-end on the driver-generated table: the distributed sketch
+    fit must equal a full in-memory numpy PCA of the same vectors."""
+    import os
+
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        pytest.skip("testdata not present")
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    ds = rd.from_arrow(tbl).repartition(4)
+    model = pca_fit(ds, k=5)
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    mean, evals, evecs = _numpy_pca(mat, 5)
+    np.testing.assert_allclose(model.mean, mean, atol=1e-9)
+    np.testing.assert_allclose(model.eigenvalues, evals, rtol=1e-7)
+    for i in range(5):
+        assert abs(float(model.components[i] @ evecs[i])) == pytest.approx(
+            1.0, abs=1e-7)
+    assert model.n == tbl.num_rows
