@@ -511,7 +511,7 @@ def simhash_near_pairs(
     num_tables: int = 4,
     column: str = "text",
     id_column: str = "doc_id",
-    max_bucket: int = 64,
+    max_bucket: int = 1024,
 ) -> rd.Dataset:
     """Near-dup pairs by SimHash: bucket on each 16-bit band (4 tables →
     any pair within Hamming distance 3 shares at least one exact band by
@@ -525,6 +525,13 @@ def simhash_near_pairs(
     signature holds at most four 16-bit bands (a fifth band key would
     be the constant 0, funneling the corpus into one dropped bucket) —
     that config is an error.
+
+    ``max_bucket`` default: 16-bit bands collide QUADRATICALLY with
+    corpus size (a band carries 65,536 keys, so 5k docs already push
+    popular buckets near 300 members — measured at sf0.1, where a cap
+    of 64 silently cost 25 true pairs), so the simhash cap is 1024
+    (≤ C(1024,2) ≈ 524k verified candidates per degenerate bucket)
+    rather than the 64 that fits MinHash's much wider band keyspace.
     """
     if not 1 <= num_tables <= 4:
         raise ValueError(
