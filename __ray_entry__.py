@@ -1161,7 +1161,10 @@ def _strong_demo_edges(sf_dir: str, frac: float = 0.92):
 def _q_kg_k_core(sf_dir: str):
     from saber_ray.stages.graph import k_core
 
-    out = k_core(_strong_demo_edges(sf_dir), k=3)
+    # materialized BEFORE count(): counting an unmaterialized dataset
+    # executes the degree-groupby tail once and discards the blocks,
+    # then the consumer re-executes it (double lineage execution)
+    out = k_core(_strong_demo_edges(sf_dir), k=3).materialize()
     # Ray's Dataset.to_pandas() on a ZERO-block dataset returns a
     # column-less frame (schema() is fine, the conversion isn't) — an
     # empty k-core (tiny corpora) would fail any schema comparison, so

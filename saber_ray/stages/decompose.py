@@ -257,6 +257,9 @@ def grouped_dim_stats(
             "ss": pa.array([], type=pa.list_(pa.float64())),
         })
 
+    from ..functions.arrowtypes import arrow_types
+
+    gtype = arrow_types(ds)[group_column]
     rows = ds.select_columns([group_column, column]).map_batches(
         partial, batch_format="pyarrow").take_all()
     acc: dict = {}
@@ -269,7 +272,16 @@ def grouped_dim_stats(
                   rs if s is None else s + rs,
                   rss if ss is None else ss + rss)
     if not acc:
-        raise ValueError("grouped_dim_stats over an empty dataset")
+        # empty input OR all-null group keys: the oracle's
+        # `WHERE label IS NOT NULL` yields an empty table, not an error
+        import pyarrow.compute as pc
+
+        return pa.table({
+            group_column: pa.array([], type=gtype),
+            "dim": pa.array([], type=pa.int64()),
+            "mean": pa.array([], type=pa.float64()),
+            "std": pa.array([], type=pa.float64()),
+        })
     out_g, out_d, out_m, out_s = [], [], [], []
     for g in sorted(acc):
         n, s, ss = acc[g]
@@ -285,7 +297,8 @@ def grouped_dim_stats(
         out_m.extend(mean.tolist())
         out_s.extend(std)
     return pa.table({
-        group_column: pa.array(out_g),
+        # typed, not inferred: inference widens int32 labels to int64
+        group_column: pa.array(out_g, type=gtype),
         "dim": pa.array(out_d, type=pa.int64()),
         "mean": pc.round(pa.array(out_m, type=pa.float64()), 6,
                          round_mode="half_towards_infinity"),

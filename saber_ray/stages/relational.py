@@ -1965,7 +1965,12 @@ def nation_pair_volume(
         return t.group_by(
             ["l_orderkey", "supp_nation", "l_year"]).aggregate([("volume", "sum")])
 
-    line_rev = lineitem.map_batches(line_partial, batch_format="pyarrow")
+    # same empty-block barrier as cust_pair below: the date window plus
+    # the two-nation suppkey prune can leave whole lineitem blocks
+    # empty, poisoning the downstream join's FieldRef resolution
+    line_rev = lineitem.map_batches(
+        line_partial, batch_format="pyarrow"
+    ).repartition(4).materialize()
 
     cust_pair = customer.map_batches(
         lambda b: b.filter(pc.is_in(b["c_nationkey"], value_set=pair_keys))

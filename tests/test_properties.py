@@ -163,14 +163,19 @@ def test_deletion_neighborhood_complete(a, b):
        st.sampled_from([0.125, 0.25, 0.5, 0.75]))
 @settings(max_examples=150, deadline=None)
 def test_ewma_fold_bounds(values, alpha):
-    """EWMA state always lies within [min(values), max(values)] and a
-    constant series is a fixed point."""
+    """The pandas ewm(adjust=False) kernel — the exact cython scan
+    ewma_by_key runs per bucket — must equal the recursive definition
+    bit-for-bit on arbitrary series, stay within [min, max], and treat
+    a constant series as a fixed point."""
+    import pandas as pd
+
     acc = None
     for v in values:
         acc = v if acc is None else acc * (1 - alpha) + v * alpha
-    assert min(values) - 1e-6 <= acc <= max(values) + 1e-6
-    const = values[0]
-    acc2 = None
-    for _ in values:
-        acc2 = const if acc2 is None else acc2 * (1 - alpha) + const * alpha
-    assert acc2 == const
+    kernel = float(
+        pd.Series(values).ewm(alpha=alpha, adjust=False).mean().iloc[-1])
+    assert kernel == acc  # bit-identical to the definitional fold
+    assert min(values) - 1e-6 <= kernel <= max(values) + 1e-6
+    const = pd.Series([values[0]] * len(values))
+    assert float(
+        const.ewm(alpha=alpha, adjust=False).mean().iloc[-1]) == values[0]
