@@ -46,6 +46,32 @@ _WORD_RE = re.compile(TOKEN_PATTERN)
 #: never cross word boundaries (the classic formulation)
 EOW = "▁"
 
+#: Frozen "pretrained" merge list — ``learn_bpe`` over the sf0.001
+#: documents word-frequency dict with ``num_merges=48`` (deterministic;
+#: regenerate with ``learn_bpe(freq, 48)``). A fixed merge table is the
+#: realistic artifact a production pipeline ships (a tokenizer is
+#: trained once, applied to every corpus); freezing it also makes the
+#: APPLY path SQL-oracle-able corpus-independently. Invariants the
+#: oracle relies on (asserted in ``tests/test_bpe.py``): every created
+#: symbol string is distinct, none collides with a base symbol, so
+#: greedy lowest-rank application (``encode_word``) is equivalent to
+#: applying merges in rank order, each exhaustively left-to-right —
+#: which is what a chain of SQL ``replace()`` steps computes.
+PRETRAINED_MERGES: list[tuple[str, str]] = [
+    ("e", "r▁"), ("o", "w▁"), ("o", "r"), ("l", "u"), ("i", "n"),
+    ("p", "a"), ("pa", "r"), ("e", "r"), ("a", "s"), ("t", "o"),
+    ("a", "t"), ("s", "c"), ("sc", "a"), ("sca", "n▁"), ("o", "lu"),
+    ("olu", "m"), ("olum", "n▁"), ("c", "olumn▁"), ("w", "in"),
+    ("win", "d"), ("wind", "ow▁"), ("or", "d"), ("ord", "er▁"),
+    ("s", "or"), ("sor", "t▁"), ("u", "p▁"), ("par", "t▁"),
+    ("g", "g▁"), ("a", "gg▁"), ("v", "a"), ("va", "lu"),
+    ("valu", "e▁"), ("l", "in"), ("lin", "e▁"), ("k", "e"),
+    ("ke", "y▁"), ("o", "i"), ("oi", "n▁"), ("j", "oin▁"),
+    ("m", "er"), ("mer", "g"), ("merg", "e▁"), ("u", "er"),
+    ("uer", "y▁"), ("r", "o"), ("ro", "up▁"), ("q", "uery▁"),
+    ("g", "roup▁"),
+]
+
 
 def learn_bpe(word_freq: dict[str, int], num_merges: int) -> list[tuple[str, str]]:
     """Classic BPE merge learning over a word-frequency dict.

@@ -420,12 +420,24 @@ def top_n_per_group(
     grouped-limit every curation pipeline needs and Ray Data has no
     native operator for.
 
-    Same two-phase shape as ``stratified_sample``: each batch locally
-    prunes to <= n candidate rows per group it sees (vectorized sort +
-    one scan), then ONE ``groupby(group).map_groups`` merges candidates
-    — the shuffle moves O(n x batches) key rows, never the corpus.
-    Returns ``(group_column, id_column, value_column)``.
+    Two-phase with a BUCKETED merge: each batch locally prunes to <= n
+    candidate rows per group it sees (vectorized sort + run-length
+    ranks), then the merge shuffles candidates by ``hash(group) % P``
+    and runs ONE vectorized pandas ``sort_values().groupby().head(n)``
+    per BUCKET. The shuffle still moves only O(n x batches) key rows,
+    and — unlike a ``groupby(group).map_groups`` merge, which makes one
+    Python/pandas call per DISTINCT group — the merge cost is bounded by
+    P (cluster-derived), not by group cardinality. That matters because
+    ``tfidf_top_terms`` keys this on ``doc_id``: corpus-cardinality
+    groups, i.e. billions of per-group pandas frames at 100 TB under
+    the old shape. Returns ``(group_column, id_column, value_column)``.
     """
+    import numpy as np
+
+    from ..functions.partitioning import shuffle_partitions
+    from .relational import _key_buckets
+
+    nb = shuffle_partitions(16)
 
     def local_candidates(batch: pa.Table) -> pa.Table:
         sub = batch.select([group_column, id_column, value_column])
@@ -435,22 +447,37 @@ def top_n_per_group(
                        (id_column, "ascending")],
         )
         sub = sub.take(idx)
-        groups = sub[group_column].to_pylist()
-        keep, seen = [], {}
-        for i, g in enumerate(groups):
-            c = seen.get(g, 0)
-            if c < n:
-                keep.append(i)
-                seen[g] = c + 1
-        return sub.take(pa.array(keep, type=pa.int64()))
+        m = len(sub)
+        if m > 1:
+            g = sub[group_column]
+            if isinstance(g, pa.ChunkedArray):
+                g = g.combine_chunks()
+            # rank within each group run: positions where the sorted key
+            # changes start a new run; rank = index - run_start
+            new_run = np.empty(m, dtype=bool)
+            new_run[0] = True
+            # null group values compare as null -> fill False -> every
+            # null row starts a run; over-keeping nulls is harmless (the
+            # merge still takes an exact head(n))
+            eq = pc.equal(g.slice(1), g.slice(0, m - 1)).fill_null(False)
+            new_run[1:] = ~eq.to_numpy(zero_copy_only=False)
+            run_start = np.maximum.accumulate(
+                np.where(new_run, np.arange(m), 0)
+            )
+            rank = np.arange(m) - run_start
+            sub = sub.filter(pa.array(rank < n))
+        return sub.append_column(
+            "__bucket", _key_buckets(sub, group_column, nb)
+        )
 
     def merge(df):
-        df = df.sort_values([value_column, id_column],
-                            ascending=[False, True]).head(n)
+        df = df.sort_values([group_column, value_column, id_column],
+                            ascending=[True, False, True])
+        df = df.groupby(group_column, sort=False).head(n)
         return df[[group_column, id_column, value_column]]
 
     cands = ds.map_batches(local_candidates, batch_format="pyarrow")
-    return cands.groupby(group_column).map_groups(merge, batch_format="pandas")
+    return cands.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
 def weighted_sample(

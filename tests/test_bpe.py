@@ -81,3 +81,55 @@ def test_bpe_counts_actor_pool_matches_tasks():
         .sort_values("doc_id")
     )
     assert a["n_bpe"].tolist() == b["n_bpe"].tolist()
+
+
+def _seq_apply(word, merges):
+    # rank-order exhaustive left-to-right apply — what the SQL oracle's
+    # chain of replace() steps computes
+    from saber_ray.stages.bpe import EOW
+
+    sym = [*word[:-1], word[-1] + EOW]
+    for a, b in merges:
+        out, j = [], 0
+        while j < len(sym):
+            if j + 1 < len(sym) and sym[j] == a and sym[j + 1] == b:
+                out.append(a + b)
+                j += 2
+            else:
+                out.append(sym[j])
+                j += 1
+        sym = out
+    return sym
+
+
+def test_pretrained_merges_alias_free():
+    # the SQL-oracle equivalence (greedy lowest-rank == rank-order
+    # exhaustive) relies on: every created symbol distinct, none
+    # colliding with a base symbol (single char, or char+EOW)
+    from saber_ray.stages.bpe import EOW, PRETRAINED_MERGES
+
+    created = [a + b for a, b in PRETRAINED_MERGES]
+    assert len(set(created)) == len(created)
+    assert not any(
+        len(s) == 1 or (len(s) == 2 and s.endswith(EOW)) for s in created
+    )
+
+
+def test_pretrained_greedy_equals_sequential():
+    import random
+
+    from saber_ray.stages.bpe import PRETRAINED_MERGES, encode_word
+
+    ranks = {tuple(p): i for i, p in enumerate(PRETRAINED_MERGES)}
+    corpus_words = [
+        "scan", "column", "window", "order", "sort", "group", "query",
+        "join", "merge", "value", "line", "key", "part", "agg",
+    ]
+    rng = random.Random(7)
+    rand_words = [
+        "".join(rng.choice("abcdefgjklmnopqrstuvwy0123")
+                for _ in range(rng.randint(1, 14)))
+        for _ in range(300)
+    ]
+    for w in corpus_words + rand_words:
+        assert encode_word(w, ranks) == _seq_apply(w, PRETRAINED_MERGES), w
