@@ -125,7 +125,9 @@ def _register_builtins() -> None:
                        batch_size=256, description="T1 gazetteer tagger"))
     register(StageSpec("neural_tagger", NeuralTagger, is_actor=True, batch_size=256,
                        description="T1 bundle-weighted tagger (set bundle_path; "
-                                   "num_gpus>0 schedules on GPU workers)"))
+                                   "num_gpus>0 schedules actors on GPU workers, "
+                                   "where backend='auto' selects the torch/CUDA "
+                                   "forward — numpy elsewhere)"))
     register(StageSpec("triples", emit_triples, description="A6 co-occurrence triples"))
     register(StageSpec("mentions", explode_mentions, description="mention explode"))
     register(StageSpec("media_decode_fake", FakeMediaDecoder, is_actor=True,

@@ -104,10 +104,39 @@ class NeuralTagger:
     annotates one Arrow batch of interleaved documents.
     """
 
-    def __init__(self, bundle_path: str):
+    def __init__(self, bundle_path: str, backend: str = "auto"):
+        """``backend``: ``"numpy"`` (default/hermetic), ``"torch"``
+        (optional — parity-tested against numpy on CPU; float32 on
+        CUDA), or ``"auto"`` (torch iff torch AND a CUDA device are
+        visible — i.e. when the registry schedules this stage with
+        ``num_gpus > 0`` the actor lands on a GPU worker and picks the
+        GPU forward; everywhere else the numpy path runs). Reference GPU
+        path: saber/models/multi_task_lstm_crf.py:153-161 (device
+        placement is Keras-implicit there; explicit here)."""
         weights, vocab, config = load_bundle(bundle_path)
         self._weights = weights
         self._recurrent = all(k in weights for k in _RECURRENT_KEYS)
+        self._backend, self._device = "numpy", "cpu"
+        if self._recurrent and backend in ("torch", "auto"):
+            from ..functions.recurrent_torch import torch_available
+
+            if torch_available():
+                import torch
+
+                cuda = torch.cuda.is_available()
+                if backend == "torch" or cuda:
+                    self._backend = "torch"
+                    self._device = "cuda" if cuda else "cpu"
+            elif backend == "torch":
+                raise ImportError(
+                    "NeuralTagger(backend='torch') requires torch; "
+                    "install it or use backend='numpy'/'auto'"
+                )
+        if self._backend == "torch":
+            from ..functions.recurrent_torch import to_torch_weights
+
+            # weights converted ONCE per actor, not per batch
+            self._tweights = to_torch_weights(weights, self._device)
         if not self._recurrent:
             self._emb = weights["embeddings"]
             self._w = weights["W"]
@@ -138,8 +167,6 @@ class NeuralTagger:
         """Encode + forward for a slice of sentences → [n, S, T]."""
         word_ids, char_ids = encode_sentences(sents, self._word2idx, self._char2idx)
         if self._recurrent:
-            from ..functions.recurrent import bilstm_crf_emissions
-
             # trim to the slice's real max sentence/word lengths: masking
             # makes the result identical, but the recurrent loops and the
             # char-path tensors shrink from the fixed (100, 25) pads to
@@ -149,6 +176,16 @@ class NeuralTagger:
             char_ids = char_ids[:, :s_max]
             c_max = max(1, int((char_ids != PAD_VALUE).sum(axis=2).max(initial=0)))
             char_ids = char_ids[:, :, :c_max]
+            if self._backend == "torch":
+                from ..functions.recurrent_torch import (
+                    bilstm_crf_emissions_torch,
+                )
+
+                return bilstm_crf_emissions_torch(
+                    word_ids, char_ids, self._tweights, self._device
+                )
+            from ..functions.recurrent import bilstm_crf_emissions
+
             return bilstm_crf_emissions(word_ids, char_ids, self._weights)
         return self._emb[word_ids] @ self._w + self._b
 

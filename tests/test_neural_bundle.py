@@ -397,3 +397,75 @@ def test_load_word2vec_all_generates_vocab(tmp_path):
     # debug-style cap
     m2, w2, _ = load_word2vec_all(str(p), limit=2)
     assert len(w2) == 4 and m2.shape == (4, 4)
+
+
+# -------------------------------------------------- torch backend gate ----
+
+
+def test_backend_auto_falls_back_without_torch_or_gpu(tmp_path):
+    """backend='auto' must select numpy when torch is absent (this
+    sandbox) OR when torch has no CUDA device — the hermetic default."""
+    from saber_ray.functions.recurrent_torch import torch_available
+    from saber_ray.state.bundle import build_bilstm_bundle
+
+    w2i = {w: i for i, w in enumerate(_BL_WORDS)}
+    c2i = {c: i for i, c in enumerate(_BL_CHARS)}
+    path = build_bilstm_bundle(str(tmp_path / "bl"), w2i, c2i, _BL_TAGS, seed=123)
+    tagger = NeuralTagger(path, backend="auto")
+    if torch_available():
+        import torch
+
+        expect = "torch" if torch.cuda.is_available() else "numpy"
+    else:
+        expect = "numpy"
+    assert tagger._backend == expect
+
+
+def test_backend_torch_raises_loud_without_torch(tmp_path):
+    from saber_ray.functions.recurrent_torch import torch_available
+    from saber_ray.state.bundle import build_bilstm_bundle
+
+    if torch_available():
+        pytest.skip("torch installed — loud-gate case not reachable")
+    w2i = {w: i for i, w in enumerate(_BL_WORDS)}
+    c2i = {c: i for i, c in enumerate(_BL_CHARS)}
+    path = build_bilstm_bundle(str(tmp_path / "bt"), w2i, c2i, _BL_TAGS, seed=123)
+    with pytest.raises(ImportError, match="torch"):
+        NeuralTagger(path, backend="torch")
+
+
+def test_torch_forward_parity_with_numpy(bilstm_weights, tmp_path):
+    """CPU-torch forward must reproduce the numpy kernels (same gate
+    layout, same masking) to float64 tolerance, and the full tagger must
+    emit IDENTICAL tags/spans under both backends."""
+    from saber_ray.functions.recurrent_torch import torch_available
+
+    if not torch_available():
+        pytest.skip("torch not installed in this environment")
+    from saber_ray.functions.recurrent import bilstm_crf_emissions
+    from saber_ray.functions.recurrent_torch import (
+        bilstm_crf_emissions_torch,
+        to_torch_weights,
+    )
+
+    sents = [["p53", "activates", "mdm2", "in", "cells"], ["glucose"]]
+    wid, cid = _bl_encode(sents)
+    em_np = bilstm_crf_emissions(wid, cid, bilstm_weights)
+    tw = to_torch_weights(bilstm_weights, "cpu")
+    em_t = bilstm_crf_emissions_torch(wid, cid, tw, "cpu")
+    np.testing.assert_allclose(em_t, em_np, atol=1e-10)
+
+    from saber_ray.state.bundle import build_bilstm_bundle
+
+    w2i = {w: i for i, w in enumerate(_BL_WORDS)}
+    c2i = {c: i for i, c in enumerate(_BL_CHARS)}
+    path = build_bilstm_bundle(str(tmp_path / "bp"), w2i, c2i, _BL_TAGS, seed=123)
+    text = "p53 activates mdm2 in cells"
+    batch = pa.Table.from_pylist(
+        [{"doc_id": "d0",
+          "spans": [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]}],
+        schema=DOCUMENTS,
+    )
+    out_np = NeuralTagger(path, backend="numpy")(batch)
+    out_t = NeuralTagger(path, backend="torch")(batch)
+    assert out_t["ents"].to_pylist() == out_np["ents"].to_pylist()

@@ -53,3 +53,32 @@ def test_stage_overrides_resources():
     ds = apply_stage(rd.from_arrow(table), "annotate",
                      concurrency=2, num_cpus=0.5, batch_size=4)
     assert ds.count() == 10
+
+
+def test_num_gpus_and_backend_override_reach_map_batches():
+    """The registry's num_gpus / fn_constructor_kwargs overrides must
+    actually land in map_batches kwargs — the knob that schedules the
+    neural tagger's actors on GPU workers (where backend='auto' picks
+    the torch/CUDA forward)."""
+    from saber_ray.registry import apply_stage
+
+    captured = {}
+
+    class FakeDS:
+        def map_batches(self, fn, **kwargs):
+            captured["fn"] = fn
+            captured.update(kwargs)
+            return self
+
+    apply_stage(
+        FakeDS(), "neural_tagger",
+        num_gpus=0.25, concurrency=3,
+        fn_constructor_kwargs={"bundle_path": "/b", "backend": "auto"},
+    )
+    from saber_ray.stages.neural import NeuralTagger
+
+    assert captured["fn"] is NeuralTagger
+    assert captured["num_gpus"] == 0.25
+    assert captured["concurrency"] == 3
+    assert captured["fn_constructor_kwargs"]["backend"] == "auto"
+    assert captured["batch_size"] == 256
