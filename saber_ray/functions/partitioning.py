@@ -74,6 +74,12 @@ def pinned_pool(cap: int = 8, frac_num: int = 1, frac_den: int = 2) -> tuple[int
     CPU reservation for the life of the stage — which a dedicated
     pipeline stage wants anyway. Keep ``cap``/``frac`` below cluster
     width so stateless task operators up/downstream never starve.
+
+    ``cap`` is a PER-32-CPU tuning (the sandbox reference node): on a
+    wider cluster the effective cap is ``cap x (cpus // 32)``, so a
+    256-node / 8192-cpu cluster gets 256x the pool width, not a pool
+    frozen at the single-node optimum. At <= 32 cpus the behavior is
+    bit-identical to the tuned values (see SCALING.md).
     """
     import ray
 
@@ -81,6 +87,7 @@ def pinned_pool(cap: int = 8, frac_num: int = 1, frac_den: int = 2) -> tuple[int
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
         cpus = 8
+    cap = cap * max(1, cpus // 32)
     width = max(1, min(cap, cpus * frac_num // frac_den))
     return (width, width)
 

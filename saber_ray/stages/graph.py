@@ -12,6 +12,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..functions.partitioning import shuffle_partitions
+
 
 def node_degrees(edges: rd.Dataset) -> rd.Dataset:
     """(node_id, out_degree, in_degree, degree) from the EDGES table.
@@ -64,7 +66,7 @@ def top_edges(edges: rd.Dataset, k: int = 10) -> rd.Dataset:
     ).limit(k)
 
 
-def two_hop_pairs(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+def two_hop_pairs(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
     """Distinct (src, dst) pairs connected by exactly two directed hops —
     one hash self-join (mid = first hop's dst = second hop's src) plus a
     distinct groupby. The canonical graph-traversal building block; k-hop
@@ -76,6 +78,7 @@ def two_hop_pairs(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
     holds an actor pool, running two pools concurrently (which can
     oversubscribe a small cluster).
     """
+    num_partitions = num_partitions or shuffle_partitions(8)
     left = edges.select_columns(["src", "dst"]).rename_columns(
         {"dst": "mid"}
     )
@@ -89,7 +92,7 @@ def two_hop_pairs(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
     return pairs.groupby(["src", "dst"]).count().drop_columns(["count()"])
 
 
-def k_hop_pairs(edges: rd.Dataset, k: int, num_partitions: int = 8) -> rd.Dataset:
+def k_hop_pairs(edges: rd.Dataset, k: int, num_partitions: int | None = None) -> rd.Dataset:
     """Distinct (src, dst) pairs connected by exactly k directed hops.
 
     Iterates the self-join k-1 times. Between hops the frontier is
@@ -98,6 +101,7 @@ def k_hop_pairs(edges: rd.Dataset, k: int, num_partitions: int = 8) -> rd.Datase
     and the repartition rebuilds clean uniform blocks (the frontier is
     the deduped pair set — small relative to the corpus).
     """
+    num_partitions = num_partitions or shuffle_partitions(8)
     if k < 1:
         raise ValueError("k must be >= 1")
     frontier = edges.select_columns(["src", "dst"])
@@ -125,7 +129,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Undirected pair Dataset → (node, component): min-label
     propagation until fixed point — ``component`` is the smallest node
@@ -145,6 +149,7 @@ def connected_components(
     KG-sized graphs prefer fewer, bigger rounds via higher
     ``num_partitions``.
     """
+    num_partitions = num_partitions or shuffle_partitions(8)
     import logging
 
     from ..functions.hashing import stable_u64
@@ -260,7 +265,7 @@ def pagerank(
     edges: rd.Dataset,
     iterations: int = 5,
     damping: float = 0.85,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     local_threshold: int = 100_000,
     weight_column: str | None = None,
 ) -> rd.Dataset:
@@ -285,6 +290,7 @@ def pagerank(
     Returns (node, rank) with rank rounded to 6 decimals — the chained-
     CTE DuckDB oracle (one CTE per iteration) reproduces it exactly.
     """
+    num_partitions = num_partitions or shuffle_partitions(8)
     import pyarrow.compute as pc
 
     weighted = weight_column is not None
@@ -402,10 +408,11 @@ def pagerank(
     )
 
 
-def undirected_edges(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+def undirected_edges(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
     """Undirect + dedup a directed edge table into (u, v) with u < v —
     self-loops dropped; ONE groupby; repartitioned + MATERIALIZED for
     the hash-join empty-block hygiene described at ``k_hop_pairs``."""
+    num_partitions = num_partitions or shuffle_partitions(8)
     import pyarrow.compute as pc
 
     def undirect(batch: pa.Table) -> pa.Table:
@@ -449,7 +456,7 @@ def _node_id_type(ud: rd.Dataset, edges: rd.Dataset) -> "pa.DataType":
     return _col_id_type(ud, "u", edges, "src")
 
 
-def triangles(edges: rd.Dataset, num_partitions: int = 8,
+def triangles(edges: rd.Dataset, num_partitions: int | None = None,
               _ud: rd.Dataset | None = None) -> rd.Dataset:
     """Enumerate undirected triangles as (a, b, c) with a < b < c.
 
@@ -464,6 +471,7 @@ def triangles(edges: rd.Dataset, num_partitions: int = 8,
     The joined sides are repartitioned + materialized first (the
     hash-join empty-block hygiene described at ``k_hop_pairs``).
     """
+    num_partitions = num_partitions or shuffle_partitions(8)
     import pyarrow.compute as pc
 
     ud = _ud if _ud is not None else undirected_edges(edges, num_partitions)
@@ -499,7 +507,7 @@ def triangles(edges: rd.Dataset, num_partitions: int = 8,
     return closed.select_columns(["a", "b", "c"])
 
 
-def clustering_coefficient(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+def clustering_coefficient(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
     """Per-node local clustering coefficient over the undirected KG:
     ``c_v = 2·T_v / (d_v·(d_v−1))`` where T_v = triangles through v and
     d_v = undirected degree (0 when d_v < 2).
@@ -513,6 +521,7 @@ def clustering_coefficient(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dat
     Returns (node_id, degree, n_tri, coefficient) — coefficient rounded
     to 6 decimals (half-away-from-zero, matching the SQL oracles).
     """
+    num_partitions = num_partitions or shuffle_partitions(8)
     import pyarrow.compute as pc
 
     ud = undirected_edges(edges, num_partitions)
@@ -626,7 +635,7 @@ def _hits_local(e: rd.Dataset, iterations: int,
 def hits(
     edges: rd.Dataset,
     iterations: int = 5,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     local_threshold: int = 100_000,
 ) -> rd.Dataset:
     """HITS hubs-and-authorities over the directed (src, dst) edge
@@ -644,6 +653,7 @@ def hits(
     Returns (node, authority, hub) rounded to 6 decimals — reproduced
     exactly by the chained-CTE DuckDB oracle (one CTE per half-step).
     """
+    num_partitions = num_partitions or shuffle_partitions(8)
     import pyarrow.compute as pc
 
     if iterations < 1:
@@ -752,7 +762,7 @@ def hits(
     )
 
 
-def adamic_adar(edges: rd.Dataset, num_partitions: int = 8,
+def adamic_adar(edges: rd.Dataset, num_partitions: int | None = None,
                 _ud: rd.Dataset | None = None) -> rd.Dataset:
     """Link prediction over the undirected KG: for every NON-adjacent
     node pair (a < b) sharing at least one neighbor, the common-neighbor
@@ -774,6 +784,7 @@ def adamic_adar(edges: rd.Dataset, num_partitions: int = 8,
     Returns (a, b, common_neighbors, aa_score) with aa_score rounded to
     6 decimals (half-away-from-zero, matching the SQL oracle).
     """
+    num_partitions = num_partitions or shuffle_partitions(8)
     import pyarrow.compute as pc
 
     ud = _ud if _ud is not None else undirected_edges(edges, num_partitions)
@@ -878,7 +889,7 @@ def adamic_adar(edges: rd.Dataset, num_partitions: int = 8,
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
-def reciprocity(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+def reciprocity(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
     """One-row edge-reciprocity summary of the directed KG:
     (n_edges, n_reciprocal, reciprocity) over DISTINCT non-loop directed
     edges — n_reciprocal counts edges whose reverse also exists.
@@ -888,6 +899,7 @@ def reciprocity(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
     per-batch partial sums collapse to a single row — two shuffles of
     (pair, count) rows, one scalar-sized reduce.
     """
+    num_partitions = num_partitions or shuffle_partitions(8)
     import pyarrow.compute as pc
 
     def undirect(batch: pa.Table) -> pa.Table:
@@ -944,7 +956,7 @@ def reciprocity(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
 def k_core(
     edges: rd.Dataset,
     k: int = 2,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     max_iters: int = 50,
 ) -> rd.Dataset:
     """The k-core of the undirected KG: iteratively peel every node
@@ -960,6 +972,7 @@ def k_core(
 
     Returns (node_id, core_degree) — empty when the k-core is empty.
     """
+    num_partitions = num_partitions or shuffle_partitions(8)
     import logging
 
     ud = undirected_edges(edges, num_partitions)
@@ -1042,7 +1055,7 @@ def k_core(
 def bfs_depths(
     edges: rd.Dataset,
     source: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     max_iters: int = 50,
 ) -> rd.Dataset:
     """Undirected BFS from ``source`` (default: the minimum node id —
@@ -1054,6 +1067,7 @@ def bfs_depths(
     left-outer + null filter), and stops when the frontier empties —
     O(graph diameter) rounds, only per-round counts reach the driver.
     """
+    num_partitions = num_partitions or shuffle_partitions(8)
     ud = undirected_edges(edges, num_partitions)
     id_type = _node_id_type(ud, edges)
 
@@ -1210,7 +1224,7 @@ def degree_histogram(edges: rd.Dataset) -> rd.Dataset:
     )
 
 
-def jaccard_neighbors(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+def jaccard_neighbors(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
     """Link prediction by neighborhood overlap: for every NON-adjacent
     undirected pair (a < b) with at least one common neighbor, the
     Jaccard similarity of their neighbor sets —
@@ -1228,6 +1242,7 @@ def jaccard_neighbors(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
     Returns (a, b, common_neighbors, jaccard) rounded to 6 decimals
     (half-away-from-zero, matching the SQL oracle).
     """
+    num_partitions = num_partitions or shuffle_partitions(8)
     import pyarrow.compute as pc
 
     # ONE undirect+dedup shuffle shared with the wedge pass (the
@@ -1294,7 +1309,7 @@ def jaccard_neighbors(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
 def random_walks(
     edges: rd.Dataset,
     length: int = 4,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Deterministic pseudo-random walks over the undirected KG — one
     walk per node, ``length`` steps: from node c, a walk moves to the
@@ -1319,6 +1334,7 @@ def random_walks(
     identical tie semantics to the oracle's ORDER BY h, x. O(length)
     rounds, only per-round counts reach the driver.
     """
+    num_partitions = num_partitions or shuffle_partitions(8)
     import pyarrow.compute as pc
 
     from ..functions.hashing import stable_u64_md5
@@ -1404,7 +1420,7 @@ def random_walks(
     return out
 
 
-def edge_pmi(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
+def edge_pmi(edges: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
     """Pointwise-mutual-information weighting of the co-occurrence
     edges: ``pmi = ln(support·T / (m_src·m_dst))`` with T the total
     support mass and m_x a node's incident support sum — the standard
@@ -1420,6 +1436,7 @@ def edge_pmi(edges: rd.Dataset, num_partitions: int = 8) -> rd.Dataset:
     Arithmetic is float64 in SQL evaluation order (support·T first,
     then the marginal product divide) for oracle parity.
     """
+    num_partitions = num_partitions or shuffle_partitions(8)
     import pyarrow.compute as pc
 
     edges = edges.select_columns(["src", "dst", "support"]).materialize()
