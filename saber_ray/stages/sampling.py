@@ -473,7 +473,9 @@ def top_n_per_group(
     def merge(df):
         df = df.sort_values([group_column, value_column, id_column],
                             ascending=[True, False, True])
-        df = df.groupby(group_column, sort=False).head(n)
+        # dropna=False: a null group is still A GROUP (the old per-group
+        # merge kept its top-n; pandas' default would silently drop it)
+        df = df.groupby(group_column, sort=False, dropna=False).head(n)
         return df[[group_column, id_column, value_column]]
 
     cands = ds.map_batches(local_candidates, batch_format="pyarrow")

@@ -493,3 +493,41 @@ def test_profile_numeric_nulls_and_empty_column():
         10.0, 40.0, 25.0)
     assert (got["c"]["n"], got["c"]["n_null"]) == (0, 4)
     assert got["c"]["vmin"] is None and got["c"]["mean"] is None
+
+
+# ------------------------------------------------------- top_n_per_group
+
+
+def test_top_n_per_group_basic_and_ties():
+    from saber_ray.stages.sampling import top_n_per_group
+
+    ds = _docs({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "grp": ["a", "a", "a", "b", "b", "c", "c"],
+        "score": [3.0, 9.0, 9.0, 1.0, 2.0, 5.0, 5.0],
+    }).repartition(3)
+    out = top_n_per_group(ds, "grp", "score", 2, id_column="doc_id")
+    rows = sorted(
+        (r["grp"], r["doc_id"], r["score"]) for r in out.take_all()
+    )
+    # ties on score break by doc_id ASC: group a keeps 2 then 3 (both 9.0)
+    assert rows == [("a", 2, 9.0), ("a", 3, 9.0),
+                    ("b", 4, 1.0), ("b", 5, 2.0),
+                    ("c", 6, 5.0), ("c", 7, 5.0)]
+
+
+def test_top_n_per_group_null_group_kept():
+    """A null group is still a group: its top-n must appear (r05
+    regression — pandas groupby's dropna default silently removed it)."""
+    from saber_ray.stages.sampling import top_n_per_group
+
+    ds = _docs({
+        "doc_id": [1, 2, 3, 4, 5],
+        "grp": pa.array(["a", None, None, None, "a"], type=pa.string()),
+        "score": [1.0, 9.0, 7.0, 8.0, 2.0],
+    }).repartition(2)
+    out = top_n_per_group(ds, "grp", "score", 2, id_column="doc_id")
+    rows = sorted(
+        ((r["grp"] or ""), r["doc_id"]) for r in out.take_all()
+    )
+    assert rows == [("", 2), ("", 4), ("a", 1), ("a", 5)]
