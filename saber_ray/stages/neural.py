@@ -113,6 +113,10 @@ class NeuralTagger:
         GPU forward; everywhere else the numpy path runs). Reference GPU
         path: saber/models/multi_task_lstm_crf.py:153-161 (device
         placement is Keras-implicit there; explicit here)."""
+        if backend not in ("numpy", "torch", "auto"):
+            raise ValueError(
+                f"backend must be 'numpy', 'torch' or 'auto', got {backend!r}"
+            )
         weights, vocab, config = load_bundle(bundle_path)
         self._weights = weights
         self._recurrent = all(k in weights for k in _RECURRENT_KEYS)
