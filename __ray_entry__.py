@@ -940,6 +940,16 @@ def _q_bpe_apply_pretrained(sf_dir: str):
     )
 
 
+def _q_cdc_chunks(sf_dir: str):
+    # content-defined chunking: boundary after md5(tok)%64==0 tokens —
+    # the edit-robust sub-document dedup unit (LBFS rule); no shuffle
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.dedup import content_defined_chunks
+
+    ds = read_documents_flat(sf_dir, columns=("doc_id", "text"))
+    return content_defined_chunks(ds)
+
+
 def _q_chunk_spans(sf_dir: str):
     from saber_ray.pipelines.demo import demo_chunk_spans
 
@@ -2418,14 +2428,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q11": _q_tpch_q11,
         "tpch_q20": _q_tpch_q20,
         "bpe_tokenize": _q_bpe_tokenize,
-        # -- window: new + re-record slots (46-50)
+        # -- window: new + re-record slots (45-50): two NEW oracled
+        # operators (bpe_apply_pretrained, cdc_chunks), the three
+        # re-records whose merge path changed (top_n_per_group rewrite),
+        # and kg_triples (r01-only flagship row re-proven)
         "bpe_apply_pretrained": _q_bpe_apply_pretrained,
+        "cdc_chunks": _q_cdc_chunks,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "top_events_per_type": _q_top_events_per_type,
         "dedup_survivors": _q_dedup_survivors,
         "kg_triples": _q_kg_triples,
-        "kg_nodes": _q_kg_nodes,
         # -- past the 50-cap: driver-green in r01-r04 records
+        "kg_nodes": _q_kg_nodes,
         "kg_three_hop": _q_kg_three_hop,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
@@ -3064,6 +3078,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "bpe_apply_pretrained": _bpe_apply_sql(),
+        "cdc_chunks": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest({TOKENS_SQL}) AS tok,
+                       generate_subscripts({TOKENS_SQL}, 1) AS pos
+                FROM documents
+            ),
+            marked AS (
+                SELECT doc_id, tok, pos,
+                       COALESCE(SUM(CASE WHEN
+                           CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT)
+                               % 64 = 0 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS chunk_idx
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+            FROM marked GROUP BY doc_id, chunk_idx
+        """,
         "token_frequency": f"""
             SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT unnest({TOKENS_SQL}) AS tok FROM documents)

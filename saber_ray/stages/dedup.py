@@ -1739,3 +1739,65 @@ def edit_dup_dropped_ids(
         .drop_columns(["count()"])
         .rename_columns({"id_b": "doc_id"})
     )
+
+
+def content_defined_chunks(
+    ds: rd.Dataset,
+    id_column: str = "doc_id",
+    column: str = "text",
+    mask_mod: int = 64,
+) -> rd.Dataset:
+    """Content-defined chunking at token granularity: a chunk boundary
+    falls AFTER any token whose md5 32-bit prefix is ``0 (mod
+    mask_mod)`` — the LBFS/Rabin content-defined rule (Muthitacharoen
+    et al. 2001, public method), expected chunk length ``mask_mod``
+    tokens. Unlike ``chunk_dedup``'s fixed windows, an edit near a
+    document's head shifts every downstream FIXED window but leaves CDC
+    boundaries untouched outside the edited chunk — the property that
+    keeps chunk-level dedup effective on lightly-edited boilerplate.
+
+    Returns ``(doc_id, chunk_idx, n_tokens, chunk_hash)``; chunk_hash =
+    md5 hex of the space-joined lowered tokens (the ``chunk_dedup``
+    convention, DuckDB-reproducible). One map pass, NO shuffle; the
+    boundary hash is computed once per DISTINCT token per batch, one
+    md5 per emitted chunk. Feed the output to a ``groupby(chunk_hash)``
+    (as ``chunk_dedup`` does) for corpus-wide duplicate-chunk tables.
+    """
+    import hashlib
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        bcache: dict[str, bool] = {}
+        out_id, out_ci, out_n, out_h = [], [], [], []
+        for doc_id, text in zip(batch[id_column].to_pylist(),
+                                batch[column].to_pylist()):
+            if doc_id is None:
+                continue
+            toks = _TOKEN_RE.findall(text.lower()) if text else []
+            ci, start = 0, 0
+            for i, t in enumerate(toks):
+                b = bcache.get(t)
+                if b is None:
+                    b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) \
+                        % mask_mod == 0
+                    bcache[t] = b
+                if b:
+                    chunk = " ".join(toks[start:i + 1])
+                    out_id.append(doc_id)
+                    out_ci.append(ci)
+                    out_n.append(i + 1 - start)
+                    out_h.append(hashlib.md5(chunk.encode()).hexdigest())
+                    ci, start = ci + 1, i + 1
+            if start < len(toks):
+                chunk = " ".join(toks[start:])
+                out_id.append(doc_id)
+                out_ci.append(ci)
+                out_n.append(len(toks) - start)
+                out_h.append(hashlib.md5(chunk.encode()).hexdigest())
+        return pa.table({
+            id_column: pa.array(out_id, type=batch[id_column].type),
+            "chunk_idx": pa.array(out_ci, type=pa.int64()),
+            "n_tokens": pa.array(out_n, type=pa.int64()),
+            "chunk_hash": pa.array(out_h, type=pa.string()),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")

@@ -1091,3 +1091,62 @@ def test_embedding_quantize_codes():
         == (0.0, 0, 0, 0)
     # vec 3: max-abs element is negative → qmin = -127
     assert (got[3]["qmin"], got[3]["qmax"]) == (-127, 63)
+
+
+# ------------------------------------------------ content-defined chunks
+
+
+def test_cdc_chunks_match_local_golden():
+    import hashlib
+
+    from saber_ray.stages.dedup import content_defined_chunks
+    from saber_ray.stages.textstats import _TOKEN_RE
+
+    texts = ["Scan the column then ORDER the window",
+             "group query join merge value line key part agg " * 5, "", None]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })).repartition(2)
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_hash"])
+        for r in content_defined_chunks(ds).take_all()
+    )
+    exp = []
+    for did, text in zip([1, 2, 3, 4], texts):
+        toks = _TOKEN_RE.findall(text.lower()) if text else []
+        ci, start = 0, 0
+        for i, t in enumerate(toks):
+            if int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64 == 0:
+                chunk = " ".join(toks[start:i + 1])
+                exp.append((did, ci, i + 1 - start,
+                            hashlib.md5(chunk.encode()).hexdigest()))
+                ci, start = ci + 1, i + 1
+        if start < len(toks):
+            chunk = " ".join(toks[start:])
+            exp.append((did, ci, len(toks) - start,
+                        hashlib.md5(chunk.encode()).hexdigest()))
+    assert got == sorted(exp)
+
+
+def test_cdc_chunks_edit_robust_vs_fixed_windows():
+    """The CDC property: prepending tokens changes only the FIRST
+    chunk's hashes — every boundary after the first post-edit cut point
+    realigns, so later chunk hashes are shared with the original. Fixed
+    windows lose alignment everywhere after an unaligned insertion."""
+    from saber_ray.stages.dedup import content_defined_chunks
+
+    # non-periodic deterministic text (periodic text would collapse to
+    # one distinct chunk hash and prove nothing)
+    base = " ".join(f"w{i * 2654435761 % 9973}" for i in range(1200))
+    edited = "inserted tokens here " + base
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array([base, edited], type=pa.string()),
+    }))
+    rows = content_defined_chunks(ds).take_all()
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+    assert len(h1) > 2
+    # all but the edited head chunk must realign
+    assert len(h1 & h2) >= len(h1) - 1
