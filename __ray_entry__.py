@@ -940,6 +940,16 @@ def _q_bpe_apply_pretrained(sf_dir: str):
     )
 
 
+def _q_zipf_fit(sf_dir: str):
+    # corpus-health diagnostic: OLS of ln(freq) on ln(rank) over the
+    # distributed token-frequency table (one shuffle + rank buckets)
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import zipf_fit
+
+    ds = read_documents_flat(sf_dir, columns=("doc_id", "text"))
+    return zipf_fit(ds)
+
+
 def _q_cdc_chunks(sf_dir: str):
     # content-defined chunking: boundary after md5(tok)%64==0 tokens —
     # the edit-robust sub-document dedup unit (LBFS rule); no shuffle
@@ -2438,7 +2448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_type": _q_top_events_per_type,
         "dedup_survivors": _q_dedup_survivors,
         "kg_triples": _q_kg_triples,
-        # -- past the 50-cap: driver-green in r01-r04 records
+        # -- past the 50-cap: judge-re-runnable new op + r01-r04 greens
+        "zipf_fit": _q_zipf_fit,
         "kg_nodes": _q_kg_nodes,
         "kg_three_hop": _q_kg_three_hop,
         "kg_pagerank": _q_kg_pagerank,
@@ -3078,6 +3089,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "bpe_apply_pretrained": _bpe_apply_sql(),
+        "zipf_fit": f"""
+            WITH freq AS (
+                SELECT tok, count(*) AS n
+                FROM (SELECT unnest({TOKENS_SQL}) AS tok FROM documents)
+                GROUP BY tok
+            ),
+            r AS (
+                SELECT n,
+                       row_number() OVER (ORDER BY n DESC, tok) AS rnk
+                FROM freq
+            )
+            SELECT round(regr_slope(ln(n), ln(rnk)), 6) AS slope,
+                   round(regr_intercept(ln(n), ln(rnk)), 6) AS intercept,
+                   round(regr_r2(ln(n), ln(rnk)), 6) AS r2,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM r
+        """,
         "cdc_chunks": f"""
             WITH toks AS (
                 SELECT doc_id,

@@ -854,3 +854,63 @@ def source_vocab_overlap(
             batch_format="pyarrow")
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def zipf_fit(ds: rd.Dataset, column: str = "text") -> rd.Dataset:
+    """Zipf's-law fit over the corpus token distribution: OLS of
+    ``ln(freq)`` on ``ln(rank)`` (rank 1 = most frequent; ties broken
+    by token so the rank order is total and deterministic). A healthy
+    natural-language corpus shows slope ≈ -1; a synthetic / templated /
+    boilerplate-heavy corpus deviates sharply, so the single output row
+    (slope, intercept, r2, n_types) is a standing data-quality
+    diagnostic for a training-data pipeline (corpus-card material,
+    alongside ``token_entropy`` / ``corpus_card``).
+
+    Scale shape: the distributed ``token_frequency`` aggregate (partials
+    → one shuffle), `global_rank`'s histogram-bucket ranking over JUST
+    the (n, token) columns (vocab-sized, Zipf-bounded — never the
+    corpus), then fixed-size per-batch moment partials (6 numbers each)
+    folded on the driver. Values rounded to 6 decimals (DuckDB
+    ``regr_slope``/``regr_intercept``/``regr_r2`` parity).
+    """
+    import math
+
+    import numpy as np
+
+    from .ordering import global_rank
+
+    freq = token_frequency(ds, column=column)
+    ranked = global_rank(freq, "n", id_column="token", descending=True,
+                         out_column="pos")
+
+    def moments(batch: pa.Table) -> pa.Table:
+        y = np.log(batch["n"].to_numpy(zero_copy_only=False).astype(np.float64))
+        x = np.log(batch["pos"].to_numpy(zero_copy_only=False).astype(np.float64)
+                   + 1.0)
+        return pa.table({
+            "k": pa.array([float(len(x))]),
+            "sx": pa.array([float(x.sum())]),
+            "sy": pa.array([float(y.sum())]),
+            "sxx": pa.array([float((x * x).sum())]),
+            "sxy": pa.array([float((x * y).sum())]),
+            "syy": pa.array([float((y * y).sum())]),
+        })
+
+    k = sx = sy = sxx = sxy = syy = 0.0
+    for r in ranked.map_batches(moments, batch_format="pyarrow").take_all():
+        k += r["k"]; sx += r["sx"]; sy += r["sy"]
+        sxx += r["sxx"]; sxy += r["sxy"]; syy += r["syy"]
+    if k < 2:
+        raise ValueError("zipf_fit needs at least 2 distinct tokens")
+    vx = sxx - sx * sx / k
+    vy = syy - sy * sy / k
+    cov = sxy - sx * sy / k
+    slope = cov / vx if vx else float("nan")
+    intercept = (sy - slope * sx) / k
+    r2 = (cov * cov) / (vx * vy) if vx and vy else 1.0
+    return rd.from_arrow(pa.table({
+        "slope": pa.array([round(slope, 6)], type=pa.float64()),
+        "intercept": pa.array([round(intercept, 6)], type=pa.float64()),
+        "r2": pa.array([round(r2, 6)], type=pa.float64()),
+        "n_types": pa.array([int(k)], type=pa.int64()),
+    }))

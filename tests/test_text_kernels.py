@@ -239,3 +239,30 @@ def test_source_vocab_overlap_jaccard():
            for r in source_vocab_overlap(docs).take_all()}
     # s1 vocab {apple, pie, tart}, s2 {apple, cake}, s3 {zebra}
     assert got == {("s1", "s2"): (1, round(1 / 4, 6))}
+
+
+def test_zipf_fit_matches_numpy_ols():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.textstats import _TOKEN_RE, zipf_fit
+
+    # counts 8,4,2,1 over four tokens; ranks deterministic via token ties
+    text = " ".join(["alpha"] * 8 + ["beta"] * 4 + ["gamma"] * 2 + ["delta"])
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": pa.array([text], type=pa.string()),
+    }))
+    row = zipf_fit(ds).take_all()[0]
+    counts = sorted(
+        __import__("collections").Counter(_TOKEN_RE.findall(text)).items(),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    y = np.log([c for _, c in counts])
+    x = np.log(np.arange(1, len(counts) + 1, dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row["n_types"] == 4
+    assert abs(row["slope"] - slope) < 1e-6
+    assert abs(row["intercept"] - intercept) < 1e-6
+    assert 0.9 < row["r2"] <= 1.0
