@@ -879,7 +879,11 @@ def zipf_fit(ds: rd.Dataset, column: str = "text") -> rd.Dataset:
 
     from .ordering import global_rank
 
-    freq = token_frequency(ds, column=column)
+    # materialize: global_rank consumes its input THREE times (min/max
+    # stats, histogram, keyed shuffle) and Ray re-executes derived
+    # lineage per consumer — without this the token_frequency aggregate
+    # (the expensive corpus pass) runs 3x. The table is vocab-sized.
+    freq = token_frequency(ds, column=column).materialize()
     ranked = global_rank(freq, "n", id_column="token", descending=True,
                          out_column="pos")
 
