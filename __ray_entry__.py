@@ -940,6 +940,16 @@ def _q_bpe_apply_pretrained(sf_dir: str):
     )
 
 
+def _q_embedding_outliers(sf_dir: str):
+    # embedding-hygiene gate: L2-norm z-score outliers — two streaming
+    # moment passes, zero shuffle
+    from saber_ray.sources.testdata import read_table
+    from saber_ray.stages.similarity import embedding_outliers
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_outliers(emb, z=2.0)
+
+
 def _q_zipf_fit(sf_dir: str):
     # corpus-health diagnostic: OLS of ln(freq) on ln(rank) over the
     # distributed token-frequency table (one shuffle + rank buckets)
@@ -2450,6 +2460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         # -- past the 50-cap: judge-re-runnable new op + r01-r04 greens
         "zipf_fit": _q_zipf_fit,
+        "embedding_outliers": _q_embedding_outliers,
         "kg_nodes": _q_kg_nodes,
         "kg_three_hop": _q_kg_three_hop,
         "kg_pagerank": _q_kg_pagerank,
@@ -3089,6 +3100,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "bpe_apply_pretrained": _bpe_apply_sql(),
+        "embedding_outliers": """
+            WITH flat AS (
+                SELECT vec_id,
+                       unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            ),
+            cent AS (SELECT dim, sum(v) / count(*) AS c FROM flat GROUP BY dim),
+            dists AS (
+                SELECT f.vec_id,
+                       sqrt(sum((f.v - cent.c) * (f.v - cent.c))) AS d
+                FROM flat f JOIN cent USING (dim)
+                GROUP BY f.vec_id
+            ),
+            s AS (SELECT count(*) AS n, sum(d) AS s1, sum(d * d) AS s2
+                  FROM dists),
+            st AS (SELECT n, s1 / n AS m,
+                          sqrt(greatest(0.0, s2 / n - (s1 / n) * (s1 / n)))
+                              AS sd
+                   FROM s)
+            SELECT vec_id, round(d, 6) AS dist,
+                   round((d - st.m) / st.sd, 6) AS z
+            FROM dists, st
+            WHERE abs(d - st.m) > 2.0 * st.sd
+        """,
         "zipf_fit": f"""
             WITH freq AS (
                 SELECT tok, count(*) AS n

@@ -1071,3 +1071,86 @@ def embedding_quantize(
 
     return embeddings.select_columns([id_column, vector_column]).map_batches(
         quant, batch_format="pyarrow")
+
+
+def embedding_outliers(
+    ds: rd.Dataset,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    z: float = 2.0,
+) -> rd.Dataset:
+    """Embedding-hygiene gate: rows whose DISTANCE FROM THE CORPUS
+    CENTROID is a z-score outlier (|d − mean_d| > z · stddev_pop) —
+    degenerate embeddings (zeroed, exploded, half-written, wrong model)
+    sit far from the data's center and poison cosine similarity, ANN
+    recall and k-means, so curation drops or requeues them before any
+    similarity stage. Distance-from-centroid is used rather than the
+    raw L2 norm because normalized embedding tables (like this repo's
+    test embeddings) have ZERO norm variance — the norm z-score is
+    numerically meaningless there, while centroid distance always
+    carries real spread. Returns (id, dist, z) rounded to 6 decimals.
+    Known z-score property: one EXTREME outlier inflates sd and can mask
+    moderate ones (run iteratively, or lower ``z``, for contaminated
+    batches) — inherent to the mean/std rule, kept because mean/std is
+    what a SQL oracle reproduces bit-for-bit at any scale.
+
+    Three streaming passes, zero shuffles: centroid vector partials
+    (dim-sized), then scalar distance-moment partials, then the
+    broadcast-threshold filter scan. Float shapes match the SQL oracle
+    (sums accumulate float64 over the raw float32 values; m = s1/n,
+    sd = sqrt(max(0, s2/n - m*m))).
+    """
+    import numpy as np
+
+    def cent_partial(batch: pa.Table) -> pa.Table:
+        mat = _list_matrix(batch[column]).astype(np.float64)
+        return pa.table({
+            "n": pa.array([float(len(mat))]),
+            "s": pa.array([mat.sum(axis=0)], type=pa.list_(pa.float64())),
+        })
+
+    n = 0.0
+    svec = None
+    for r in ds.map_batches(cent_partial, batch_format="pyarrow").take_all():
+        n += r["n"]
+        v = np.asarray(r["s"], dtype=np.float64)
+        svec = v if svec is None else svec + v
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            id_column: pa.array([], type=pa.int64()),
+            "dist": pa.array([], type=pa.float64()),
+            "z": pa.array([], type=pa.float64()),
+        }))
+    centroid = svec / n
+
+    def dists_of(batch: pa.Table) -> np.ndarray:
+        mat = _list_matrix(batch[column]).astype(np.float64)
+        diff = mat - centroid
+        return np.sqrt((diff * diff).sum(axis=1))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        d = dists_of(batch)
+        return pa.table({
+            "k": pa.array([float(len(d))]),
+            "s1": pa.array([float(d.sum())]),
+            "s2": pa.array([float((d * d).sum())]),
+        })
+
+    k = s1 = s2 = 0.0
+    for r in ds.map_batches(moments, batch_format="pyarrow").take_all():
+        k += r["k"]; s1 += r["s1"]; s2 += r["s2"]
+    m = s1 / k
+    sd = float(np.sqrt(max(0.0, s2 / k - m * m)))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        d = dists_of(batch)
+        keep = np.abs(d - m) > z * sd
+        ids = batch[id_column].filter(pa.array(keep))
+        d = d[keep]
+        return pa.table({
+            id_column: ids,
+            "dist": pa.array(np.round(d, 6), type=pa.float64()),
+            "z": pa.array(np.round((d - m) / sd, 6), type=pa.float64()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")

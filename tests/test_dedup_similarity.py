@@ -1150,3 +1150,46 @@ def test_cdc_chunks_edit_robust_vs_fixed_windows():
     assert len(h1) > 2
     # all but the edited head chunk must realign
     assert len(h1 & h2) >= len(h1) - 1
+
+
+# ---------------------------------------------------- embedding outliers
+
+
+def test_embedding_outliers_flags_planted_degenerate():
+    # one planted degenerate (a zeroed embedding) in a tight cluster.
+    # NOTE: z-scores exhibit MASKING — a second, far more extreme
+    # outlier inflates sd enough to hide moderate ones; that is inherent
+    # to the z-score rule (documented operator semantics), so the test
+    # plants exactly one.
+    from saber_ray.stages.similarity import embedding_outliers
+
+    rng = np.random.RandomState(5)
+    good = rng.normal(0, 0.05, size=(200, 8)) + 1.0  # tight cluster at ~(1,..)
+    mat = np.vstack([good, np.zeros(8)]).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(mat)), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              type=pa.list_(pa.float32())),
+    })).repartition(3)
+    out = embedding_outliers(ds, z=3.0).take_all()
+    flagged = {r["vec_id"] for r in out}
+    assert 200 in flagged                 # the degenerate is caught
+    assert len(flagged) <= 3              # and nearly nothing else
+    zs = {r["vec_id"]: r["z"] for r in out}
+    assert zs[200] > 3.0
+
+
+def test_embedding_outliers_empty_and_uniform():
+    from saber_ray.stages.similarity import embedding_outliers
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float32())),
+    }))
+    assert embedding_outliers(empty).take_all() == []
+    # identical vectors: sd == 0, nothing can exceed the threshold
+    uniform = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+        "embedding": pa.array([[1.0, 2.0]] * 3, type=pa.list_(pa.float32())),
+    }))
+    assert embedding_outliers(uniform).take_all() == []
