@@ -1103,6 +1103,14 @@ def embedding_outliers(
     import numpy as np
 
     def cent_partial(batch: pa.Table) -> pa.Table:
+        # empty blocks (filters/repartitions produce them) yield a
+        # (0, 0) matrix — emit a ZERO-ROW partial rather than a
+        # zero-length sum vector that would poison the fold
+        if batch.num_rows == 0:
+            return pa.table({
+                "n": pa.array([], type=pa.float64()),
+                "s": pa.array([], type=pa.list_(pa.float64())),
+            })
         mat = _list_matrix(batch[column]).astype(np.float64)
         return pa.table({
             "n": pa.array([float(len(mat))]),
@@ -1124,6 +1132,8 @@ def embedding_outliers(
     centroid = svec / n
 
     def dists_of(batch: pa.Table) -> np.ndarray:
+        if batch.num_rows == 0:   # (0, 0) matrix won't broadcast
+            return np.empty(0, dtype=np.float64)
         mat = _list_matrix(batch[column]).astype(np.float64)
         diff = mat - centroid
         return np.sqrt((diff * diff).sum(axis=1))
@@ -1145,7 +1155,7 @@ def embedding_outliers(
     def flag(batch: pa.Table) -> pa.Table:
         d = dists_of(batch)
         keep = np.abs(d - m) > z * sd
-        ids = batch[id_column].filter(pa.array(keep))
+        ids = batch[id_column].filter(pa.array(keep, type=pa.bool_()))
         d = d[keep]
         return pa.table({
             id_column: ids,

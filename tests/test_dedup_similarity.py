@@ -1193,3 +1193,11 @@ def test_embedding_outliers_empty_and_uniform():
         "embedding": pa.array([[1.0, 2.0]] * 3, type=pa.list_(pa.float32())),
     }))
     assert embedding_outliers(uniform).take_all() == []
+    # a filter that empties SOME blocks must not crash the partials
+    mixed = rd.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "embedding": pa.array([[1.0, 2.0], [9.0, 9.0], [1.1, 2.1], [1.0, 2.2]],
+                              type=pa.list_(pa.float32())),
+    })).repartition(4).filter(lambda r: r["vec_id"] != 2)
+    out = embedding_outliers(mixed, z=0.5).take_all()
+    assert all(r["vec_id"] != 2 for r in out)
