@@ -121,11 +121,11 @@ def sessionize(
 
     def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
         df = df.sort_values([user_column, ts_column]).drop(columns="__bucket")
-        grp = df.groupby(user_column, sort=False)
+        grp = df.groupby(user_column, sort=False, dropna=False)
         new_session = grp[ts_column].diff().gt(gap) | ~df[user_column].duplicated()
-        df = df.assign(session_num=new_session.groupby(df[user_column], sort=False).cumsum().astype("int64"))
+        df = df.assign(session_num=new_session.groupby(df[user_column], sort=False, dropna=False).cumsum().astype("int64"))
         out = (
-            df.groupby([user_column, "session_num"], sort=True)
+            df.groupby([user_column, "session_num"], sort=True, dropna=False)
             .agg(
                 n=(ts_column, "size"),
                 session_start=(ts_column, "min"),
@@ -1011,7 +1011,7 @@ def window_count_join(
         # per-key running count: value at each right row = #{rows of this
         # key with on <= this row's on} (ties resolved by merge_asof
         # taking the LAST qualifying row, which carries the max count)
-        r["__cum"] = r.groupby(by, sort=False).cumcount() + 1
+        r["__cum"] = r.groupby(by, sort=False, dropna=False).cumcount() + 1
         r = r.sort_values(on, kind="mergesort")
 
         def probe(at: "pd.Series") -> "pd.Series":
@@ -1107,7 +1107,7 @@ def running_totals(
 
     def cum(df: "pd.DataFrame") -> "pd.DataFrame":
         df = df.sort_values([by, ts_column, tiebreak]).drop(columns="__bucket")
-        df[out_column] = df.groupby(by, sort=False)[value_column].cumsum()
+        df[out_column] = df.groupby(by, sort=False, dropna=False)[value_column].cumsum()
         return df
 
     cols = [c for c in (by, ts_column, tiebreak, value_column)]
@@ -1161,14 +1161,14 @@ def ewma_by_key(
 
     def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
         df = df.sort_values([by, ts_column, tiebreak])
-        grp = df.groupby(by, sort=True)
+        grp = df.groupby(by, sort=True, dropna=False)
         # grouped-ewm is pandas' cython scan — one call per BUCKET, not
         # per key; result is (key, row)-multiindexed in within-group
         # sorted order, so last-per-key is the final state. Unrounded:
         # DuckDB-parity rounding happens Arrow-side below (pandas
         # .round is half-even)
         sm = grp[value_column].ewm(alpha=alpha, adjust=False).mean()
-        last = sm.groupby(level=0).last()
+        last = sm.groupby(level=0, dropna=False).last()
         return pd.DataFrame({
             by: last.index.to_numpy(),
             "n": grp.size().to_numpy().astype("int64"),
@@ -1477,7 +1477,7 @@ def rolling_avg(
     def roll(df: "pd.DataFrame") -> "pd.DataFrame":
         df = df.sort_values([by, ts_column, tiebreak]).drop(columns="__bucket")
         df[out_column] = (
-            df.groupby(by, sort=False)[value_column]
+            df.groupby(by, sort=False, dropna=False)[value_column]
             .rolling(window_rows, min_periods=1).mean()
             .reset_index(level=0, drop=True)
         )
@@ -2475,7 +2475,7 @@ def user_lag(
     def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
         df = df.sort_values([user_column, ts_column, id_column]).drop(
             columns="__bucket")
-        prev = df.groupby(user_column, sort=False)[value_column].shift(1)
+        prev = df.groupby(user_column, sort=False, dropna=False)[value_column].shift(1)
         return df.assign(
             prev_value=prev, delta=df[value_column] - prev,
         )[[id_column, user_column, value_column, "prev_value", "delta"]]
@@ -2521,7 +2521,7 @@ def rank_within(
 
     def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
         df = df.drop(columns="__bucket")
-        rnk = df.groupby(by, sort=False)[value_column].rank(
+        rnk = df.groupby(by, sort=False, dropna=False)[value_column].rank(
             method="min", ascending=ascending)
         return df.assign(rnk=rnk.astype("int64"))[
             [id_column, by, value_column, "rnk"]]
@@ -2568,7 +2568,7 @@ def ntile_summary(
     def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
         df = df.sort_values([by, value_column, id_column]).drop(
             columns="__bucket")
-        grp = df.groupby(by, sort=False)
+        grp = df.groupby(by, sort=False, dropna=False)
         pos = grp.cumcount().to_numpy()
         size = grp[id_column].transform("size").to_numpy()
         # SQL NTILE: quotient q rows per tile, the first r tiles get q+1
@@ -3257,14 +3257,14 @@ def funnel(
         counts = []
         cur = (
             df[df[type_column] == steps[0]]
-            .groupby(user_column, sort=False)[ts_column].min()
+            .groupby(user_column, sort=False, dropna=False)[ts_column].min()
         )
         counts.append(len(cur))
         for s in steps[1:]:
             sub = df[df[type_column] == s]
             thr = sub[user_column].map(cur)  # NaT where user not reached
             sub = sub[sub[ts_column] > thr]
-            cur = sub.groupby(user_column, sort=False)[ts_column].min()
+            cur = sub.groupby(user_column, sort=False, dropna=False)[ts_column].min()
             counts.append(len(cur))
         return pd.DataFrame({
             "step": pd.array(range(1, len(steps) + 1), dtype="int64"),
@@ -3399,11 +3399,11 @@ def event_transitions(
     def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
         df = df.sort_values([user_column, ts_column, order_tiebreak],
                             kind="mergesort")
-        nxt = df.groupby(user_column, sort=False)[type_column].shift(-1)
+        nxt = df.groupby(user_column, sort=False, dropna=False)[type_column].shift(-1)
         pairs = pd.DataFrame({
             "from_type": df[type_column], "to_type": nxt,
         }).dropna(subset=["to_type"])
-        out = (pairs.groupby(["from_type", "to_type"], sort=False)
+        out = (pairs.groupby(["from_type", "to_type"], sort=False, dropna=False)
                .size().reset_index(name="n"))
         out["n"] = out["n"].astype("int64")
         return out

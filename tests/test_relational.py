@@ -1212,3 +1212,35 @@ def test_grouped_regression_matches_numpy():
     row = grouped_regression(consty, "g", "x", "y").take_all()[0]
     assert row["slope"] == 0.0 and row["intercept"] == 5.0
     assert row["r2"] == 1.0
+
+
+def test_null_partition_keys_survive_windows():
+    """SQL window functions keep a NULL partition (PARTITION BY user_id
+    groups the NULL rows together); the bucketed pandas merges used to
+    drop or crash on them (rank's NaN.astype(int64) raised). r05
+    regression: every null-key row must come back with real values."""
+    import datetime as dt
+
+    from saber_ray.stages.relational import rank_within, running_totals, user_lag
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "user_id": pa.array([7, None, None, 8], type=pa.int64()),
+        "ts": pa.array([t0 + dt.timedelta(minutes=i) for i in range(4)],
+                       type=pa.timestamp("us")),
+        "value": pa.array([3.0, 9.0, 4.0, 1.0], type=pa.float64()),
+    })).repartition(2)
+
+    ranks = {r["event_id"]: r["rnk"] for r in rank_within(ev).take_all()}
+    assert len(ranks) == 4                      # nothing dropped
+    assert ranks[2] == 1 and ranks[3] == 2      # NULL partition ranked
+
+    lag = {r["event_id"]: r["prev_value"] for r in user_lag(ev).take_all()}
+    assert len(lag) == 4
+    assert lag[3] == 9.0                        # LAG within NULL partition
+
+    tot = {r["event_id"]: r["running_value"]
+           for r in running_totals(ev).take_all()}
+    assert len(tot) == 4
+    assert tot[3] == 13.0                       # cumsum within NULL partition
