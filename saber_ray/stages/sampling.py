@@ -535,10 +535,18 @@ def temperature_mixture(
     proportions, ``alpha → 0`` approaches uniform, upsampling the tail
     relative to the head).
 
-    Quotas are ``floor(total * count_s^alpha / Σ count^alpha)`` — the
-    result has AT MOST ``total`` rows (floor remainders are dropped, not
-    reassigned, so the rule is one closed-form expression a SQL oracle
-    reproduces; libm ``pow``/``floor`` on both sides). The stratum-count
+    Quotas are ``floor(round(total * count_s^alpha / Σ count^alpha, 9))``
+    — the result has AT MOST ``total`` rows (floor remainders are
+    dropped, not reassigned, so the rule is one closed-form expression a
+    SQL oracle reproduces; libm ``pow``/``floor`` on both sides). The
+    9-decimal snap BEFORE the floor is load-bearing: when quotas land
+    exactly on an integer (equal-sized strata do this), the raw ratio
+    sits one ulp either side of it depending on SUMMATION ORDER — the
+    driver's dict fold and DuckDB's parallel aggregate can disagree, and
+    DuckDB's own thread partitioning varies run to run (observed at
+    sf0.1: 20 equal strata flipping between quota 5 and 4 → 100 vs 80
+    rows). Snapping to a 1e-9 grid makes both sides deterministic — ulp
+    noise is ~1e-15, far below the grid. The stratum-count
     aggregate is tiny (one row per stratum on the driver); row selection
     reuses ``stratified_sample``'s two-phase deterministic top-k, so the
     shuffle moves O(quota × batches) id rows and the sample is stable
@@ -558,7 +566,8 @@ def temperature_mixture(
     weights = {s: math.pow(c, alpha) for s, c in counts.items()}
     denom = sum(weights.values())
     quotas = {
-        s: int(math.floor(total * w / denom)) for s, w in weights.items()
+        s: int(math.floor(round(total * w / denom, 9)))
+        for s, w in weights.items()
     }
     return stratified_sample(
         ds, stratum_column, quotas, id_column=id_column, salt=salt
