@@ -3614,7 +3614,8 @@ def oracle_sql() -> dict[str, str]:
             w AS (SELECT source, pow(c, 0.5) AS w FROM counts),
             q AS (
                 SELECT source,
-                       CAST(FLOOR(50 * w / (SELECT sum(w) FROM w)) AS BIGINT)
+                       CAST(FLOOR(ROUND(50 * w / (SELECT sum(w) FROM w), 9))
+                            AS BIGINT)
                            AS quota
                 FROM w
             )
