@@ -950,6 +950,15 @@ def _q_embedding_outliers(sf_dir: str):
     return embedding_outliers(emb, z=2.0)
 
 
+def _q_zipf_by_source(sf_dir: str):
+    # per-source Zipf slope: localizes WHICH mixture slice is templated
+    from saber_ray.sources.testdata import read_documents_flat
+    from saber_ray.stages.textstats import grouped_zipf_fit
+
+    ds = read_documents_flat(sf_dir, columns=("doc_id", "text", "source"))
+    return grouped_zipf_fit(ds, "source")
+
+
 def _q_zipf_fit(sf_dir: str):
     # corpus-health diagnostic: OLS of ln(freq) on ln(rank) over the
     # distributed token-frequency table (one shuffle + rank buckets)
@@ -2461,6 +2470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- past the 50-cap: judge-re-runnable new op + r01-r04 greens
         "zipf_fit": _q_zipf_fit,
         "embedding_outliers": _q_embedding_outliers,
+        "zipf_by_source": _q_zipf_by_source,
         "kg_nodes": _q_kg_nodes,
         "kg_three_hop": _q_kg_three_hop,
         "kg_pagerank": _q_kg_pagerank,
@@ -3124,6 +3134,27 @@ def oracle_sql() -> dict[str, str]:
                    round((d - st.m) / st.sd, 6) AS z
             FROM dists, st
             WHERE abs(d - st.m) > 2.0 * st.sd
+        """,
+        "zipf_by_source": f"""
+            WITH freq AS (
+                SELECT source, tok, count(*) AS n
+                FROM (SELECT source, unnest({TOKENS_SQL}) AS tok
+                      FROM documents)
+                GROUP BY source, tok
+            ),
+            r AS (
+                SELECT source, n,
+                       rank() OVER (PARTITION BY source ORDER BY n DESC)
+                           AS rnk
+                FROM freq
+            )
+            SELECT source,
+                   round(regr_slope(ln(n), ln(rnk)), 6) AS slope,
+                   round(regr_intercept(ln(n), ln(rnk)), 6) AS intercept,
+                   round(regr_r2(ln(n), ln(rnk)), 6) AS r2,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM r GROUP BY source
+            HAVING regr_slope(ln(n), ln(rnk)) IS NOT NULL
         """,
         "zipf_fit": f"""
             WITH freq AS (

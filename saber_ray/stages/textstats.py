@@ -918,3 +918,80 @@ def zipf_fit(ds: rd.Dataset, column: str = "text") -> rd.Dataset:
         "r2": pa.array([round(r2, 6)], type=pa.float64()),
         "n_types": pa.array([int(k)], type=pa.int64()),
     }))
+
+
+def grouped_zipf_fit(
+    ds: rd.Dataset, group_column: str, column: str = "text"
+) -> rd.Dataset:
+    """Per-group Zipf's-law fit — ``zipf_fit`` keyed by source/lang/
+    domain, the corpus-card diagnostic that localizes WHICH slice of a
+    mixture is templated or boilerplate-heavy (a healthy slice shows
+    slope ≈ -1; a templated one deviates sharply).
+
+    Fully distributed: the exact per-group frequency aggregate
+    (compressed partials, one shuffle), per-group frequency RANK via
+    ``rank_within``'s bucket shape (SQL ``RANK()`` min-rank ties — the
+    oracle uses the same window function), per-batch ln-ln moment
+    partials reduced by ONE ``groupby(group).sum``, then a vectorized
+    finalize over the #groups-row aggregate. Groups whose tokens all
+    tie on frequency have zero rank variance (no line to fit; SQL
+    ``regr_slope`` is NULL there) and are dropped on both sides.
+    Returns (group, slope, intercept, r2, n_types), rounded to 6.
+    """
+    import numpy as np
+
+    from .relational import rank_within
+
+    freq = grouped_token_frequency(ds, group_column, column)
+    ranked = rank_within(freq, by=group_column, value_column="n",
+                         id_column="token", ascending=False)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        y = np.log(batch["n"].to_numpy(zero_copy_only=False)
+                   .astype(np.float64))
+        x = np.log(batch["rnk"].to_numpy(zero_copy_only=False)
+                   .astype(np.float64))
+        t = pa.table({
+            group_column: batch[group_column],
+            "k": pa.array(np.ones(len(x))),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxx": pa.array(x * x), "sxy": pa.array(x * y),
+            "syy": pa.array(y * y),
+        })
+        agg = t.group_by(group_column).aggregate(
+            [(c, "sum") for c in ("k", "sx", "sy", "sxx", "sxy", "syy")]
+        )
+        return agg.rename_columns(
+            [group_column, "k", "sx", "sy", "sxx", "sxy", "syy"]
+        )
+
+    agg = (
+        ranked.map_batches(moments, batch_format="pyarrow")
+        .groupby(group_column)
+        .sum(["k", "sx", "sy", "sxx", "sxy", "syy"])
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        k = batch["sum(k)"].to_numpy(zero_copy_only=False)
+        sx = batch["sum(sx)"].to_numpy(zero_copy_only=False)
+        sy = batch["sum(sy)"].to_numpy(zero_copy_only=False)
+        sxx = batch["sum(sxx)"].to_numpy(zero_copy_only=False)
+        sxy = batch["sum(sxy)"].to_numpy(zero_copy_only=False)
+        syy = batch["sum(syy)"].to_numpy(zero_copy_only=False)
+        vx = sxx - sx * sx / k
+        vy = syy - sy * sy / k
+        cov = sxy - sx * sy / k
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = cov / vx
+            intercept = (sy - slope * sx) / k
+            r2 = (cov * cov) / (vx * vy)
+        keep = vx > 0
+        return pa.table({
+            group_column: batch[group_column].filter(pa.array(keep)),
+            "slope": pa.array(np.round(slope[keep], 6)),
+            "intercept": pa.array(np.round(intercept[keep], 6)),
+            "r2": pa.array(np.round(r2[keep], 6)),
+            "n_types": pa.array(k[keep].astype(np.int64)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

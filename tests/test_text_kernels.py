@@ -266,3 +266,34 @@ def test_zipf_fit_matches_numpy_ols():
     assert abs(row["slope"] - slope) < 1e-6
     assert abs(row["intercept"] - intercept) < 1e-6
     assert 0.9 < row["r2"] <= 1.0
+
+
+def test_grouped_zipf_fit_matches_numpy_ols():
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from saber_ray.stages.textstats import _TOKEN_RE, grouped_zipf_fit
+
+    texts = {
+        "a": " ".join(["alpha"] * 8 + ["beta"] * 4 + ["gamma"] * 2 + ["delta"]),
+        "b": " ".join(["x1"] * 9 + ["x2"] * 3 + ["x3"] * 3 + ["x4"]),
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "source": pa.array(list(texts), type=pa.string()),
+        "text": pa.array(list(texts.values()), type=pa.string()),
+    })).repartition(2)
+    got = {r["source"]: r for r in grouped_zipf_fit(ds, "source").take_all()}
+    for src, text in texts.items():
+        counts = collections.Counter(_TOKEN_RE.findall(text))
+        ns = sorted(counts.values(), reverse=True)
+        # SQL RANK(): min rank among ties
+        rnk = [1 + sum(1 for m in ns if m > n) for n in ns]
+        x, y = np.log(np.array(rnk, float)), np.log(np.array(ns, float))
+        slope, intercept = np.polyfit(x, y, 1)
+        assert got[src]["n_types"] == len(ns)
+        assert abs(got[src]["slope"] - slope) < 1e-6, src
+        assert abs(got[src]["intercept"] - intercept) < 1e-6, src
